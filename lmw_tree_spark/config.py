@@ -1,0 +1,51 @@
+"""Pipeline configuration. One frozen dataclass threaded through every stage so the
+"identical shingle/signature config" requirement (recall scoring vs the oracle) is a
+single object, not scattered constants.
+
+Defaults mirror the reference's flagship experiment where a setting exists there:
+4096-bit signatures (/root/reference/src/StreamingEMTreeExperiments.h:50-52), EM-tree
+order m=10, depth 4, 10 iterations (StreamingEMTreeExperiments.h:29-31,125). Tests use
+smaller sig_bits/tree per FIXTURES.md (256-bit at tiny/small scale).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # signatures
+    sig_bits: int = 4096          # packed bit-signature width (divisible by 64)
+    simhash_seed: int = 7         # hyperplane seed (pinned for reproducibility)
+    minhash_perms: int = 128      # MinHash permutations over caption shingles
+    minhash_seed: int = 42
+    shingle_k: int = 5            # char-shingle width for captions
+    substring_len: int = 12       # L for the common-substring (suffix/L-gram) pass
+
+    # LSH candidate generation
+    lsh_bands: int = 32           # MinHash bands (rows = perms // bands)
+    phash_bands: int = 4          # 64-bit Hamming pigeonhole slices (tolerates 3 flips)
+    bucket_pair_cap: int = 64     # buckets larger than this emit star edges only
+    salt_buckets: int = 8         # salt factor when repartitioning skewed band keys
+
+    # verification thresholds
+    phash_max_dist: int = 6       # verified near-dup if phash Hamming ≤ this
+    simhash_max_dist: int = 6     # ... or pixel-simhash Hamming ≤ this
+    minhash_min_jaccard: float = 0.7  # ... or caption MinHash similarity ≥ this
+
+    # EM-tree (reference flagship: m=10, depth=4, 10 iters)
+    tree_order: int = 10
+    tree_depth: int = 4
+    em_iters: int = 4
+    tsvq_sample: int = 2000       # sample size for TSVQ seeding (ref: 2M of 733M)
+    tsvq_maxiters: int = 0        # k-means iters inside TSVQ init (ref flagship: 0)
+    seed: int = 42
+
+    def small(self) -> "PipelineConfig":
+        """Test-scale variant: 256-bit signatures, shallow tree."""
+        return replace(self, sig_bits=256, tree_order=4, tree_depth=2, tsvq_sample=500)
+
+
+DEFAULT = PipelineConfig()
+SMALL = DEFAULT.small()

@@ -1,0 +1,215 @@
+"""Streaming EM-tree as Spark dataflow — the flagship operator.
+
+Re-expression of the reference's flagship pipeline
+(/root/reference/src/StreamingEMTreeExperiments.h:115-141):
+
+    sample → TSVQ init (driver, NumPy — the sample is tiny, ref uses 2M of 733M)
+    loop em_iters times:
+        broadcast centroid tree (small) to executors
+        mapInPandas: per Arrow batch, descend tree + accumulate per-leaf
+            (bit_sums, count, sse)  ← map-side partial aggregation; one output row
+            per (partition-batch, touched leaf), NEVER per input row
+        groupBy(leaf).applyInPandas: sum partial accumulators → ≤ n_leaves rows
+        driver: finalize majority prototypes, bottom-up rollup, prune empties
+    final pass: mapInPandas → per-level assignments (image_id, level, cluster_id,
+        distance) — the reference's ClusterWriter output
+        (/root/reference/src/lmw/InsertVisitor.h:25-56) as a DataFrame.
+
+Scale notes (100 TB / 10^12 rows):
+- The only data-sized shuffles are the partial-accumulator groupBy — volume is
+  O(partitions x leaves x sig_bits/8), independent of row count — and none at all in
+  the assignment pass (pure map).
+- The tree is the broadcast-dimension side: ≤ ~51 MB at 100k leaves x 4096 bits.
+- The reference's per-leaf mutexes (/root/reference/src/lmw/StreamingEMTree.h:226)
+  become lock-free associative aggregation; its bounded in-flight chunks
+  (StreamingEMTree.h:452-455) become Arrow maxRecordsPerBatch backpressure.
+
+Flat k-means (/root/reference/src/GeneralExperiments.h:7-29 `sigKmeansCluster`) is the
+depth-1 special case and is exposed as ``kmeans_fit`` on the same machinery.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lmw_tree_spark.config import PipelineConfig
+from lmw_tree_spark.functions.bitops import longs_to_u64
+from lmw_tree_spark.operators.tree import (
+    CentroidTree,
+    accumulate_leaves,
+    descend,
+    tsvq_init,
+    update_tree,
+)
+
+ACC_SCHEMA = "leaf_pos long, cnt long, sse double, bit_sums array<long>"
+ASSIGN_SCHEMA = "image_id string, level int, cluster_id long, distance double"
+LEAF_ASSIGN_SCHEMA = "image_id string, cluster_id long, distance double"
+
+
+@dataclass
+class FitResult:
+    tree: CentroidTree
+    metrics: list[dict] = field(default_factory=list)  # per-iteration rmse/counts
+
+
+def sample_signatures(sigs: DataFrame, n: int, seed: int) -> np.ndarray:
+    """Deterministic bounded sample of packed signatures for TSVQ seeding.
+
+    orderBy(xxhash64) + limit compiles to TakeOrderedAndProject — a top-k, not a
+    global sort — and is partition-count-independent, so the sample (and hence the
+    whole clustering, given pinned seeds) is reproducible at any parallelism.
+    """
+    rows = (
+        sigs.select("sig", F.xxhash64(F.col("image_id"), F.lit(seed)).alias("h"))
+        .orderBy("h")
+        .limit(n)
+        .collect()
+    )
+    return longs_to_u64([r["sig"] for r in rows])
+
+
+def _accumulate_pass(sigs: DataFrame, tree_bc) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One distributed insert pass → (bit_sums (L,B), counts (L,), sse (L,))."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tree: CentroidTree = tree_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            s = longs_to_u64(pdf["sig"])
+            sums, counts, sse = accumulate_leaves(tree, s)
+            touched = np.where(counts > 0)[0]
+            yield pd.DataFrame(
+                {
+                    "leaf_pos": touched,
+                    "cnt": counts[touched],
+                    "sse": sse[touched],
+                    "bit_sums": list(sums[touched]),
+                }
+            )
+
+    partials = sigs.select("sig").mapInPandas(partial, ACC_SCHEMA)
+
+    def combine(key, pdfs):
+        sums = np.sum(np.stack([np.asarray(x, dtype=np.int64) for x in pdfs["bit_sums"]]), axis=0)
+        return pd.DataFrame(
+            {
+                "leaf_pos": [key[0]],
+                "cnt": [int(pdfs["cnt"].sum())],
+                "sse": [float(pdfs["sse"].sum())],
+                "bit_sums": [sums],
+            }
+        )
+
+    combined = partials.groupBy("leaf_pos").applyInPandas(combine, ACC_SCHEMA).collect()
+
+    tree: CentroidTree = tree_bc.value
+    n_leaves, n_bits = tree.n_leaves, tree.levels[-1].centroid.shape[1] * 64
+    sums = np.zeros((n_leaves, n_bits), dtype=np.int64)
+    counts = np.zeros(n_leaves, dtype=np.int64)
+    sse = np.zeros(n_leaves, dtype=np.float64)
+    for r in combined:
+        p = int(r["leaf_pos"])
+        sums[p] = np.asarray(r["bit_sums"], dtype=np.int64)
+        counts[p] = r["cnt"]
+        sse[p] = r["sse"]
+    return sums, counts, sse
+
+
+def em_tree_fit(sigs: DataFrame, cfg: PipelineConfig) -> FitResult:
+    """Fit the EM-tree: TSVQ-seeded init + cfg.em_iters distributed EM iterations."""
+    spark = sigs.sparkSession
+    sample = sample_signatures(sigs, cfg.tsvq_sample, cfg.seed)
+    tree = tsvq_init(sample, cfg.tree_order, cfg.tree_depth, cfg.tsvq_maxiters, cfg.seed)
+    result = FitResult(tree=tree)
+    for it in range(cfg.em_iters):
+        bc = spark.sparkContext.broadcast(tree)
+        sums, counts, sse = _accumulate_pass(sigs, bc)
+        bc.unpersist()
+        total = int(counts.sum())
+        rmse = float(np.sqrt(sse.sum() / max(total, 1)))
+        tree = update_tree(tree, sums, counts)
+        result.metrics.append(
+            {
+                "iteration": it,
+                "rmse": rmse,
+                "objects": total,  # object-count conservation check
+                "leaves": tree.n_leaves,
+                "levels": [len(lv.node_id) for lv in tree.levels],
+            }
+        )
+    result.tree = tree
+    return result
+
+
+def assign(sigs: DataFrame, tree: CentroidTree, per_level: bool = False) -> DataFrame:
+    """Final labeling pass (reference `visit` + ClusterWriter): pure map, no shuffle.
+
+    per_level=True emits one row per (row, level) like the reference's per-level CSVs;
+    default emits leaf assignments only.
+    """
+    spark = sigs.sparkSession
+    bc = spark.sparkContext.broadcast(tree)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t: CentroidTree = bc.value
+        # ancestor node_id at each level for every leaf, precomputed once per task
+        anc = np.empty((t.n_leaves, t.depth), dtype=np.int64)
+        cur = np.arange(t.n_leaves)
+        for li in range(t.depth - 1, -1, -1):
+            anc[:, li] = t.levels[li].node_id[cur]
+            cur = t.levels[li].parent_idx[cur]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            s = longs_to_u64(pdf["sig"])
+            leaf_pos, dists = descend(t, s)
+            ids = pdf["image_id"].to_numpy()
+            if per_level:
+                n, d = len(ids), t.depth
+                yield pd.DataFrame(
+                    {
+                        "image_id": np.repeat(ids, d),
+                        "level": np.tile(np.arange(1, d + 1), n),
+                        "cluster_id": anc[leaf_pos].ravel(),
+                        "distance": dists.astype(np.float64).ravel(),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "image_id": ids,
+                        "cluster_id": t.leaf_ids()[leaf_pos],
+                        "distance": dists[:, -1].astype(np.float64),
+                    }
+                )
+
+    schema = ASSIGN_SCHEMA if per_level else LEAF_ASSIGN_SCHEMA
+    return sigs.select("image_id", "sig").mapInPandas(run, schema)
+
+
+def cluster_stats(assignments: DataFrame) -> DataFrame:
+    """Per-cluster stats table — the reference's ClusterStats CSV
+    (/root/reference/src/lmw/ClusterVisitor.h:25-49): (cluster_id, count, rmse)."""
+    return assignments.groupBy("cluster_id").agg(
+        F.count("*").alias("n_objects"),
+        F.sqrt(F.avg(F.col("distance") * F.col("distance"))).alias("rmse"),
+    )
+
+
+def kmeans_fit(sigs: DataFrame, k: int, iters: int, cfg: PipelineConfig) -> FitResult:
+    """Flat k-means = depth-1 EM-tree over a random-sample seeding (sigKmeansCluster,
+    /root/reference/src/GeneralExperiments.h:7-29)."""
+    from dataclasses import replace
+
+    flat = replace(
+        cfg, tree_order=k, tree_depth=1, em_iters=iters, tsvq_sample=max(cfg.tsvq_sample, 4 * k)
+    )
+    return em_tree_fit(sigs, flat)

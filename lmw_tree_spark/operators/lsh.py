@@ -1,0 +1,204 @@
+"""LSH candidate generation + JVM-side verification.
+
+Re-expresses the target's candidate-pair layer (the reference itself clusters
+exhaustively; candidate generation is the scale path that makes 10^12 rows feasible):
+
+1. **Bucket keys** (one narrow DF of ``(bucket, image_id)``):
+   - MinHash band keys over caption shingles (b bands x r rows, Broder/LSH standard),
+   - pigeonhole bit-slices of ``phash`` and pixel ``simhash`` (Manku et al. WWW'07 —
+     4 slices of 16 bits ⇒ any pair within Hamming distance 3 shares a slice),
+   - caption L-gram rolling hashes — the *substring pass*: two captions share a
+     common substring of length ≥ L iff they share an L-gram, so an equi-join on
+     L-gram hash is the scalable equivalent of a suffix-array substring scan.
+2. **Edges from buckets — all JVM-side, no Python:**
+   - *chain edges*: within each bucket, sort by id and link consecutive ids
+     (``lead`` window). O(n) edges per bucket, preserves connectivity for the
+     connected-components pass no matter how skewed the bucket — this is the
+     explicit skew handling: a 10M-row bucket of identical memes emits 10M-1 edges,
+     never 10M² pairs. The window shuffle hash-partitions on the bucket key; AQE
+     skew-split handles residual imbalance.
+   - *clique edges*: buckets with ≤ cfg.bucket_pair_cap members additionally emit
+     all pairs (better direct recall for near-dup verification).
+3. **Verification**: join both endpoints' signatures and evaluate phash/simhash
+   Hamming (``bit_count`` built-in) and MinHash agreement (``zip_with`` +
+   ``aggregate``) — whole-stage-codegen expressions, no UDF.
+
+The candidate union is deduped on (src, dst) before verification so each pair is
+verified once no matter how many buckets it collides in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lmw_tree_spark.config import PipelineConfig
+from lmw_tree_spark.functions.bitops import hamming64_col
+from lmw_tree_spark.functions.signatures import (
+    band_hashes,
+    char_shingle_hashes,
+    hamming_band_keys,
+)
+
+BUCKET_SCHEMA = "bucket long, image_id string"
+
+
+def minhash_buckets(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(image_id, minhash) → exploded (bucket, image_id) band keys."""
+    n_bands = cfg.lsh_bands
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mh = np.array(list(pdf["minhash"]), dtype=np.int64).view(np.uint64)
+            bands = band_hashes(mh, n_bands)  # (N, b) int64
+            ids = pdf["image_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "bucket": bands.ravel(),
+                    "image_id": np.repeat(ids, n_bands),
+                }
+            )
+
+    return sigs.select("image_id", "minhash").mapInPandas(run, BUCKET_SCHEMA)
+
+
+def hamming64_buckets(
+    sigs: DataFrame, col: str, n_bands: int, namespace: int
+) -> DataFrame:
+    """Pigeonhole bit-slice buckets for a 64-bit signature column (phash/simhash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf[col].to_numpy(dtype=np.int64).view(np.uint64)
+            keys = hamming_band_keys(vals, n_bands).view(np.uint64)
+            ns = np.uint64((namespace * 0x9E3779B97F4A7C15) % (1 << 64))
+            keys = (keys ^ ns).view(np.int64)
+            ids = pdf["image_id"].to_numpy()
+            yield pd.DataFrame(
+                {"bucket": keys.ravel(), "image_id": np.repeat(ids, n_bands)}
+            )
+
+    return sigs.select("image_id", col).mapInPandas(run, BUCKET_SCHEMA)
+
+
+def lgram_buckets(sigs: DataFrame, cfg: PipelineConfig, sample_mod: int = 1) -> DataFrame:
+    """Caption L-gram buckets (the substring pass). ``sample_mod`` > 1 winnows grams
+    (keep hash % mod == 0) to bound key volume at extreme scale."""
+    L = cfg.substring_len
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hashes, mask = char_shingle_hashes(pdf["caption"], L)
+            ids = pdf["image_id"].to_numpy()
+            out_keys, out_ids = [], []
+            for i in range(len(pdf)):
+                hs = np.unique(hashes[i][mask[i]])
+                if sample_mod > 1:
+                    hs = hs[hs % np.uint64(sample_mod) == 0]
+                out_keys.append(hs)
+                out_ids.append(np.repeat(ids[i], len(hs)))
+            keys = np.concatenate(out_keys) if out_keys else np.empty(0, dtype=np.uint64)
+            keys = (keys ^ np.uint64((5 * 0x9E3779B97F4A7C15) % (1 << 64))).view(np.int64)
+            yield pd.DataFrame(
+                {
+                    "bucket": keys,
+                    "image_id": np.concatenate(out_ids)
+                    if out_ids
+                    else np.empty(0, dtype=object),
+                }
+            )
+
+    return sigs.select("image_id", "caption").mapInPandas(run, BUCKET_SCHEMA)
+
+
+def edges_from_buckets(buckets: DataFrame, pair_cap: int) -> DataFrame:
+    """(bucket, image_id) → candidate edges (src < dst), JVM-only.
+
+    Chain edges give O(n)-per-bucket connectivity regardless of skew; clique edges
+    (bucket size ≤ pair_cap) add direct pairs for verification recall.
+    """
+    buckets = buckets.dropDuplicates(["bucket", "image_id"])
+    w = Window.partitionBy("bucket").orderBy("image_id")
+    sized = buckets.withColumn("bsize", F.count("*").over(Window.partitionBy("bucket")))
+
+    chain = (
+        sized.withColumn("nxt", F.lead("image_id").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("image_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+
+    small = sized.where(F.col("bsize") <= pair_cap).select("bucket", "image_id")
+    clique = (
+        small.alias("a")
+        .join(small.alias("b"), "bucket")
+        .where(F.col("a.image_id") < F.col("b.image_id"))
+        .select(F.col("a.image_id").alias("src"), F.col("b.image_id").alias("dst"))
+    )
+    return chain.unionByName(clique).dropDuplicates(["src", "dst"])
+
+
+def candidate_edges(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """All candidate-generation modalities unioned → deduped (src, dst) edges."""
+    buckets = (
+        minhash_buckets(sigs, cfg)
+        .unionByName(hamming64_buckets(sigs, "phash", cfg.phash_bands, namespace=1))
+        .unionByName(hamming64_buckets(sigs, "simhash", cfg.phash_bands, namespace=2))
+        .unionByName(lgram_buckets(sigs, cfg))
+    )
+    return edges_from_buckets(buckets, cfg.bucket_pair_cap)
+
+
+def minhash_agreement_col() -> F.Column:
+    """Fraction of agreeing MinHash values between columns a_mh / b_mh (estimates
+    caption Jaccard) — zip_with + aggregate, stays in codegen."""
+    return (
+        F.aggregate(
+            F.zip_with("a_mh", "b_mh", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("a_mh")
+    ).cast("double")
+
+
+def verify_edges(edges: DataFrame, sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Attach both endpoints' signatures and keep pairs passing any dup criterion.
+
+    Output: (src, dst, phash_dist, simhash_dist, caption_sim, is_dup).
+    """
+    a = sigs.select(
+        F.col("image_id").alias("src"),
+        F.col("phash").alias("a_ph"),
+        F.col("simhash").alias("a_sh"),
+        F.col("minhash").alias("a_mh"),
+    )
+    b = sigs.select(
+        F.col("image_id").alias("dst"),
+        F.col("phash").alias("b_ph"),
+        F.col("simhash").alias("b_sh"),
+        F.col("minhash").alias("b_mh"),
+    )
+    joined = edges.join(a, "src").join(b, "dst")
+    scored = joined.select(
+        "src",
+        "dst",
+        hamming64_col("a_ph", "b_ph").alias("phash_dist"),
+        hamming64_col("a_sh", "b_sh").alias("simhash_dist"),
+        minhash_agreement_col().alias("caption_sim"),
+    )
+    return scored.withColumn(
+        "is_dup",
+        (F.col("phash_dist") <= cfg.phash_max_dist)
+        | (F.col("simhash_dist") <= cfg.simhash_max_dist)
+        | (F.col("caption_sim") >= cfg.minhash_min_jaccard),
+    )

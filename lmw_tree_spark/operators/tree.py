@@ -1,0 +1,320 @@
+"""Centroid-tree state + NumPy kernels for the hierarchical m-way bit clustering.
+
+This module holds the *small* state (the tree of packed-bit centroids — broadcast
+side) and the vectorized kernels shared by the Spark EM-tree operator and the pure
+NumPy reference loop used in oracle tests:
+
+- ``CentroidTree`` re-expresses the reference's pointer tree ``Node<T>``
+  (/root/reference/src/lmw/Node.h:161-172) as flat per-level arrays
+  ``(node_id, parent_idx, centroid)``. At 100k leaves x 4096 bits this is ~51 MB
+  packed — broadcastable; the data (10^12 rows) never touches the driver.
+- ``descend`` replaces per-row nearest-child pointer chasing
+  (/root/reference/src/lmw/Optimizer.h:91-104 + StreamingEMTree.h:205-219) with a
+  per-parent vectorized Hamming argmin; first-wins tie-breaking matches the
+  reference's sequential scan.
+- ``tsvq_init`` is the sample-side seeding (TSVQ recursion,
+  /root/reference/src/lmw/TSVQ.h:56-119; random-shuffle seeding
+  /root/reference/src/lmw/RandomSeeder.h:23-41) with pinned seeds.
+- ``kmeans_bits`` is Lloyd's k-means over packed bit vectors with majority-vote
+  prototypes (/root/reference/src/lmw/KMeans.h:14-256), maxiters semantics matching
+  the reference (0 = seed + assign only).
+- accumulate / update / prune mirror StreamingEMTree's accumulator algebra
+  (/root/reference/src/lmw/StreamingEMTree.h:221-311): per-leaf unpacked bit sums +
+  counts + SSE; leaf prototypes finalized with the strict ``> count/2`` rule;
+  internal prototypes from bottom-up gathered child accumulators; empty nodes pruned.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lmw_tree_spark.functions.bitops import (
+    hamming_argmin,
+    hamming_cdist,
+    majority_from_counts,
+    unpack_bits,
+)
+
+
+@dataclass
+class Level:
+    node_id: np.ndarray      # (C,) int64 — stable global ids
+    parent_idx: np.ndarray   # (C,) int64 — index into previous level (-1 at level 0)
+    centroid: np.ndarray     # (C, W) uint64 packed bits
+
+
+@dataclass
+class CentroidTree:
+    order: int
+    levels: list[Level] = field(default_factory=list)  # levels[0] = root children
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels)
+
+    @property
+    def n_leaves(self) -> int:
+        return len(self.levels[-1].node_id)
+
+    def leaf_ids(self) -> np.ndarray:
+        return self.levels[-1].node_id
+
+    def to_rows(self) -> list[tuple[int, int, int, list[int]]]:
+        """Flatten to (level, node_id, parent_id, centroid words) rows — the
+        checkpointable table form (FIXTURES.md §4)."""
+        rows = []
+        for li, lv in enumerate(self.levels):
+            parent_ids = (
+                np.full(len(lv.node_id), -1, dtype=np.int64)
+                if li == 0
+                else self.levels[li - 1].node_id[lv.parent_idx]
+            )
+            for j in range(len(lv.node_id)):
+                rows.append(
+                    (
+                        li + 1,
+                        int(lv.node_id[j]),
+                        int(parent_ids[j]),
+                        [int(x) for x in lv.centroid[j].view(np.int64)],
+                    )
+                )
+        return rows
+
+    @staticmethod
+    def from_rows(rows, order: int) -> "CentroidTree":
+        """Inverse of to_rows (checkpoint restore)."""
+        by_level: dict[int, list] = {}
+        for level, node_id, parent_id, words in rows:
+            by_level.setdefault(int(level), []).append((int(node_id), int(parent_id), words))
+        tree = CentroidTree(order=order)
+        prev_ids: np.ndarray | None = None
+        for level in sorted(by_level):
+            entries = sorted(by_level[level])
+            node_id = np.array([e[0] for e in entries], dtype=np.int64)
+            parent_id = np.array([e[1] for e in entries], dtype=np.int64)
+            cents = np.array([e[2] for e in entries], dtype=np.int64).view(np.uint64)
+            if prev_ids is None:
+                parent_idx = np.full(len(entries), -1, dtype=np.int64)
+            else:
+                lookup = {int(p): i for i, p in enumerate(prev_ids)}
+                parent_idx = np.array([lookup[int(p)] for p in parent_id], dtype=np.int64)
+            tree.levels.append(Level(node_id, parent_idx, cents))
+            prev_ids = node_id
+        return tree
+
+
+# ---------------------------------------------------------------------------
+# descent
+# ---------------------------------------------------------------------------
+
+
+def descend(tree: CentroidTree, sigs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Assign each row to a leaf by nearest-child descent.
+
+    Returns (leaf_pos (N,) int64 index into the leaf level, per_level_dist
+    (N, depth) int64). Vectorized per level: rows are grouped by their current
+    parent and distance-scanned against only that parent's children (the tree's
+    log-speedup); a masked full scan fast-path handles small levels.
+    """
+    n = sigs.shape[0]
+    cur = np.zeros(n, dtype=np.int64)  # index into current level's nodes
+    dists = np.empty((n, tree.depth), dtype=np.int64)
+    for li, lv in enumerate(tree.levels):
+        c = len(lv.node_id)
+        if li == 0:
+            idx, d = hamming_argmin(sigs, lv.centroid)
+            cur, dists[:, 0] = idx, d
+            continue
+        if c <= 512:
+            # masked full scan — one big vectorized cdist
+            dmat = hamming_cdist(sigs, lv.centroid)
+            invalid = lv.parent_idx[None, :] != cur[:, None]
+            dmat[invalid] = np.iinfo(np.int64).max
+            idx = dmat.argmin(axis=1)
+            cur, dists[:, li] = idx, dmat[np.arange(n), idx]
+        else:
+            new_cur = np.empty(n, dtype=np.int64)
+            new_d = np.empty(n, dtype=np.int64)
+            order = np.argsort(cur, kind="stable")
+            sorted_cur = cur[order]
+            bounds = np.searchsorted(sorted_cur, np.arange(len(tree.levels[li - 1].node_id) + 1))
+            # children grouped by parent once per level
+            child_order = np.argsort(lv.parent_idx, kind="stable")
+            child_bounds = np.searchsorted(
+                lv.parent_idx[child_order], np.arange(len(tree.levels[li - 1].node_id) + 1)
+            )
+            for p in np.unique(sorted_cur):
+                rows = order[bounds[p] : bounds[p + 1]]
+                kids = child_order[child_bounds[p] : child_bounds[p + 1]]
+                if len(kids) == 0:
+                    # parent lost all children to pruning — keep previous assignment
+                    new_cur[rows], new_d[rows] = -1, np.iinfo(np.int64).max
+                    continue
+                local_idx, local_d = hamming_argmin(sigs[rows], lv.centroid[kids])
+                new_cur[rows] = kids[local_idx]
+                new_d[rows] = local_d
+            cur, dists[:, li] = new_cur, new_d
+    return cur, dists
+
+
+# ---------------------------------------------------------------------------
+# accumulate / update / prune (StreamingEMTree algebra)
+# ---------------------------------------------------------------------------
+
+
+def accumulate_leaves(
+    tree: CentroidTree, sigs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One insert pass over a batch: (bit_sums (L, B) int64, counts (L,), sse (L,))."""
+    leaf_pos, dists = descend(tree, sigs)
+    n_leaves = tree.n_leaves
+    bits = unpack_bits(sigs).astype(np.int64)
+    b = bits.shape[1]
+    sums = np.zeros((n_leaves, b), dtype=np.int64)
+    np.add.at(sums, leaf_pos, bits)
+    counts = np.bincount(leaf_pos, minlength=n_leaves).astype(np.int64)
+    leaf_d = dists[:, -1].astype(np.float64)
+    sse = np.bincount(leaf_pos, weights=leaf_d * leaf_d, minlength=n_leaves)
+    return sums, counts, sse
+
+
+def update_tree(tree: CentroidTree, bit_sums: np.ndarray, counts: np.ndarray) -> CentroidTree:
+    """Finalize accumulators → new centroids (leaves then bottom-up rollup), and
+    prune empty nodes. Returns a NEW tree (node ids preserved for survivors)."""
+    levels: list[Level | None] = [None] * tree.depth
+    level_sums, level_counts = bit_sums, counts
+
+    # walk bottom-up computing per-node accumulators
+    acc_by_level: list[tuple[np.ndarray, np.ndarray]] = [None] * tree.depth  # type: ignore
+    acc_by_level[-1] = (level_sums, level_counts)
+    for li in range(tree.depth - 1, 0, -1):
+        parent_count = len(tree.levels[li - 1].node_id)
+        child_sums, child_counts = acc_by_level[li]
+        p_sums = np.zeros((parent_count, child_sums.shape[1]), dtype=np.int64)
+        np.add.at(p_sums, tree.levels[li].parent_idx, child_sums)
+        p_counts = np.bincount(
+            tree.levels[li].parent_idx, weights=child_counts, minlength=parent_count
+        ).astype(np.int64)
+        acc_by_level[li - 1] = (p_sums, p_counts)
+
+    # top-down: prune empty, recompute centroids, remap parent indices
+    keep_prev: np.ndarray | None = None  # new index for surviving prev-level nodes
+    new_tree = CentroidTree(order=tree.order)
+    for li in range(tree.depth):
+        lv = tree.levels[li]
+        sums_l, counts_l = acc_by_level[li]
+        alive = counts_l > 0
+        if keep_prev is not None:
+            alive &= keep_prev[lv.parent_idx] >= 0
+        idx_alive = np.where(alive)[0]
+        new_cents = np.empty((len(idx_alive), lv.centroid.shape[1]), dtype=np.uint64)
+        for j, i in enumerate(idx_alive):
+            new_cents[j] = majority_from_counts(sums_l[i], int(counts_l[i]))
+        new_parent = (
+            np.full(len(idx_alive), -1, dtype=np.int64)
+            if li == 0
+            else keep_prev[lv.parent_idx[idx_alive]]
+        )
+        new_tree.levels.append(Level(lv.node_id[idx_alive], new_parent, new_cents))
+        remap = np.full(len(lv.node_id), -1, dtype=np.int64)
+        remap[idx_alive] = np.arange(len(idx_alive))
+        keep_prev = remap
+    return new_tree
+
+
+# ---------------------------------------------------------------------------
+# k-means over packed bits (reference KMeans semantics)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_bits(
+    sigs: np.ndarray,
+    k: int,
+    max_iters: int,
+    rng: np.random.Generator,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd's k-means with Hamming distance + majority prototypes.
+
+    Seeding = random shuffle, first k distinct rows (RandomSeeder.h:23-41).
+    max_iters semantics match the reference (KMeans.h:230-236): 0 → seed + single
+    assignment, no mean updates; n → at most n update rounds, stopping early when
+    assignments are unchanged. Returns (centroids (k', W) uint64, assign (N,)).
+    """
+    n = sigs.shape[0]
+    k = min(k, n)
+    perm = rng.permutation(n)
+    centroids = sigs[perm[:k]].copy()
+    assign, _ = hamming_argmin(sigs, centroids)
+    for _ in range(max_iters):
+        new_centroids = centroids.copy()
+        for c in range(k):
+            members = sigs[assign == c]
+            if len(members):
+                counts = unpack_bits(members).sum(axis=0, dtype=np.int64)
+                new_centroids[c] = majority_from_counts(counts, len(members))
+        new_assign, _ = hamming_argmin(sigs, new_centroids)
+        centroids = new_centroids
+        if (new_assign == assign).all():
+            assign = new_assign
+            break
+        assign = new_assign
+    return centroids, assign
+
+
+def tsvq_init(
+    sample: np.ndarray,
+    order: int,
+    depth: int,
+    max_iters: int,
+    seed: int,
+) -> CentroidTree:
+    """Recursive m-way TSVQ over a driver-held sample → initial CentroidTree.
+
+    Mirrors the sample-then-refine recipe (TSVQ on a sample seeds the EM-tree,
+    /root/reference/src/StreamingEMTreeExperiments.h:28-41,
+    /root/reference/src/JournalPaperExperiments.h:548-579). Deterministic via a
+    single seeded RNG consumed in recursion order. Empty branches are dropped.
+    """
+    rng = np.random.default_rng(seed)
+    tree = CentroidTree(order=order)
+    next_id = [0]
+
+    frontier = [(sample, -1)]  # (member rows, parent new-index)
+    for _li in range(depth):
+        node_ids, parent_idx, cents, next_frontier = [], [], [], []
+        for slot, (members, parent) in enumerate(frontier):
+            del slot
+            centroids, assign = kmeans_bits(members, order, max_iters, rng)
+            for c in range(len(centroids)):
+                sub = members[assign == c]
+                if len(sub) == 0:
+                    continue  # prune empty at init
+                node_ids.append(next_id[0])
+                next_id[0] += 1
+                parent_idx.append(parent)
+                cents.append(centroids[c])
+                next_frontier.append((sub, len(node_ids) - 1))
+        tree.levels.append(
+            Level(
+                np.array(node_ids, dtype=np.int64),
+                np.array(parent_idx, dtype=np.int64),
+                np.array(cents, dtype=np.uint64),
+            )
+        )
+        frontier = next_frontier
+    return tree
+
+
+def em_iterations_numpy(
+    tree: CentroidTree, sigs: np.ndarray, iters: int
+) -> CentroidTree:
+    """Reference-shaped streaming EM loop, all in NumPy (oracle / small-data path):
+    each iteration = full accumulate pass → update (leaf majority + bottom-up
+    rollup) → prune (StreamingEMTreeExperiments.h:125-137)."""
+    for _ in range(iters):
+        sums, counts, sse = accumulate_leaves(tree, sigs)
+        del sse
+        tree = update_tree(tree, sums, counts)
+    return tree

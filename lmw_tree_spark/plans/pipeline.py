@@ -1,0 +1,95 @@
+"""End-to-end dedup + cluster pipeline (the flagship job).
+
+    images (input_hint schema)
+      → signatures        (decode once; SimHash/sig/MinHash; bytes dropped)
+      → candidate edges   (MinHash bands ∪ phash/simhash pigeonhole ∪ L-gram substring)
+      → verified pairs    (JVM-side Hamming / MinHash-agreement thresholds)
+      → dup groups        (connected components, hash-to-min)
+      → EM-tree fit       (TSVQ-seeded, distributed EM iterations)
+      → assignments       (leaf cluster_id + distance + dup_group per image)
+
+Each stage checkpoints (parquet/Iceberg) with per-partition lineage metrics and is
+skipped on resume when complete. The tree itself is checkpointed as rows
+(FIXTURES.md §4 schema) so a restart continues from the fitted tree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lmw_tree_spark.config import PipelineConfig
+from lmw_tree_spark.operators import emtree, lsh
+from lmw_tree_spark.operators.ccomp import connected_components
+from lmw_tree_spark.operators.signature_stage import extract_signatures
+from lmw_tree_spark.operators.tree import CentroidTree
+from lmw_tree_spark.plans.checkpoint import Checkpointer
+
+TREE_STAGE_SCHEMA = "level int, node_id long, parent_id long, centroid array<long>"
+
+
+@dataclass
+class PipelineResult:
+    signatures: DataFrame
+    dup_groups: DataFrame      # (image_id, dup_group)
+    assignments: DataFrame     # (image_id, cluster_id, distance, dup_group)
+    tree: CentroidTree
+    metrics: list[dict]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    images: DataFrame,
+    cfg: PipelineConfig,
+    checkpoint_dir: str | None = None,
+) -> PipelineResult:
+    ckpt = Checkpointer(spark, checkpoint_dir) if checkpoint_dir else None
+
+    def staged(name: str, build, sig_col: str | None = None) -> DataFrame:
+        if ckpt is None:
+            return build()
+        return ckpt.stage(name, build, sig_col)
+
+    sigs = staged("signatures", lambda: extract_signatures(images, cfg), sig_col="sig")
+    if ckpt is None:
+        # single-action reuse without a durable checkpoint
+        sigs = sigs.persist()
+
+    verified = staged(
+        "verified_pairs",
+        lambda: lsh.verify_edges(lsh.candidate_edges(sigs, cfg), sigs, cfg).where("is_dup"),
+    )
+    groups = staged(
+        "dup_groups", lambda: connected_components(verified, vertices=sigs)
+    )
+
+    # EM-tree fit: resume from a checkpointed tree when present
+    metrics: list[dict] = []
+    if ckpt is not None and ckpt.exists("tree"):
+        rows = ckpt.read("tree").collect()
+        tree = CentroidTree.from_rows(
+            [(r["level"], r["node_id"], r["parent_id"], r["centroid"]) for r in rows],
+            order=cfg.tree_order,
+        )
+    else:
+        fit = emtree.em_tree_fit(sigs, cfg)
+        tree, metrics = fit.tree, fit.metrics
+        if ckpt is not None:
+            tree_df = spark.createDataFrame(
+                [(lvl, nid, pid, words) for lvl, nid, pid, words in tree.to_rows()],
+                TREE_STAGE_SCHEMA,
+            )
+            ckpt.write("tree", tree_df)
+
+    assignments = staged(
+        "assignments",
+        lambda: emtree.assign(sigs, tree).join(groups, "image_id", "left").select(
+            "image_id",
+            "cluster_id",
+            "distance",
+            F.coalesce("dup_group", "image_id").alias("dup_group"),
+        ),
+    )
+    return PipelineResult(sigs, groups, assignments, tree, metrics)
