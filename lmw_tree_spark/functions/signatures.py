@@ -114,12 +114,20 @@ def word_shingle_hashes(
     return acc, mask
 
 
+def _mix64(h: int) -> int:
+    """splitmix64 finalizer (public domain constant schedule) — gives short inputs
+    full-width avalanche so every signature bit is informative."""
+    h = (h ^ (h >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+    h = (h ^ (h >> 27)) * 0x94D049BB133111EB % (1 << 64)
+    return (h ^ (h >> 31)) % ((1 << 61) - 1)
+
+
 def _hash_bytes(b: bytes) -> int:
-    """Deterministic 61-bit polynomial hash of a byte string (driver-side helper)."""
-    h = 0
+    """Deterministic 61-bit hash of a byte string: polynomial + splitmix finalizer."""
+    h = len(b) + 1
     for c in b:
         h = (h * 1_000_003 + c + 1) % ((1 << 61) - 1)
-    return h
+    return _mix64(h)
 
 
 # ---------------------------------------------------------------------------

@@ -50,12 +50,16 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("u", "id")
         )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer jumping: label(v) ← label(label(v)) — makes convergence
+        # logarithmic in component diameter instead of linear (path-graph case)
+        jump = stepped.select(F.col("id").alias("label"), F.col("label").alias("jlabel"))
         new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
+            stepped.join(jump, "label", "left")
+            .select("id", F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -1,0 +1,96 @@
+"""LSH candidate generation + verification tests."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lmw_tree_spark.config import SMALL
+from lmw_tree_spark.operators import lsh
+from lmw_tree_spark.operators.signature_stage import extract_signatures
+from lmw_tree_spark.sources.images import generate_images
+
+
+def _sigs(spark, n=140):
+    images = generate_images(spark, n, with_truth=True)
+    truth = {r["image_id"]: r["dup_group"] for r in images.select("image_id", "dup_group").collect()}
+    sigs = extract_signatures(images.drop("dup_group"), SMALL).persist()
+    return sigs, truth
+
+
+def test_candidates_cover_true_dup_pairs(spark):
+    sigs, truth = _sigs(spark)
+    edges = lsh.candidate_edges(sigs, SMALL).collect()
+    cand = {(r["src"], r["dst"]) for r in edges}
+    # every true dup pair must be a candidate, directly or via the bucket chain —
+    # check connectivity: union-find over candidate edges
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in cand:
+        parent[find(s)] = find(d)
+    groups = {}
+    for img, g in truth.items():
+        groups.setdefault(g, []).append(img)
+    for g, members in groups.items():
+        if len(members) > 1:
+            roots = {find(m) for m in members}
+            assert len(roots) == 1, f"dup group {g} not connected by candidates"
+
+
+def test_edges_are_ordered_and_unique(spark):
+    sigs, _ = _sigs(spark, 70)
+    edges = lsh.candidate_edges(sigs, SMALL).collect()
+    seen = set()
+    for r in edges:
+        assert r["src"] < r["dst"]
+        assert (r["src"], r["dst"]) not in seen
+        seen.add((r["src"], r["dst"]))
+
+
+def test_verify_separates_dups_from_chance_collisions(spark):
+    sigs, truth = _sigs(spark)
+    edges = lsh.candidate_edges(sigs, SMALL)
+    verified = lsh.verify_edges(edges, sigs, SMALL).collect()
+    for r in verified:
+        same_group = truth[r["src"]] == truth[r["dst"]]
+        if same_group:
+            assert r["is_dup"], f"true pair rejected: {r}"
+    # at least some candidate edges exist that verification rejects OR all
+    # candidates were true (tiny data) — just check the flag computes both ways
+    assert all(isinstance(r["is_dup"], bool) for r in verified)
+
+
+def test_bucket_cap_emits_chain_not_clique(spark):
+    # one giant bucket of identical keys: edges must be O(n), not O(n^2)
+    n = 500
+    df = spark.createDataFrame(
+        [(1, f"id{i:05d}") for i in range(n)], "bucket long, image_id string"
+    )
+    edges = lsh.edges_from_buckets(df, pair_cap=64)
+    cnt = edges.count()
+    assert cnt == n - 1  # chain only — skew-safe
+
+
+def test_small_bucket_emits_clique(spark):
+    df = spark.createDataFrame(
+        [(1, f"id{i}") for i in range(4)], "bucket long, image_id string"
+    )
+    edges = lsh.edges_from_buckets(df, pair_cap=64)
+    assert edges.count() == 6  # C(4,2), chain edges are a subset
+
+
+def test_minhash_agreement_col_matches_numpy(spark):
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 100, (10, 16)).astype(np.int64)
+    b = a.copy()
+    b[:, :8] = rng.integers(0, 100, (10, 8))
+    rows = [(a[i].tolist(), b[i].tolist()) for i in range(10)]
+    df = spark.createDataFrame(rows, "a_mh array<long>, b_mh array<long>")
+    got = df.select(lsh.minhash_agreement_col().alias("s")).collect()
+    exp = (a == b).mean(axis=1)
+    assert np.allclose([r["s"] for r in got], exp)

@@ -1,0 +1,91 @@
+"""Tree/k-means invariant tests mirroring the reference's empirical checks
+(SURVEY.md §5): RMSE non-increasing, object-count conservation, prune-empty,
+serialization roundtrip."""
+
+import numpy as np
+
+from lmw_tree_spark.operators.tree import (
+    CentroidTree,
+    accumulate_leaves,
+    descend,
+    em_iterations_numpy,
+    kmeans_bits,
+    tsvq_init,
+    update_tree,
+)
+
+
+def test_kmeans_recovers_planted_clusters(planted_signatures):
+    sigs, labels = planted_signatures
+    cents, assign = kmeans_bits(sigs, 8, 15, np.random.default_rng(42))
+    # purity: majority label per cluster
+    purity = 0
+    for c in np.unique(assign):
+        vals, counts = np.unique(labels[assign == c], return_counts=True)
+        purity += counts.max()
+    assert purity / len(labels) > 0.8
+
+
+def test_kmeans_maxiters_zero_is_assign_only(planted_signatures):
+    # reference semantics: maxIters=0 → seed + assign, no updates (KMeans.h:230-236)
+    sigs, _ = planted_signatures
+    rng = np.random.default_rng(7)
+    cents, assign = kmeans_bits(sigs, 4, 0, rng)
+    perm = np.random.default_rng(7).permutation(len(sigs))
+    assert (cents == sigs[perm[:4]]).all()  # centroids ARE the seeds
+
+
+def test_rmse_monotone_and_conservation(planted_signatures):
+    sigs, _ = planted_signatures
+    tree = tsvq_init(sigs[:100], order=3, depth=2, max_iters=1, seed=42)
+    prev = np.inf
+    for _ in range(5):
+        sums, counts, sse = accumulate_leaves(tree, sigs)
+        assert counts.sum() == len(sigs)  # object-count conservation
+        rmse = float(np.sqrt(sse.sum() / len(sigs)))
+        assert rmse <= prev + 1e-9  # RMSE non-increasing
+        prev = rmse
+        tree = update_tree(tree, sums, counts)
+        # prune-empty: every surviving node has weight
+        s2, c2, _ = accumulate_leaves(tree, sigs)
+        assert (c2 > 0).all() or c2.sum() == len(sigs)
+
+
+def test_update_prunes_empty_leaves(planted_signatures):
+    sigs, _ = planted_signatures
+    tree = tsvq_init(sigs[:50], order=4, depth=2, max_iters=0, seed=1)
+    sums, counts, sse = accumulate_leaves(tree, sigs)
+    new_tree = update_tree(tree, sums, counts)
+    assert new_tree.n_leaves == int((counts > 0).sum())
+
+
+def test_descent_distance_is_true_leaf_distance(planted_signatures):
+    from lmw_tree_spark.functions.bitops import hamming_rows
+
+    sigs, _ = planted_signatures
+    tree = em_iterations_numpy(
+        tsvq_init(sigs[:100], 3, 2, 1, seed=2), sigs, 2
+    )
+    leaf_pos, dists = descend(tree, sigs)
+    cents = tree.levels[-1].centroid[leaf_pos]
+    assert (hamming_rows(sigs, cents) == dists[:, -1]).all()
+
+
+def test_tree_rows_roundtrip(planted_signatures):
+    sigs, _ = planted_signatures
+    tree = em_iterations_numpy(tsvq_init(sigs[:80], 3, 2, 1, seed=3), sigs, 2)
+    restored = CentroidTree.from_rows(tree.to_rows(), order=3)
+    lp1, d1 = descend(tree, sigs)
+    lp2, d2 = descend(restored, sigs)
+    assert (tree.leaf_ids()[lp1] == restored.leaf_ids()[lp2]).all()
+    assert (d1 == d2).all()
+
+
+def test_tsvq_deterministic(planted_signatures):
+    sigs, _ = planted_signatures
+    t1 = tsvq_init(sigs[:100], 3, 2, 1, seed=9)
+    t2 = tsvq_init(sigs[:100], 3, 2, 1, seed=9)
+    assert all(
+        (a.centroid == b.centroid).all() and (a.node_id == b.node_id).all()
+        for a, b in zip(t1.levels, t2.levels)
+    )
