@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship dedup+cluster pipeline on the synthetic
+image+caption table (input_hint schema) at sf0.001 scale. ``queries()`` exposes the
+engine's operator inventory over the driver's parquet tables; each SQL-expressible
+query has a DuckDB oracle in ``oracle_sql()`` with identical column names/types.
+Non-SQL-expressible operators (MinHash-LSH dedup, SimHash dedup, IVF ANN, the
+EM-tree itself) are included as rows-only entries.
 """
 
 from __future__ import annotations
@@ -12,27 +13,528 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic images → signatures → LSH dedup → CC → EM-tree →
+    assignments (image_id, cluster_id, distance, dup_group)."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.plans.pipeline import run_pipeline
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 280)
+    return run_pipeline(spark, images, SMALL).assignments
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_subset_semi_join(spark, sf_dir):
+    """loadSubset semantics (reference /root/reference/src/CreateSignatures.h:69-84):
+    filter a fact table to an id subset via left-semi join."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    subset = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey"
+    )
+    return (
+        lineitem.join(F.broadcast(subset), lineitem.l_orderkey == subset.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_cluster_stats(spark, sf_dir):
+    """ClusterStats rollup shape (reference ClusterVisitor.h:25-49): per-group count
+    + RMSE."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_objects"),
+            F.round(F.sqrt(F.avg(F.col("value") * F.col("value"))), 4).alias("rmse"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_topk_dims(spark, sf_dir):
+    """dimensionHistogram + top-k (reference GeneralExperiments.h:157-201): signed
+    per-dimension weight, top 16 by |weight|."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("dim", "val"))
+    return (
+        exploded.groupBy("dim")
+        .agg(F.sum(F.signum("val")).cast("long").alias("weight"))
+        .orderBy(F.desc(F.abs(F.col("weight"))), F.asc("dim"))
+        .limit(16)
+        .select(F.col("dim").cast("int"), "weight")
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_band_self_join(spark, sf_dir):
+    """LSH-band bucket self-join shape: bucket by a band key, count pairs within
+    each bucket (src < dst)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") % 16).alias("band"), F.col("doc_id")
+    )
+    return (
+        docs.alias("a")
+        .join(docs.alias("b"), "band")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("band")
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    """Sessionize events per user: a session break is a gap > 30 min (lag window)."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    flagged = events.select(
+        "user_id",
+        (epoch - F.lag(epoch, 1).over(w) > 1800).cast("int").alias("brk"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg((F.coalesce(F.sum("brk"), F.lit(0)) + 1).cast("long").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+def q_token_count(spark, sf_dir):
+    from lmw_tree_spark.functions.text import token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_col("text").alias("n_tokens")).orderBy("doc_id")
+
+
+def q_quality_score(spark, sf_dir):
+    from lmw_tree_spark.functions.text import alpha_ratio_col, quality_score_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(alpha_ratio_col("text"), 4).alias("alpha_ratio"),
+        F.round(quality_score_col("text"), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    from lmw_tree_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs).orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    from lmw_tree_spark.functions.text import fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col("text").alias("fingerprint")).orderBy("doc_id")
+
+
+def q_exact_dedup(spark, sf_dir):
+    from lmw_tree_spark.operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs).orderBy("fingerprint")
+
+
+def q_token_jaccard(spark, sf_dir):
+    from lmw_tree_spark.operators.dedup import token_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_jaccard_pairs(
+        docs, min_jaccard=0.62, left_filter=F.col("id") % 20 == 0
+    )
+    return out.select(
+        "src", "dst", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("src", "dst")
+
+
+def q_simhash32(spark, sf_dir):
+    """32-bit token SimHash, fully JVM-side with a SQL-portable token hash
+    (md5-derived), so the whole signature is DuckDB-checkable bit-for-bit."""
+    from lmw_tree_spark.functions.text import token_hash32_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).select("doc_id", token_hash32_col(F.col("tok")).alias("h"))
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    )
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(F.expr("(shiftright(h, j) & 1) * 2 - 1")).alias("vote")
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vote") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("simhash32")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_minhash_sql(spark, sf_dir):
+    """4-permutation MinHash over distinct md5-32 token hashes — the SQL-portable
+    mini version of the engine's 128-perm MinHash kernel."""
+    from lmw_tree_spark.functions.text import token_hash32_col
+
+    PERMS = [(1299721, 11), (2750161, 97), (4256233, 193), (5800079, 389)]
+    M = 2147483647
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .select("doc_id", token_hash32_col(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    aggs = [
+        F.min((F.col("h") * a + b) % M).alias(f"mh{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def q_cosine_topk(spark, sf_dir):
+    from lmw_tree_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, k=3, query_pred=F.col("vec_id") % 50 == 0).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_centroid_assign(spark, sf_dir):
+    from lmw_tree_spark.operators.similarity import centroid_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_assign(emb, F.col("vec_id") < 8).orderBy("vec_id")
+
+
+# --- rows-only entries (non-SQL-expressible operators) ----------------------
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    from lmw_tree_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, min_sim=0.5).orderBy("src", "dst")
+
+
+def q_simhash_dedup(spark, sf_dir):
+    from lmw_tree_spark.operators.dedup import simhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup(docs, max_dist=10).orderBy("src", "dst")
+
+
+def q_ivf_ann(spark, sf_dir):
+    from lmw_tree_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        emb, k=3, n_cells=8, n_probe=3, query_pred=F.col("vec_id") % 50 == 0
+    ).orderBy("query_id", "rank")
+
+
+def q_emtree_images(spark, sf_dir):
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign, em_tree_fit
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
+
+    n = min(n_images_for_sf_dir(sf_dir), 2100)
+    sigs = extract_signatures(generate_images(spark, n), SMALL)
+    fit = em_tree_fit(sigs, SMALL)
+    return assign(sigs, fit.tree).orderBy("image_id")
+
+
+def q_dedup_images(spark, sf_dir):
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.lsh import candidate_edges, verify_edges
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
+
+    n = min(n_images_for_sf_dir(sf_dir), 2100)
+    sigs = extract_signatures(generate_images(spark, n), SMALL).persist()
+    verified = verify_edges(candidate_edges(sigs, SMALL), sigs, SMALL).where("is_dup")
+    return connected_components(verified, vertices=sigs).orderBy("image_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "subset_semi_join": q_subset_semi_join,
+        "cluster_stats_rollup": q_cluster_stats,
+        "topk_dims": q_topk_dims,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "events_hourly": q_events_hourly,
+        "band_self_join": q_band_self_join,
+        "user_sessions": q_user_sessions,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "token_jaccard": q_token_jaccard,
+        "simhash32": q_simhash32,
+        "minhash_sql": q_minhash_sql,
+        "cosine_topk": q_cosine_topk,
+        "centroid_assign": q_centroid_assign,
+        # rows-only (non-SQL-expressible)
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "ivf_ann": q_ivf_ann,
+        "emtree_images": q_emtree_images,
+        "dedup_images": q_dedup_images,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = {
+        "en": ("the", "a", "of", "and", "to", "value", "table", "row"),
+        "es": ("el", "la", "de", "y", "que", "los", "por", "con"),
+        "de": ("der", "die", "das", "und", "zu", "mit", "von", "ist"),
+        "fr": ("le", "la", "les", "et", "de", "des", "une", "est"),
+    }
+
+    def stop_score(lang):
+        lst = ", ".join(f"'{w}'" for w in stop[lang])
+        return (
+            f"(SELECT count(*) FROM unnest(string_split(lower(d.text), ' ')) AS u(tok) "
+            f"WHERE tok IN ({lst}))::BIGINT"
+        )
+
+    lang_scores = ", ".join(f"{stop_score(c)} AS score_{c}" for c in sorted(stop))
+    greatest = "greatest(" + ", ".join(f"score_{c}" for c in sorted(stop)) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{c} = {greatest} THEN '{c}'" for c in sorted(stop)
+    ) + " END"
+
+    return {
+        "subset_semi_join": """
+            SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0)
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "cluster_stats_rollup": """
+            SELECT event_type, count(*)::BIGINT AS n_objects,
+                   round(sqrt(avg(value * value)), 4) AS rmse
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "topk_dims": """
+            WITH exploded AS (
+                SELECT (generate_subscripts(embedding, 1) - 1)::INT AS dim,
+                       unnest(embedding) AS val
+                FROM embeddings)
+            SELECT dim, sum(sign(val))::BIGINT AS weight
+            FROM exploded
+            GROUP BY dim ORDER BY abs(sum(sign(val))) DESC, dim ASC LIMIT 16
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "band_self_join": """
+            SELECT a.band, count(*)::BIGINT AS n_pairs
+            FROM (SELECT n_chars % 16 AS band, doc_id FROM documents) a
+            JOIN (SELECT n_chars % 16 AS band, doc_id FROM documents) b USING (band)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.band ORDER BY a.band
+        """,
+        "user_sessions": """
+            SELECT user_id,
+                   (coalesce(sum(brk), 0) + 1)::BIGINT AS n_sessions
+            FROM (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ) GROUP BY user_id ORDER BY user_id
+        """,
+        "token_count": """
+            SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_score": """
+            WITH q AS (
+                SELECT doc_id,
+                       length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE
+                           / length(text) AS ar,
+                       len(string_split(lower(text), ' ')) AS n,
+                       (length(text) - (len(string_split(lower(text), ' ')) - 1))::DOUBLE
+                           / len(string_split(lower(text), ' ')) AS mtl
+                FROM documents)
+            SELECT doc_id, round(ar, 4) AS alpha_ratio,
+                   round(ar * 0.5
+                         + (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.0 END) * 0.25
+                         + least(n / 20.0, 1.0) * 0.25, 4) AS quality
+            FROM q ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            SELECT doc_id, {', '.join(f'score_{c}' for c in sorted(stop))},
+                   {pred} AS pred_lang
+            FROM (SELECT doc_id, {lang_scores} FROM documents d)
+            ORDER BY doc_id
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                           ' +', ' ', 'g'))) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "exact_dedup": """
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                           ' +', ' ', 'g'))) AS fingerprint,
+                   count(*)::BIGINT AS group_size, min(doc_id) AS canonical_id
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "token_jaccard": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id AS id, tok
+                FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)),
+            sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+            inter AS (
+                SELECT a.id AS src, b.id AS dst, count(*) AS inter
+                FROM toks a JOIN toks b USING (tok)
+                WHERE a.id < b.id AND a.id % 20 = 0
+                GROUP BY a.id, b.id)
+            SELECT src, dst,
+                   round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.id = src JOIN sizes sb ON sb.id = dst
+            WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.62
+            ORDER BY src, dst
+        """,
+        "simhash32": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)),
+            votes AS (
+                SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS vote
+                FROM toks, range(32) AS r(j) GROUP BY doc_id, j)
+            SELECT doc_id,
+                   sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash32
+            FROM votes GROUP BY doc_id ORDER BY doc_id
+        """,
+        "minhash_sql": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok))
+            SELECT doc_id,
+                   min((h * 1299721 + 11) % 2147483647) AS mh0,
+                   min((h * 2750161 + 97) % 2147483647) AS mh1,
+                   min((h * 4256233 + 193) % 2147483647) AS mh2,
+                   min((h * 5800079 + 389) % 2147483647) AS mh3
+            FROM toks GROUP BY doc_id ORDER BY doc_id
+        """,
+        "cosine_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                    b.embedding::DOUBLE[]), 4) AS cosine_sim
+                FROM embeddings q JOIN embeddings b ON q.vec_id != b.vec_id
+                WHERE q.vec_id % 50 = 0),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "centroid_assign": """
+            WITH scored AS (
+                SELECT v.vec_id, c.vec_id AS cluster,
+                       round(list_distance(v.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS dist
+                FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist ASC, cluster ASC) AS rn
+                FROM scored)
+            SELECT vec_id, cluster, dist FROM ranked WHERE rn = 1 ORDER BY vec_id
+        """,
+    }

@@ -1,0 +1,103 @@
+"""Text-analysis column functions for the training-data pipeline: token counting,
+quality scoring, language-ID scoring, document fingerprinting.
+
+All are pure ``pyspark.sql.functions`` compositions (JVM-side, whole-stage codegen —
+no Python in the hot path) with exact ANSI-SQL equivalents so every one is
+DuckDB-oracle-checkable. Tokenization convention everywhere: split on single spaces
+(the corpus is single-space separated); lowercase before matching.
+
+The reference's only string ops are lowercase/trim/tag-extraction in its indexer
+(/root/reference/src/indexer/TitleExtractor.cpp:20-47, UnparsedFile.h:75-79); these
+operators extend that surface to what a 100 TB text/caption pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists per language. The heuristic is intentionally
+# simple (count stopword hits per language, argmax with lexicographic tie-break) —
+# the point is a deterministic, oracle-checkable n-gram/stopword scorer, not a
+# production language model.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "value", "table", "row"),
+    "es": ("el", "la", "de", "y", "que", "los", "por", "con"),
+    "de": ("der", "die", "das", "und", "zu", "mit", "von", "ist"),
+    "fr": ("le", "la", "les", "et", "de", "des", "une", "est"),
+}
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), " ")
+
+
+def token_count_col(text: str | Column = "text") -> Column:
+    """Whitespace token count (matches DuckDB len(string_split(lower(text),' '')))."""
+    return F.size(tokens_col(text)).cast("long")
+
+
+def alpha_ratio_col(text: str | Column = "text") -> Column:
+    """Fraction of characters that are lowercase letters or spaces."""
+    c = F.col(text) if isinstance(text, str) else text
+    clean = F.length(F.regexp_replace(F.lower(c), "[^a-z ]", ""))
+    return (clean.cast("double") / F.length(c)).alias("alpha_ratio")
+
+
+def mean_token_len_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count_col(c)
+    # total chars minus separators, averaged over tokens
+    return (F.length(c) - (n - F.lit(1))).cast("double") / n
+
+
+def stopword_hits_col(lang: str, text: str | Column = "text") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = tokens_col(text)
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(toks, lambda t: t.isin(*words))
+    ).cast("long")
+
+
+def quality_score_col(text: str | Column = "text") -> Column:
+    """Deterministic quality score in [0,1]: blend of alpha ratio, token-length
+    sanity (mean token length in [3,10]) and length saturation (≥ 20 tokens)."""
+    n = token_count_col(text)
+    mtl = mean_token_len_col(text)
+    len_ok = F.when((mtl >= 3) & (mtl <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
+    sat = F.least(n.cast("double") / F.lit(20.0), F.lit(1.0))
+    return (alpha_ratio_col(text) * 0.5 + len_ok * 0.25 + sat * 0.25).cast("double")
+
+
+def fingerprint_col(text: str | Column = "text") -> Column:
+    """Document fingerprint: md5 of the lowercased, punctuation-stripped,
+    whitespace-collapsed text (content-defined identity for exact dedup)."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    return F.md5(norm)
+
+
+def token_hash32_col(tok: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5, as BIGINT — identical
+    in Spark (conv) and DuckDB (CAST('0x'||… AS BIGINT)), used wherever signature
+    bits must be oracle-checkable in pure SQL."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def lang_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc stopword-hit scores for each language + argmax prediction.
+
+    Deterministic tie-break: highest score wins, ties to lexicographically first
+    language code.
+    """
+    scored = df.select(
+        id_col, *[stopword_hits_col(lang).alias(f"score_{lang}") for lang in sorted(STOPWORDS)]
+    )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{code}") for code in langs])
+    pred = F.lit(None).cast("string")
+    for code in reversed(langs):
+        pred = F.when(F.col(f"score_{code}") == best, F.lit(code)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)

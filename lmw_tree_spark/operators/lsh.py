@@ -126,10 +126,19 @@ def edges_from_buckets(buckets: DataFrame, pair_cap: int) -> DataFrame:
 
     Chain edges give O(n)-per-bucket connectivity regardless of skew; clique edges
     (bucket size ≤ pair_cap) add direct pairs for verification recall.
+
+    Singleton buckets (the vast majority) are dropped by an aggregate+join BEFORE
+    any window sort, so the expensive per-bucket ordering only touches colliding
+    rows. Producers guarantee (bucket, image_id) uniqueness, so no global
+    dedup pass is needed here.
     """
-    buckets = buckets.dropDuplicates(["bucket", "image_id"])
+    multi = (
+        buckets.groupBy("bucket")
+        .agg(F.count("*").alias("bsize"))
+        .where(F.col("bsize") >= 2)
+    )
+    sized = buckets.join(multi, "bucket")
     w = Window.partitionBy("bucket").orderBy("image_id")
-    sized = buckets.withColumn("bsize", F.count("*").over(Window.partitionBy("bucket")))
 
     chain = (
         sized.withColumn("nxt", F.lead("image_id").over(w))
@@ -153,7 +162,7 @@ def candidate_edges(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
         minhash_buckets(sigs, cfg)
         .unionByName(hamming64_buckets(sigs, "phash", cfg.phash_bands, namespace=1))
         .unionByName(hamming64_buckets(sigs, "simhash", cfg.phash_bands, namespace=2))
-        .unionByName(lgram_buckets(sigs, cfg))
+        .unionByName(lgram_buckets(sigs, cfg, sample_mod=cfg.gram_sample_mod))
     )
     return edges_from_buckets(buckets, cfg.bucket_pair_cap)
 
@@ -176,17 +185,18 @@ def verify_edges(edges: DataFrame, sigs: DataFrame, cfg: PipelineConfig) -> Data
 
     Output: (src, dst, phash_dist, simhash_dist, caption_sim, is_dup).
     """
+    mh_prefix = F.slice("minhash", 1, cfg.verify_minhash_prefix)
     a = sigs.select(
         F.col("image_id").alias("src"),
         F.col("phash").alias("a_ph"),
         F.col("simhash").alias("a_sh"),
-        F.col("minhash").alias("a_mh"),
+        mh_prefix.alias("a_mh"),
     )
     b = sigs.select(
         F.col("image_id").alias("dst"),
         F.col("phash").alias("b_ph"),
         F.col("simhash").alias("b_sh"),
-        F.col("minhash").alias("b_mh"),
+        mh_prefix.alias("b_mh"),
     )
     joined = edges.join(a, "src").join(b, "dst")
     scored = joined.select(

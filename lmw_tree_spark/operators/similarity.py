@@ -1,0 +1,231 @@
+"""Similarity search over an embedding column (array<float>): brute-force cosine
+top-k as the exact baseline, and an IVF-bucketed approximate variant as the scale
+path (coarse-quantize → probe nearest cells only).
+
+Design for 10^12 rows: brute force is the verification oracle (restricted query
+sets); IVF turns the cross join into a cell-equi-join — candidates shrink by
+n_cells/n_probe, the classic inverted-file ANN trade (Jégou et al., PAMI 2011).
+All distance math on the data side runs vectorized inside Arrow batches or as
+JVM ``zip_with``/``aggregate`` expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_sim_col(a: str, b: str):
+    """Cosine similarity between two array<double> columns (JVM-side)."""
+    return (_dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))).cast("double")
+
+
+def cosine_topk(
+    df: DataFrame,
+    k: int = 3,
+    query_pred=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact brute-force cosine top-k neighbors for each query row.
+
+    ``query_pred`` restricts the query side (e.g. ``F.col('vec_id') % 50 == 0``) —
+    the data side is never restricted. Ties break on neighbor id ascending, so
+    results are deterministic. Output (query_id, neighbor_id, cosine_sim, rank).
+    """
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("b_vec"),
+    )
+    queries = df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("a_vec"),
+    )
+    if query_pred is not None:
+        queries = queries.where(query_pred)
+    sim = cosine_sim_col("a_vec", "b_vec")
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(base)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int"))
+    )
+
+
+IVF_ASSIGN_SCHEMA = "vec_id long, cell int"
+
+
+def ivf_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantization: assign each vector to its nearest (L2) centroid cell —
+    vectorized argmin over the broadcast centroid matrix."""
+    cmat = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "cell": d.argmin(axis=1).astype(np.int32)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, IVF_ASSIGN_SCHEMA)
+
+
+def train_ivf_centroids(
+    df: DataFrame, n_cells: int, sample: int = 2048, iters: int = 5, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Driver-side mini k-means on a deterministic sample → (n_cells, D) centroids."""
+    rows = (
+        df.select(vec_col, F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"))
+        .orderBy("h")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.permutation(len(x))[:n_cells]].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(n_cells):
+            m = x[a == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    return cents
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_pred=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: IVF coarse quantization + multi-probe.
+
+    Each query joins only rows in its ``n_probe`` nearest cells (cell-equi-join, no
+    cross join). Output schema matches ``cosine_topk``.
+    """
+    cents = train_ivf_centroids(df, n_cells, seed=seed, id_col=id_col, vec_col=vec_col)
+    cells = ivf_cells(df, cents, id_col, vec_col).withColumnRenamed("vec_id", "_cell_id")
+    base = df.join(cells, df[id_col] == F.col("_cell_id")).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("b_vec"),
+        "cell",
+    )
+
+    # query → its n_probe nearest cells
+    cmat = np.ascontiguousarray(cents, dtype=np.float64)
+    nprobe = n_probe
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            top = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {"query_id": np.repeat(ids, nprobe), "cell": top.ravel()}
+            )
+
+    queries = df if query_pred is None else df.where(query_pred)
+    q_cells = queries.select(id_col, vec_col).mapInPandas(
+        probes, "query_id long, cell int"
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("a_vec"),
+    )
+    cand = (
+        q_cells.join(base, "cell")
+        .join(F.broadcast(q_vecs), "query_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim_col("a_vec", "b_vec"), 4).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int"))
+    )
+
+
+def centroid_assign(
+    df: DataFrame,
+    centroid_pred,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """One k-means assignment step with a deterministic centroid subset
+    (``centroid_pred`` selects centroid rows, e.g. vec_id < 10): each vector →
+    nearest centroid by L2. Output (vec_id, cluster, dist). Fully JVM-side
+    (broadcast + min_by), SQL-expressible for the oracle."""
+    cents = df.where(centroid_pred).select(
+        F.col(id_col).alias("cluster"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v_vec", "c_vec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v_vec"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cluster", F.round(dist, round_digits).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", "cluster", "dist")
+    )

@@ -122,40 +122,35 @@ def descend(tree: CentroidTree, sigs: np.ndarray) -> tuple[np.ndarray, np.ndarra
     cur = np.zeros(n, dtype=np.int64)  # index into current level's nodes
     dists = np.empty((n, tree.depth), dtype=np.int64)
     for li, lv in enumerate(tree.levels):
-        c = len(lv.node_id)
         if li == 0:
             idx, d = hamming_argmin(sigs, lv.centroid)
             cur, dists[:, 0] = idx, d
             continue
-        if c <= 512:
-            # masked full scan — one big vectorized cdist
-            dmat = hamming_cdist(sigs, lv.centroid)
-            invalid = lv.parent_idx[None, :] != cur[:, None]
-            dmat[invalid] = np.iinfo(np.int64).max
-            idx = dmat.argmin(axis=1)
-            cur, dists[:, li] = idx, dmat[np.arange(n), idx]
-        else:
-            new_cur = np.empty(n, dtype=np.int64)
-            new_d = np.empty(n, dtype=np.int64)
-            order = np.argsort(cur, kind="stable")
-            sorted_cur = cur[order]
-            bounds = np.searchsorted(sorted_cur, np.arange(len(tree.levels[li - 1].node_id) + 1))
-            # children grouped by parent once per level
-            child_order = np.argsort(lv.parent_idx, kind="stable")
-            child_bounds = np.searchsorted(
-                lv.parent_idx[child_order], np.arange(len(tree.levels[li - 1].node_id) + 1)
-            )
-            for p in np.unique(sorted_cur):
-                rows = order[bounds[p] : bounds[p + 1]]
-                kids = child_order[child_bounds[p] : child_bounds[p + 1]]
-                if len(kids) == 0:
-                    # parent lost all children to pruning — keep previous assignment
-                    new_cur[rows], new_d[rows] = -1, np.iinfo(np.int64).max
-                    continue
-                local_idx, local_d = hamming_argmin(sigs[rows], lv.centroid[kids])
-                new_cur[rows] = kids[local_idx]
-                new_d[rows] = local_d
-            cur, dists[:, li] = new_cur, new_d
+        # rows grouped by current parent; each group scans ONLY that parent's
+        # children (order m, not the whole level) — this is the tree's speedup
+        # over flat k-means and the direct analogue of the reference's
+        # nearest-child pointer descent.
+        new_cur = np.empty(n, dtype=np.int64)
+        new_d = np.empty(n, dtype=np.int64)
+        n_parents = len(tree.levels[li - 1].node_id)
+        order = np.argsort(cur, kind="stable")
+        sorted_cur = cur[order]
+        bounds = np.searchsorted(sorted_cur, np.arange(n_parents + 1))
+        child_order = np.argsort(lv.parent_idx, kind="stable")
+        child_bounds = np.searchsorted(
+            lv.parent_idx[child_order], np.arange(n_parents + 1)
+        )
+        for p in np.unique(sorted_cur):
+            rows = order[bounds[p] : bounds[p + 1]]
+            kids = child_order[child_bounds[p] : child_bounds[p + 1]]
+            if len(kids) == 0:
+                # parent lost all children to pruning — sentinel, caller prunes
+                new_cur[rows], new_d[rows] = -1, np.iinfo(np.int64).max
+                continue
+            local_idx, local_d = hamming_argmin(sigs[rows], lv.centroid[kids])
+            new_cur[rows] = kids[local_idx]
+            new_d[rows] = local_d
+        cur, dists[:, li] = new_cur, new_d
     return cur, dists
 
 
