@@ -260,6 +260,20 @@ def q_minhash_sql(spark, sf_dir):
     return toks.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
+def q_suffix_pairs(spark, sf_dir):
+    """Suffix-array substring pass (winnow → per-group SA+LCP, exact): doc pairs
+    sharing a common substring of length ≥ 20 in lowercased text. Oracle: two docs
+    share a substring of length ≥ L iff they share an L-gram (gram equi-join)."""
+    from lmw_tree_spark.operators.suffix import substring_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        substring_pairs(docs, "doc_id", "text", min_len=20)
+        .select("src", "dst")
+        .orderBy("src", "dst")
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     from lmw_tree_spark.operators.similarity import cosine_topk
 
@@ -345,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard": q_token_jaccard,
         "simhash32": q_simhash32,
         "minhash_sql": q_minhash_sql,
+        "suffix_pairs": q_suffix_pairs,
         "cosine_topk": q_cosine_topk,
         "centroid_assign": q_centroid_assign,
         # rows-only (non-SQL-expressible)
@@ -511,6 +526,17 @@ def oracle_sql() -> dict[str, str]:
                    min((h * 4256233 + 193) % 2147483647) AS mh2,
                    min((h * 5800079 + 389) % 2147483647) AS mh3
             FROM toks GROUP BY doc_id ORDER BY doc_id
+        """,
+        "suffix_pairs": """
+            WITH grams AS (
+                SELECT DISTINCT doc_id, substr(lower(text), i, 20) AS g
+                FROM documents,
+                     LATERAL (SELECT unnest(range(1, length(text) - 20 + 2)) AS i) r
+                WHERE length(text) >= 20)
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM grams a JOIN grams b USING (g)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "cosine_topk": """
             WITH scored AS (

@@ -28,9 +28,8 @@ class PipelineConfig:
     phash_bands: int = 4          # 64-bit Hamming pigeonhole slices (tolerates 3 flips)
     bucket_pair_cap: int = 64     # buckets larger than this emit star edges only
     salt_buckets: int = 8         # salt factor when repartitioning skewed band keys
-    gram_sample_mod: int = 4      # L-gram winnowing: keep grams with hash % mod == 0
-                                  # (1 = exact substring guarantee; >1 = probabilistic,
-                                  # expected gram gap = mod, still dense for captions)
+    # (substring buckets use winnowing with window = substring_len - shingle_k + 1:
+    #  exact share-substring(≥L) ⇒ share-fingerprint guarantee at ~2/(w+1) density)
     verify_minhash_prefix: int = 32  # minhash values used for pair verification
                                      # (32 samples → Jaccard est ±~0.08; full width
                                      # is carried only to the band hasher)

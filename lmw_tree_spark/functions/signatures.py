@@ -61,7 +61,10 @@ def char_shingle_hashes(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, np.nd
     single sentinel shingle (hash of the whole padded text) so every row has ≥1.
     Vectorized: k shifted multiply-adds over the byte matrix, no per-row loop.
     """
-    encoded = [t.encode("utf-8") if isinstance(t, str) else b"" for t in texts]
+    encoded = [
+        t if isinstance(t, bytes) else (t.encode("utf-8") if isinstance(t, str) else b"")
+        for t in texts
+    ]
     n = len(encoded)
     lens = np.array([max(len(e), k) for e in encoded], dtype=np.int64)
     lmax = int(lens.max()) if n else k

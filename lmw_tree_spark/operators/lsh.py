@@ -7,9 +7,9 @@ exhaustively; candidate generation is the scale path that makes 10^12 rows feasi
    - MinHash band keys over caption shingles (b bands x r rows, Broder/LSH standard),
    - pigeonhole bit-slices of ``phash`` and pixel ``simhash`` (Manku et al. WWW'07 —
      4 slices of 16 bits ⇒ any pair within Hamming distance 3 shares a slice),
-   - caption L-gram rolling hashes — the *substring pass*: two captions share a
-     common substring of length ≥ L iff they share an L-gram, so an equi-join on
-     L-gram hash is the scalable equivalent of a suffix-array substring scan.
+   - winnowed caption shingle fingerprints — the grouping stage of the substring
+     pass: share-substring(≥L) ⇒ share-fingerprint, guaranteed (Schleimer et al.
+     winnowing; exact per-group suffix-array verification in operators/suffix.py).
 2. **Edges from buckets — all JVM-side, no Python:**
    - *chain edges*: within each bucket, sort by id and link consecutive ids
      (``lead`` window). O(n) edges per bucket, preserves connectivity for the
@@ -89,33 +89,41 @@ def hamming64_buckets(
     return sigs.select("image_id", col).mapInPandas(run, BUCKET_SCHEMA)
 
 
-def lgram_buckets(sigs: DataFrame, cfg: PipelineConfig, sample_mod: int = 1) -> DataFrame:
-    """Caption L-gram buckets (the substring pass). ``sample_mod`` > 1 winnows grams
-    (keep hash % mod == 0) to bound key volume at extreme scale."""
-    L = cfg.substring_len
+def lgram_buckets(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Caption substring buckets via winnowed shingle fingerprints.
+
+    Winnowing (Schleimer et al. SIGMOD'03; kernel in functions/suffix.py): from the
+    k-char rolling-hash stream, keep the minimum of every window of
+    w = substring_len - k + 1 grams. Two captions sharing a common substring of
+    length ≥ substring_len are GUARANTEED to share a fingerprint (the substring
+    contains a full window), at ~2/(w+1) of the key volume of emitting every gram —
+    this is the scalable grouping stage of the suffix-array substring pass
+    (operators/suffix.py runs the exact per-group SA verification; in the image
+    pipeline the verified-pair stage plays that role)."""
+    from lmw_tree_spark.functions.suffix import winnow_select
+
+    k = cfg.shingle_k
+    window = cfg.substring_len - k + 1
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            hashes, mask = char_shingle_hashes(pdf["caption"], L)
+            norm = pd.Series(
+                [str(t).lower().encode("utf-8") for t in pdf["caption"]]
+            )
+            hashes, mask = char_shingle_hashes(norm, k)
+            selected = winnow_select(hashes, mask, window)
             ids = pdf["image_id"].to_numpy()
-            out_keys, out_ids = [], []
-            for i in range(len(pdf)):
-                hs = np.unique(hashes[i][mask[i]])
-                if sample_mod > 1:
-                    hs = hs[hs % np.uint64(sample_mod) == 0]
-                out_keys.append(hs)
-                out_ids.append(np.repeat(ids[i], len(hs)))
-            keys = np.concatenate(out_keys) if out_keys else np.empty(0, dtype=np.uint64)
+            counts = [len(s) for s in selected]
+            keys = (
+                np.concatenate(selected)
+                if selected
+                else np.empty(0, dtype=np.uint64)
+            )
             keys = (keys ^ np.uint64((5 * 0x9E3779B97F4A7C15) % (1 << 64))).view(np.int64)
             yield pd.DataFrame(
-                {
-                    "bucket": keys,
-                    "image_id": np.concatenate(out_ids)
-                    if out_ids
-                    else np.empty(0, dtype=object),
-                }
+                {"bucket": keys, "image_id": np.repeat(ids, counts)}
             )
 
     return sigs.select("image_id", "caption").mapInPandas(run, BUCKET_SCHEMA)
@@ -162,7 +170,7 @@ def candidate_edges(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
         minhash_buckets(sigs, cfg)
         .unionByName(hamming64_buckets(sigs, "phash", cfg.phash_bands, namespace=1))
         .unionByName(hamming64_buckets(sigs, "simhash", cfg.phash_bands, namespace=2))
-        .unionByName(lgram_buckets(sigs, cfg, sample_mod=cfg.gram_sample_mod))
+        .unionByName(lgram_buckets(sigs, cfg))
     )
     return edges_from_buckets(buckets, cfg.bucket_pair_cap)
 
