@@ -21,12 +21,17 @@ class PipelineConfig:
     minhash_perms: int = 128      # MinHash permutations over caption shingles
     minhash_seed: int = 42
     shingle_k: int = 5            # char-shingle width for captions
-    substring_len: int = 12       # L for the common-substring (suffix/L-gram) pass
+    substring_len: int = 16       # L for the common-substring (suffix-array) pass —
+                                  # short enough to catch one-token caption edits,
+                                  # long enough that stock phrases don't bucket
+                                  # unrelated captions together
 
     # LSH candidate generation
     lsh_bands: int = 32           # MinHash bands (rows = perms // bands)
     phash_bands: int = 4          # 64-bit Hamming pigeonhole slices (tolerates 3 flips)
-    bucket_pair_cap: int = 64     # buckets larger than this emit star edges only
+    bucket_pair_cap: int = 24     # buckets larger than this emit chain edges only
+                                  # (chain keeps connectivity; cap bounds clique
+                                  # pair volume at cap*(cap-1)/2 per bucket)
     salt_buckets: int = 8         # salt factor when repartitioning skewed band keys
     # (substring buckets use winnowing with window = substring_len - shingle_k + 1:
     #  exact share-substring(≥L) ⇒ share-fingerprint guarantee at ~2/(w+1) density)

@@ -48,7 +48,7 @@ from lmw_tree_spark.operators.tree import (
     update_tree,
 )
 
-ACC_SCHEMA = "leaf_pos long, cnt long, sse double, bit_sums array<long>"
+ACC_SCHEMA = "payload binary"
 ASSIGN_SCHEMA = "image_id string, level int, cluster_id long, distance double"
 LEAF_ASSIGN_SCHEMA = "image_id string, cluster_id long, distance double"
 
@@ -78,48 +78,65 @@ def sample_signatures(sigs: DataFrame, n: int, seed: int) -> np.ndarray:
 def _accumulate_pass(sigs: DataFrame, tree_bc) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One distributed insert pass → (bit_sums (L,B), counts (L,), sse (L,))."""
 
+    import pickle
+    import zlib
+
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Accumulate across the WHOLE partition, yield ONE compact binary blob —
+        the Spark analogue of the reference's per-thread accumulators merged at
+        pass end (StreamingEMTree.h:221-237). Transfer volume is
+        O(partitions x touched_leaves x bits), independent of row count: counts
+        travel at the narrowest safe width (uint16 when the partition holds
+        < 65536 rows) and zlib(1)-compressed — per-leaf bit counts are small
+        integers, so the high bytes are near-zero and compress 4-8x."""
         tree: CentroidTree = tree_bc.value
+        total_sums = total_counts = total_sse = None
+        n_rows = 0
         for pdf in batches:
             if not len(pdf):
                 continue
             s = longs_to_u64(pdf["sig"])
+            n_rows += len(s)
             sums, counts, sse = accumulate_leaves(tree, s)
-            touched = np.where(counts > 0)[0]
-            yield pd.DataFrame(
-                {
-                    "leaf_pos": touched,
-                    "cnt": counts[touched],
-                    "sse": sse[touched],
-                    "bit_sums": list(sums[touched]),
-                }
-            )
-
-    partials = sigs.select("sig").mapInPandas(partial, ACC_SCHEMA)
-
-    def combine(key, pdfs):
-        sums = np.sum(np.stack([np.asarray(x, dtype=np.int64) for x in pdfs["bit_sums"]]), axis=0)
-        return pd.DataFrame(
-            {
-                "leaf_pos": [key[0]],
-                "cnt": [int(pdfs["cnt"].sum())],
-                "sse": [float(pdfs["sse"].sum())],
-                "bit_sums": [sums],
-            }
+            if total_sums is None:
+                total_sums, total_counts, total_sse = sums, counts, sse
+            else:
+                total_sums += sums
+                total_counts += counts
+                total_sse += sse
+        if total_sums is None:
+            return
+        touched = np.where(total_counts > 0)[0]
+        dtype = np.uint16 if n_rows < (1 << 16) else np.uint32
+        payload = zlib.compress(
+            pickle.dumps(
+                (
+                    touched.astype(np.int32),
+                    total_counts[touched],
+                    total_sse[touched],
+                    total_sums[touched].astype(dtype),
+                ),
+                protocol=4,
+            ),
+            1,
         )
+        yield pd.DataFrame({"payload": [payload]})
 
-    combined = partials.groupBy("leaf_pos").applyInPandas(combine, ACC_SCHEMA).collect()
+    # Arrow-path toPandas (not py4j collect) — the blobs come back at IPC speed.
+    # At extreme partition counts this becomes a treeAggregate over the same
+    # blobs; at ≤ O(10^3) partitions the direct gather is cheaper.
+    pdf = sigs.select("sig").mapInPandas(partial, ACC_SCHEMA).toPandas()
 
     tree: CentroidTree = tree_bc.value
     n_leaves, n_bits = tree.n_leaves, tree.levels[-1].centroid.shape[1] * 64
     sums = np.zeros((n_leaves, n_bits), dtype=np.int64)
     counts = np.zeros(n_leaves, dtype=np.int64)
     sse = np.zeros(n_leaves, dtype=np.float64)
-    for r in combined:
-        p = int(r["leaf_pos"])
-        sums[p] = np.asarray(r["bit_sums"], dtype=np.int64)
-        counts[p] = r["cnt"]
-        sse[p] = r["sse"]
+    for blob in pdf["payload"]:
+        touched, cnt, ss, bsums = pickle.loads(zlib.decompress(blob))
+        sums[touched] += bsums.astype(np.int64)
+        counts[touched] += cnt
+        sse[touched] += ss
     return sums, counts, sse
 
 

@@ -34,6 +34,7 @@ from lmw_tree_spark.functions.bitops import (
     hamming_argmin,
     hamming_cdist,
     majority_from_counts,
+    pack_bits,
     unpack_bits,
 )
 
@@ -82,6 +83,12 @@ class CentroidTree:
                 )
         return rows
 
+    def __getstate__(self):
+        # derived descent tensors (_pads) never travel — rebuilt per executor
+        d = dict(self.__dict__)
+        d.pop("_pads", None)
+        return d
+
     @staticmethod
     def from_rows(rows, order: int) -> "CentroidTree":
         """Inverse of to_rows (checkpoint restore)."""
@@ -110,47 +117,114 @@ class CentroidTree:
 # ---------------------------------------------------------------------------
 
 
-def descend(tree: CentroidTree, sigs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _level_pads(tree: CentroidTree) -> list:
+    """Per-level structures for BLAS descent, cached ON the tree instance (each
+    broadcast deserializes one tree object per executor, so the build cost is
+    paid once per executor per iteration; the cache never pickles —
+    CentroidTree.__getstate__ strips it):
+
+    [0]: level-0 centroids unpacked to ±1 float32, (C0, B)
+    [li≥1]: (kids_pm per parent: list of (m_p, B) float32 ±1 matrices,
+             kid_idx per parent: list of (m_p,) int64 global child indices)
+    """
+    cached = tree.__dict__.get("_pads")
+    if cached is not None:
+        return cached
+
+    def pm(packed: np.ndarray) -> np.ndarray:
+        return unpack_bits(packed).astype(np.float32) * 2.0 - 1.0
+
+    pads: list = [pm(tree.levels[0].centroid)]
+    for li in range(1, tree.depth):
+        lv = tree.levels[li]
+        n_parents = len(tree.levels[li - 1].node_id)
+        order = np.argsort(lv.parent_idx, kind="stable")
+        bounds = np.searchsorted(lv.parent_idx[order], np.arange(n_parents + 1))
+        level_pm = pm(lv.centroid)
+        kids_pm = [
+            level_pm[order[bounds[p] : bounds[p + 1]]] for p in range(n_parents)
+        ]
+        kid_idx = [order[bounds[p] : bounds[p + 1]] for p in range(n_parents)]
+        pads.append((kids_pm, kid_idx))
+    tree.__dict__["_pads"] = pads
+    return pads
+
+
+def _pm_from_bits(bits_u8: np.ndarray) -> np.ndarray:
+    pm = bits_u8.astype(np.float32)
+    pm *= 2.0
+    pm -= 1.0
+    return pm
+
+
+def descend(
+    tree: CentroidTree, sigs: np.ndarray, row_chunk: int = 4096
+) -> tuple[np.ndarray, np.ndarray]:
     """Assign each row to a leaf by nearest-child descent.
 
     Returns (leaf_pos (N,) int64 index into the leaf level, per_level_dist
-    (N, depth) int64). Vectorized per level: rows are grouped by their current
-    parent and distance-scanned against only that parent's children (the tree's
-    log-speedup); a masked full scan fast-path handles small levels.
+    (N, depth) int64). Distances run on BLAS: with ±1-unpacked bits,
+    ``hamming(a, b) = (B - a·b) / 2`` exactly (dot products ≤ 4096 are exact in
+    float32), so level 0 is one GEMM against all roots and each deeper level is a
+    per-parent-group GEMM against that parent's ≤ m children — the reference's
+    nearest-child pointer descent (Optimizer.h:91-104) as batched matmuls.
+    First-wins argmin tie-breaking matches the reference's sequential scan.
+    Rows are chunked so the unpacked (chunk, B) temporary stays allocator-hot
+    (fresh large pages on this class of machine fault at ~100 MB/s; reused
+    chunk-sized buffers run at memory speed).
     """
     n = sigs.shape[0]
-    cur = np.zeros(n, dtype=np.int64)  # index into current level's nodes
+    if n > row_chunk:
+        parts = [
+            descend(tree, sigs[lo : lo + row_chunk], row_chunk)
+            for lo in range(0, n, row_chunk)
+        ]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+    return _descend_from_pm(tree, _pm_from_bits(unpack_bits(sigs)))
+
+
+def _descend_from_pm(
+    tree: CentroidTree, bits_pm: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Descent core over ±1 float32 rows (see ``descend``)."""
+    n = bits_pm.shape[0]
+    pads = _level_pads(tree)
+    b = np.float32(bits_pm.shape[1])
     dists = np.empty((n, tree.depth), dtype=np.int64)
-    for li, lv in enumerate(tree.levels):
-        if li == 0:
-            idx, d = hamming_argmin(sigs, lv.centroid)
-            cur, dists[:, 0] = idx, d
-            continue
-        # rows grouped by current parent; each group scans ONLY that parent's
-        # children (order m, not the whole level) — this is the tree's speedup
-        # over flat k-means and the direct analogue of the reference's
-        # nearest-child pointer descent.
-        new_cur = np.empty(n, dtype=np.int64)
-        new_d = np.empty(n, dtype=np.int64)
-        n_parents = len(tree.levels[li - 1].node_id)
+
+    dot = bits_pm @ pads[0].T                       # (n, C0)
+    cur = dot.argmax(axis=1).astype(np.int64)       # max dot = min hamming
+    dists[:, 0] = ((b - dot[np.arange(n), cur]) / 2).astype(np.int64)
+
+    sentinel = np.iinfo(np.int64).max
+    neg_inf = np.float32(-np.inf)
+    for li in range(1, tree.depth):
+        kids_pm, kid_idx = pads[li]
+        new_cur = np.full(n, -1, dtype=np.int64)
+        best_dot = np.full(n, neg_inf, dtype=np.float32)
         order = np.argsort(cur, kind="stable")
         sorted_cur = cur[order]
-        bounds = np.searchsorted(sorted_cur, np.arange(n_parents + 1))
-        child_order = np.argsort(lv.parent_idx, kind="stable")
-        child_bounds = np.searchsorted(
-            lv.parent_idx[child_order], np.arange(n_parents + 1)
-        )
-        for p in np.unique(sorted_cur):
-            rows = order[bounds[p] : bounds[p + 1]]
-            kids = child_order[child_bounds[p] : child_bounds[p + 1]]
-            if len(kids) == 0:
-                # parent lost all children to pruning — sentinel, caller prunes
-                new_cur[rows], new_d[rows] = -1, np.iinfo(np.int64).max
+        lo = np.searchsorted(sorted_cur, 0)          # skip pruned (-1) rows
+        present = np.unique(sorted_cur[lo:])
+        bounds = np.searchsorted(sorted_cur, present)
+        bounds = np.append(bounds, n)
+        for k, p in enumerate(present):
+            rows = order[bounds[k] : bounds[k + 1]]
+            kids = kids_pm[p]
+            if kids.shape[0] == 0:                   # parent pruned childless
                 continue
-            local_idx, local_d = hamming_argmin(sigs[rows], lv.centroid[kids])
-            new_cur[rows] = kids[local_idx]
-            new_d[rows] = local_d
-        cur, dists[:, li] = new_cur, new_d
+            gdot = bits_pm[rows] @ kids.T            # (|rows|, m_p)
+            j = gdot.argmax(axis=1)
+            new_cur[rows] = kid_idx[p][j]
+            best_dot[rows] = np.take_along_axis(gdot, j[:, None], axis=1)[:, 0]
+        dead = new_cur < 0
+        best_dot[dead] = b                           # placeholder; overwritten below
+        d_level = ((b - best_dot) / 2).astype(np.int64)
+        d_level[dead] = sentinel
+        cur, dists[:, li] = new_cur, d_level
     return cur, dists
 
 
@@ -162,16 +236,35 @@ def descend(tree: CentroidTree, sigs: np.ndarray) -> tuple[np.ndarray, np.ndarra
 def accumulate_leaves(
     tree: CentroidTree, sigs: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One insert pass over a batch: (bit_sums (L, B) int64, counts (L,), sse (L,))."""
-    leaf_pos, dists = descend(tree, sigs)
+    """One insert pass over a batch: (bit_sums (L, B) int64, counts (L,), sse (L,)).
+
+    Chunked so each chunk's unpacked bits are shared by the descent (as ±1
+    float32) and the accumulation (as uint8 segment sums) without giant
+    temporaries. Segment-sum = sort + per-segment reduction: reductions are
+    memory-read bound (fast) where scatter (np.add.at) and axis-0 reduceat are
+    not; accumulation is half the iteration cost per the reference's own
+    breakdown (/root/reference/src/lmw/SVector.h:313-316).
+    """
+    n = sigs.shape[0]
     n_leaves = tree.n_leaves
-    bits = unpack_bits(sigs).astype(np.int64)
-    b = bits.shape[1]
+    b = sigs.shape[1] * 64
     sums = np.zeros((n_leaves, b), dtype=np.int64)
-    np.add.at(sums, leaf_pos, bits)
-    counts = np.bincount(leaf_pos, minlength=n_leaves).astype(np.int64)
-    leaf_d = dists[:, -1].astype(np.float64)
-    sse = np.bincount(leaf_pos, weights=leaf_d * leaf_d, minlength=n_leaves)
+    counts = np.zeros(n_leaves, dtype=np.int64)
+    sse = np.zeros(n_leaves, dtype=np.float64)
+    chunk = 4096
+    for lo in range(0, n, chunk):
+        bits = unpack_bits(sigs[lo : lo + chunk])
+        leaf_pos, dists = _descend_from_pm(tree, _pm_from_bits(bits))
+        order = np.argsort(leaf_pos, kind="stable")
+        sorted_bits = bits[order]
+        sp = leaf_pos[order]
+        uniq, starts = np.unique(sp, return_index=True)
+        ends = np.append(starts[1:], len(sp))
+        for u, s0, s1 in zip(uniq, starts, ends):
+            sums[u] += sorted_bits[s0:s1].sum(axis=0, dtype=np.int64)
+        counts += np.bincount(leaf_pos, minlength=n_leaves)
+        leaf_d = dists[:, -1].astype(np.float64)
+        sse += np.bincount(leaf_pos, weights=leaf_d * leaf_d, minlength=n_leaves)
     return sums, counts, sse
 
 
@@ -204,9 +297,11 @@ def update_tree(tree: CentroidTree, bit_sums: np.ndarray, counts: np.ndarray) ->
         if keep_prev is not None:
             alive &= keep_prev[lv.parent_idx] >= 0
         idx_alive = np.where(alive)[0]
-        new_cents = np.empty((len(idx_alive), lv.centroid.shape[1]), dtype=np.uint64)
-        for j, i in enumerate(idx_alive):
-            new_cents[j] = majority_from_counts(sums_l[i], int(counts_l[i]))
+        # vectorized majority across all surviving nodes: bit set iff
+        # count > total//2 (strict, ties→0; StreamingEMTree.h:274-285) — one
+        # pack_bits call per level, not per node (driver-side serial path)
+        half = (counts_l[idx_alive] // 2)[:, None]
+        new_cents = pack_bits((sums_l[idx_alive] > half).astype(np.uint8))
         new_parent = (
             np.full(len(idx_alive), -1, dtype=np.int64)
             if li == 0

@@ -61,6 +61,10 @@ def run_pipeline(
         "verified_pairs",
         lambda: lsh.verify_edges(lsh.candidate_edges(sigs, cfg), sigs, cfg).where("is_dup"),
     )
+    if ckpt is None:
+        # CC's label loop starts from these edges; don't recompute the whole
+        # candidate-generation DAG when materializing them
+        verified = verified.persist()
     groups = staged(
         "dup_groups", lambda: connected_components(verified, vertices=sigs)
     )

@@ -27,6 +27,17 @@ def get_spark(
     ``shuffle_partitions`` defaults to the core count — on a real cluster this is
     set to ~2-3x total executor cores instead.
     """
+    # one BLAS thread per python worker: Spark supplies the across-row parallelism;
+    # letting OpenBLAS ALSO spawn nproc threads per worker oversubscribes N² ways
+    # (python workers inherit this env from the local-mode JVM)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+    # keep glibc from munmapping large numpy buffers between tasks: virtualized
+    # hosts fault fresh pages at ~100 MB/s while reused heap runs at GB/s, and the
+    # vectorized kernels reallocate same-sized chunk buffers every Arrow batch
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
