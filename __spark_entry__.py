@@ -260,6 +260,45 @@ def q_minhash_sql(spark, sf_dir):
     return toks.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
+def q_sig_dim_histogram(spark, sf_dir):
+    """dimensionHistogram (reference /root/reference/src/GeneralExperiments.h:157-201):
+    per-dimension signed bit count over a signature column (here: the md5-token
+    32-bit SimHash of each doc), ranked by |weight|, top dims/4 = 8 — the
+    dimension-reduction selector (reduceDims gathers these bits)."""
+    from lmw_tree_spark.functions.text import token_hash32_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).select("doc_id", token_hash32_col(F.col("tok")).alias("h"))
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    )
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(F.expr("(shiftright(h, j) & 1) * 2 - 1")).alias("vote")
+    )
+    sig_bits = votes.select(
+        "doc_id", "j", (F.col("vote") > 0).cast("int").alias("bit")
+    )
+    return (
+        sig_bits.groupBy("j")
+        .agg(F.sum(F.col("bit") * 2 - 1).cast("long").alias("weight"))
+        .orderBy(F.desc(F.abs(F.col("weight"))), F.asc("j"))
+        .limit(8)
+        .select(F.col("j").cast("int").alias("dim"), "weight")
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ 0.999 —
+    the embedding modality of the dedup layer (brute-force baseline; the IVF
+    variant is the scale path, q_ivf_ann)."""
+    from lmw_tree_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, min_cosine=0.42).orderBy("src", "dst")
+
+
 def q_suffix_pairs(spark, sf_dir):
     """Suffix-array substring pass (winnow → per-group SA+LCP, exact): doc pairs
     sharing a common substring of length ≥ 20 in lowercased text. Oracle: two docs
@@ -328,6 +367,21 @@ def q_emtree_images(spark, sf_dir):
     return assign(sigs, fit.tree).orderBy("image_id")
 
 
+def q_ktree_images(spark, sf_dir):
+    """K-tree hybrid (reference ClueWeb recipe, JournalPaperExperiments.h:548-614):
+    online K-tree on a sample seeds the distributed EM machinery."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign
+    from lmw_tree_spark.operators.ktree import ktree_fit
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
+
+    n = min(n_images_for_sf_dir(sf_dir), 1400)
+    sigs = extract_signatures(generate_images(spark, n), SMALL).persist()
+    fit = ktree_fit(sigs, SMALL, order=8, update_delay=200)
+    return assign(sigs, fit.tree).orderBy("image_id")
+
+
 def q_dedup_images(spark, sf_dir):
     from lmw_tree_spark.config import SMALL
     from lmw_tree_spark.operators.ccomp import connected_components
@@ -359,6 +413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard": q_token_jaccard,
         "simhash32": q_simhash32,
         "minhash_sql": q_minhash_sql,
+        "sig_dim_histogram": q_sig_dim_histogram,
+        "embedding_neardup": q_embedding_neardup,
         "suffix_pairs": q_suffix_pairs,
         "cosine_topk": q_cosine_topk,
         "centroid_assign": q_centroid_assign,
@@ -367,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "ivf_ann": q_ivf_ann,
         "emtree_images": q_emtree_images,
+        "ktree_images": q_ktree_images,
         "dedup_images": q_dedup_images,
     }
 
@@ -526,6 +583,30 @@ def oracle_sql() -> dict[str, str]:
                    min((h * 4256233 + 193) % 2147483647) AS mh2,
                    min((h * 5800079 + 389) % 2147483647) AS mh3
             FROM toks GROUP BY doc_id ORDER BY doc_id
+        """,
+        "sig_dim_histogram": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)),
+            votes AS (
+                SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS vote
+                FROM toks, range(32) AS r(j) GROUP BY doc_id, j),
+            sig_bits AS (
+                SELECT doc_id, j, CASE WHEN vote > 0 THEN 1 ELSE 0 END AS bit
+                FROM votes)
+            SELECT j::INT AS dim, sum(bit * 2 - 1)::BIGINT AS weight
+            FROM sig_bits
+            GROUP BY j ORDER BY abs(sum(bit * 2 - 1)) DESC, j ASC LIMIT 8
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4) >= 0.42
+            ORDER BY src, dst
         """,
         "suffix_pairs": """
             WITH grams AS (

@@ -166,6 +166,50 @@ def em_tree_fit(sigs: DataFrame, cfg: PipelineConfig) -> FitResult:
     return result
 
 
+def em_tree_fit_minibatch(
+    sigs: DataFrame, cfg: PipelineConfig, n_batches: int = 4
+) -> FitResult:
+    """Mini-batch streaming EM (reference mode,
+    /root/reference/src/StreamingEMTreeExperiments.h:143-189): each pass slices
+    the input into ``n_batches`` deterministic hash slices; after every slice the
+    centroids are updated from the CUMULATIVE accumulators (cleared only at the
+    end of a full pass). Centroids improve mid-pass, so fewer full passes are
+    needed — the trade the reference makes with batchSize=100000."""
+    spark = sigs.sparkSession
+    sample = sample_signatures(sigs, cfg.tsvq_sample, cfg.seed)
+    tree = tsvq_init(sample, cfg.tree_order, cfg.tree_depth, cfg.tsvq_maxiters, cfg.seed)
+    result = FitResult(tree=tree)
+    slice_col = F.pmod(F.xxhash64("image_id", F.lit(cfg.seed + 1)), F.lit(n_batches))
+    sliced = sigs.withColumn("_slice", slice_col)
+    for it in range(cfg.em_iters):
+        cum: list[np.ndarray] | None = None  # aligned to the CURRENT tree's leaves
+        total = 0
+        for b in range(n_batches):
+            bc = spark.sparkContext.broadcast(tree)
+            sums, counts, sse = _accumulate_pass(sliced.where(F.col("_slice") == b), bc)
+            bc.unpersist()
+            if cum is None:
+                cum = [sums, counts, sse.copy()]
+            else:
+                cum[0] += sums
+                cum[1] += counts
+                cum[2] += sse
+            total += int(counts.sum())
+            old_ids = tree.leaf_ids()
+            tree = update_tree(tree, cum[0], cum[1])
+            # re-align cumulative rows to the (possibly pruned) new leaf set;
+            # pruned leaves had zero cumulative count, so nothing is lost
+            pos = {int(i): k for k, i in enumerate(old_ids)}
+            take = np.array([pos[int(i)] for i in tree.leaf_ids()], dtype=np.int64)
+            cum = [cum[0][take], cum[1][take], cum[2][take]]
+        rmse = float(np.sqrt(cum[2].sum() / max(total, 1)))
+        result.metrics.append(
+            {"iteration": it, "rmse": rmse, "objects": total, "leaves": tree.n_leaves}
+        )
+    result.tree = tree
+    return result
+
+
 def assign(sigs: DataFrame, tree: CentroidTree, per_level: bool = False) -> DataFrame:
     """Final labeling pass (reference `visit` + ClusterWriter): pure map, no shuffle.
 

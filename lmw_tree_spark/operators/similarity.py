@@ -193,6 +193,37 @@ def ivf_cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidate pairs: all (src < dst) with
+    cosine ≥ min_cosine — the embedding modality of the dedup layer.
+
+    Brute-force all-pairs is the exact baseline (verification oracle); at scale
+    the same threshold predicate runs over IVF/LSH-bucketed candidates instead of
+    the full cross product (see ``ivf_cosine_topk`` — identical scoring
+    expression, cell-equi-join candidate generation)."""
+    a = df.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).cast("array<double>").alias("a_vec"),
+    )
+    b = df.select(
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).cast("array<double>").alias("b_vec"),
+    )
+    sim = F.round(cosine_sim_col("a_vec", "b_vec"), round_digits)
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= min_cosine)
+    )
+
+
 def centroid_assign(
     df: DataFrame,
     centroid_pred,

@@ -174,6 +174,8 @@ def descend(
     chunk-sized buffers run at memory speed).
     """
     n = sigs.shape[0]
+    if n < _SMALL_BATCH:
+        return _descend_small(tree, sigs)
     if n > row_chunk:
         parts = [
             descend(tree, sigs[lo : lo + row_chunk], row_chunk)
@@ -184,6 +186,46 @@ def descend(
             np.concatenate([p[1] for p in parts]),
         )
     return _descend_from_pm(tree, _pm_from_bits(unpack_bits(sigs)))
+
+
+_SMALL_BATCH = 512
+
+
+def _descend_small(tree: CentroidTree, sigs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Packed-domain descent for small batches: per-parent LUT-popcount argmin
+    directly on the packed uint64 centroids. Skips the ±1 float expansion AND the
+    per-level pad tensors — for a few hundred rows the pads cost (tens of MB of
+    fresh buffers per worker) far exceeds the distance work. Identical results
+    and tie-breaking to the BLAS path (both are exact Hamming, first-wins)."""
+    n = sigs.shape[0]
+    dists = np.empty((n, tree.depth), dtype=np.int64)
+    idx, d = hamming_argmin(sigs, tree.levels[0].centroid)
+    cur = idx.astype(np.int64)
+    dists[:, 0] = d
+    sentinel = np.iinfo(np.int64).max
+    for li in range(1, tree.depth):
+        lv = tree.levels[li]
+        n_parents = len(tree.levels[li - 1].node_id)
+        child_order = np.argsort(lv.parent_idx, kind="stable")
+        child_bounds = np.searchsorted(lv.parent_idx[child_order], np.arange(n_parents + 1))
+        new_cur = np.full(n, -1, dtype=np.int64)
+        new_d = np.full(n, sentinel, dtype=np.int64)
+        order = np.argsort(cur, kind="stable")
+        sorted_cur = cur[order]
+        lo = np.searchsorted(sorted_cur, 0)
+        present = np.unique(sorted_cur[lo:])
+        bounds = np.searchsorted(sorted_cur, present)
+        bounds = np.append(bounds, n)
+        for k, p in enumerate(present):
+            rows = order[bounds[k] : bounds[k + 1]]
+            kids = child_order[child_bounds[p] : child_bounds[p + 1]]
+            if len(kids) == 0:
+                continue
+            local_idx, local_d = hamming_argmin(sigs[rows], lv.centroid[kids])
+            new_cur[rows] = kids[local_idx]
+            new_d[rows] = local_d
+        cur, dists[:, li] = new_cur, new_d
+    return cur, dists
 
 
 def _descend_from_pm(
@@ -253,8 +295,12 @@ def accumulate_leaves(
     sse = np.zeros(n_leaves, dtype=np.float64)
     chunk = 4096
     for lo in range(0, n, chunk):
-        bits = unpack_bits(sigs[lo : lo + chunk])
-        leaf_pos, dists = _descend_from_pm(tree, _pm_from_bits(bits))
+        chunk_sigs = sigs[lo : lo + chunk]
+        bits = unpack_bits(chunk_sigs)
+        if len(chunk_sigs) < _SMALL_BATCH:
+            leaf_pos, dists = _descend_small(tree, chunk_sigs)
+        else:
+            leaf_pos, dists = _descend_from_pm(tree, _pm_from_bits(bits))
         order = np.argsort(leaf_pos, kind="stable")
         sorted_bits = bits[order]
         sp = leaf_pos[order]
