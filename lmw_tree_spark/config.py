@@ -43,6 +43,11 @@ class PipelineConfig:
     phash_max_dist: int = 6       # verified near-dup if phash Hamming ≤ this
     simhash_max_dist: int = 6     # ... or pixel-simhash Hamming ≤ this
     minhash_min_jaccard: float = 0.7  # ... or caption MinHash similarity ≥ this
+    suffix_dup_min_len: int | None = None  # when set, run the exact suffix-array
+                                  # substring pass on captions and count pairs
+                                  # with a common substring ≥ this many chars as
+                                  # dups (catches shared boilerplate/watermark
+                                  # text that MinHash dilutes away)
 
     # EM-tree (reference flagship: m=10, depth=4, 10 iters)
     tree_order: int = 10

@@ -110,19 +110,30 @@ def substring_pairs(
 
     out_schema = f"src {id_type}, dst {id_type}, lcs_len int"
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        texts = [_normalize(pdf[text_col].iloc[order])[i] for i in range(len(order))]
-        best = substring_pairs_in_group(texts, min_len, run_cap)
-        if not best:
-            return pd.DataFrame({"src": [], "dst": [], "lcs_len": []})
-        src = [ids[a] for a, _ in best]
-        dst = [ids[b] for _, b in best]
-        return pd.DataFrame(
-            {"src": src, "dst": dst, "lcs_len": list(best.values())}
-        )
+    def verify_partition(batches):
+        """All groups of a partition in one pandas pass — a per-group
+        applyInPandas pays ~ms of Arrow slicing per group, which dominates when
+        groups are thousands of small near-dup sets. Batches are concatenated
+        first because an Arrow batch boundary can split a gid; partition memory
+        is bounded by the hash spread of gids (rows ≈ total/partitions)."""
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        srcs: list = []
+        dsts: list = []
+        lens: list[int] = []
+        for _gid, g in pdf.groupby("gid", sort=False):
+            ids = g[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            norm = _normalize(g[text_col].iloc[order])
+            best = substring_pairs_in_group(norm, min_len, run_cap)
+            for (a, b), length in best.items():
+                srcs.append(ids[a])
+                dsts.append(ids[b])
+                lens.append(length)
+        yield pd.DataFrame({"src": srcs, "dst": dsts, "lcs_len": lens})
 
-    pairs = with_text.groupBy("gid").applyInPandas(verify, out_schema)
+    pairs = with_text.repartition("gid").mapInPandas(verify_partition, out_schema)
     return pairs.groupBy("src", "dst").agg(F.max("lcs_len").alias("lcs_len"))

@@ -57,10 +57,27 @@ def run_pipeline(
         # single-action reuse without a durable checkpoint
         sigs = sigs.persist()
 
-    verified = staged(
-        "verified_pairs",
-        lambda: lsh.verify_edges(lsh.candidate_edges(sigs, cfg), sigs, cfg).where("is_dup"),
-    )
+    def build_verified() -> DataFrame:
+        edges = lsh.verify_edges(lsh.candidate_edges(sigs, cfg), sigs, cfg).where("is_dup")
+        if cfg.suffix_dup_min_len is not None:
+            # exact suffix-array substring pass on captions (operators/suffix.py):
+            # pairs sharing ≥ suffix_dup_min_len chars are dup edges too
+            from lmw_tree_spark.operators.suffix import substring_pairs
+
+            sub = substring_pairs(
+                sigs, "image_id", "caption", min_len=cfg.suffix_dup_min_len
+            ).select(
+                "src",
+                "dst",
+                F.lit(None).cast("long").alias("phash_dist"),
+                F.lit(None).cast("long").alias("simhash_dist"),
+                F.lit(None).cast("double").alias("caption_sim"),
+                F.lit(True).alias("is_dup"),
+            )
+            edges = edges.unionByName(sub).dropDuplicates(["src", "dst"])
+        return edges
+
+    verified = staged("verified_pairs", build_verified)
     if ckpt is None:
         # CC's label loop starts from these edges; don't recompute the whole
         # candidate-generation DAG when materializing them

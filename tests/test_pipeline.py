@@ -68,3 +68,19 @@ def test_checkpoint_stage_skips_rebuild(spark, tmpdir_ck):
     ck.stage("s1", build)
     ck.stage("s1", build)
     assert len(calls) == 1
+
+
+@pytest.mark.slow
+def test_pipeline_with_suffix_dup_criterion(spark):
+    """cfg.suffix_dup_min_len wires the exact suffix-array caption pass into the
+    verified-edge union; recall/precision hold on the planted dup groups."""
+    from dataclasses import replace
+
+    images = generate_images(spark, 280, with_truth=True)
+    truth = images.select("image_id", "dup_group").toPandas()
+    cfg = replace(SMALL, suffix_dup_min_len=24)
+    res = run_pipeline(spark, images.drop("dup_group"), cfg)
+    a = res.assignments.toPandas()
+    tp, gp = _pairs(truth, "dup_group"), _pairs(a, "dup_group")
+    assert len(tp & gp) / len(tp) >= 0.99
+    assert len(tp & gp) / max(len(gp), 1) >= 0.95
