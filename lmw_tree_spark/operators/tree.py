@@ -253,15 +253,20 @@ def _descend_from_pm(
         present = np.unique(sorted_cur[lo:])
         bounds = np.searchsorted(sorted_cur, present)
         bounds = np.append(bounds, n)
+        # one gather into parent order per level: group GEMMs then run on
+        # contiguous views (per-group fancy indexing re-copies the whole matrix
+        # in bad locality and dominates at ~1000 tiny leaf-level groups)
+        sorted_pm = bits_pm[order]
         for k, p in enumerate(present):
-            rows = order[bounds[k] : bounds[k + 1]]
+            a0, a1 = bounds[k], bounds[k + 1]
             kids = kids_pm[p]
             if kids.shape[0] == 0:                   # parent pruned childless
                 continue
-            gdot = bits_pm[rows] @ kids.T            # (|rows|, m_p)
+            gdot = sorted_pm[a0:a1] @ kids.T         # (g, m_p), view slice
             j = gdot.argmax(axis=1)
+            rows = order[a0:a1]
             new_cur[rows] = kid_idx[p][j]
-            best_dot[rows] = np.take_along_axis(gdot, j[:, None], axis=1)[:, 0]
+            best_dot[rows] = gdot[np.arange(a1 - a0), j]
         dead = new_cur < 0
         best_dot[dead] = b                           # placeholder; overwritten below
         d_level = ((b - best_dot) / 2).astype(np.int64)

@@ -89,3 +89,25 @@ def test_tsvq_deterministic(planted_signatures):
         (a.centroid == b.centroid).all() and (a.node_id == b.node_id).all()
         for a, b in zip(t1.levels, t2.levels)
     )
+
+
+def test_descend_small_and_blas_paths_agree():
+    """The packed-LUT small-batch path and the BLAS path are the same function:
+    exact Hamming, first-wins ties."""
+    import numpy as np
+
+    from lmw_tree_spark.functions.bitops import unpack_bits
+    from lmw_tree_spark.operators.tree import (
+        _descend_from_pm,
+        _descend_small,
+        _pm_from_bits,
+        tsvq_init,
+    )
+
+    rng = np.random.default_rng(77)
+    sigs = rng.integers(0, 2**63, (600, 8), dtype=np.uint64)
+    tree = tsvq_init(sigs[:300], 5, 3, 1, 9)
+    small_pos, small_d = _descend_small(tree, sigs)
+    blas_pos, blas_d = _descend_from_pm(tree, _pm_from_bits(unpack_bits(sigs)))
+    np.testing.assert_array_equal(small_pos, blas_pos)
+    np.testing.assert_array_equal(small_d, blas_d)
