@@ -289,6 +289,57 @@ def q_sig_dim_histogram(spark, sf_dir):
     )
 
 
+def q_reduce_dims(spark, sf_dir):
+    """reduceDims (reference /root/reference/src/GeneralExperiments.h:203-219):
+    gather the top-8 |weight| bit positions (the q_sig_dim_histogram selection)
+    out of each doc's 32-bit SimHash into an 8-bit reduced signature. The dims
+    table is tiny → broadcast join; the gather is a sum of shifted bits."""
+    from pyspark.sql import Window
+
+    from lmw_tree_spark.functions.text import token_hash32_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).select("doc_id", token_hash32_col(F.col("tok")).alias("h"))
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    )
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(F.expr("(shiftright(h, j) & 1) * 2 - 1")).alias("vote")
+    )
+    sig_bits = votes.select("doc_id", "j", (F.col("vote") > 0).cast("long").alias("bit"))
+    weights = sig_bits.groupBy("j").agg(
+        F.sum(F.col("bit") * 2 - 1).cast("long").alias("weight")
+    )
+    rank_w = Window.orderBy(F.desc(F.abs(F.col("weight"))), F.asc("j"))
+    dims = weights.select("j", F.row_number().over(rank_w).alias("rank")).where(
+        F.col("rank") <= 8
+    )
+    return (
+        sig_bits.join(F.broadcast(dims), "j")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("shiftleft(bit, rank - 1)")).cast("long").alias("reduced_sig")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_group_size_histogram(spark, sf_dir):
+    """ClusterHistogramCounter (reference /root/reference/src/lmw/NodeVisitor.h:19-72):
+    histogram of cluster sizes — here over exact-dedup fingerprint groups."""
+    from lmw_tree_spark.operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        exact_dedup_groups(docs)
+        .groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy("group_size")
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ 0.999 —
     the embedding modality of the dedup layer (brute-force baseline; the IVF
@@ -382,6 +433,54 @@ def q_ktree_images(spark, sf_dir):
     return assign(sigs, fit.tree).orderBy("image_id")
 
 
+def q_emtree_per_level(spark, sf_dir):
+    """Per-level assignment rows — the reference ClusterWriter's one-CSV-per-level
+    output (/root/reference/src/lmw/InsertVisitor.h:25-56) as a single table
+    (image_id, level, cluster_id, distance)."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign, em_tree_fit
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
+
+    n = min(n_images_for_sf_dir(sf_dir), 1400)
+    sigs = extract_signatures(generate_images(spark, n), SMALL).persist()
+    fit = em_tree_fit(sigs, SMALL)
+    return assign(sigs, fit.tree, per_level=True).orderBy("image_id", "level")
+
+
+def q_emtree_cluster_stats(spark, sf_dir):
+    """Per-cluster stats — the reference ClusterStats CSV
+    (/root/reference/src/lmw/ClusterVisitor.h:25-49): (cluster_id, n_objects, rmse)."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign, cluster_stats, em_tree_fit
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
+
+    n = min(n_images_for_sf_dir(sf_dir), 1400)
+    sigs = extract_signatures(generate_images(spark, n), SMALL).persist()
+    fit = em_tree_fit(sigs, SMALL)
+    return (
+        cluster_stats(assign(sigs, fit.tree))
+        .select("cluster_id", "n_objects", F.round("rmse", 4).alias("rmse"))
+        .orderBy("cluster_id")
+    )
+
+
+def q_minibatch_emtree(spark, sf_dir):
+    """Mini-batch streaming EM (reference mode,
+    /root/reference/src/StreamingEMTreeExperiments.h:143-189) — centroids update
+    after each deterministic hash slice within a pass."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign, em_tree_fit_minibatch
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
+
+    n = min(n_images_for_sf_dir(sf_dir), 1400)
+    sigs = extract_signatures(generate_images(spark, n), SMALL).persist()
+    fit = em_tree_fit_minibatch(sigs, SMALL, n_batches=2)
+    return assign(sigs, fit.tree).orderBy("image_id")
+
+
 def q_dedup_images(spark, sf_dir):
     from lmw_tree_spark.config import SMALL
     from lmw_tree_spark.operators.ccomp import connected_components
@@ -414,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash32": q_simhash32,
         "minhash_sql": q_minhash_sql,
         "sig_dim_histogram": q_sig_dim_histogram,
+        "reduce_dims": q_reduce_dims,
+        "group_size_histogram": q_group_size_histogram,
         "embedding_neardup": q_embedding_neardup,
         "suffix_pairs": q_suffix_pairs,
         "cosine_topk": q_cosine_topk,
@@ -423,6 +524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "ivf_ann": q_ivf_ann,
         "emtree_images": q_emtree_images,
+        "emtree_per_level": q_emtree_per_level,
+        "emtree_cluster_stats": q_emtree_cluster_stats,
+        "minibatch_emtree": q_minibatch_emtree,
         "ktree_images": q_ktree_images,
         "dedup_images": q_dedup_images,
     }
@@ -598,6 +702,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT j::INT AS dim, sum(bit * 2 - 1)::BIGINT AS weight
             FROM sig_bits
             GROUP BY j ORDER BY abs(sum(bit * 2 - 1)) DESC, j ASC LIMIT 8
+        """,
+        "reduce_dims": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)),
+            votes AS (
+                SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS vote
+                FROM toks, range(32) AS r(j) GROUP BY doc_id, j),
+            sig_bits AS (
+                SELECT doc_id, j, CASE WHEN vote > 0 THEN 1::BIGINT ELSE 0 END AS bit
+                FROM votes),
+            dims AS (
+                SELECT j, row_number() OVER (ORDER BY abs(sum(bit * 2 - 1)) DESC, j ASC)
+                           AS rank
+                FROM sig_bits GROUP BY j
+                QUALIFY rank <= 8)
+            SELECT doc_id, sum(bit << (rank - 1))::BIGINT AS reduced_sig
+            FROM sig_bits JOIN dims USING (j)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "group_size_histogram": """
+            WITH groups AS (
+                SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                               ' +', ' ', 'g'))) AS fingerprint,
+                       count(*)::BIGINT AS group_size
+                FROM documents GROUP BY 1)
+            SELECT group_size, count(*)::BIGINT AS n_groups
+            FROM groups GROUP BY group_size ORDER BY group_size
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS src, b.vec_id AS dst,

@@ -1,0 +1,150 @@
+"""Physical-plan assertions — the 100 TB design contract, checked per commit.
+
+These tests pin the *physical* properties that make each operator survive a
+1000-executor / 100 TB scale-up, independent of the small test data:
+
+- filters and column selection reach the parquet scan (PushedFilters / ReadSchema)
+- small-side joins broadcast (BroadcastHashJoin, never SortMergeJoin on a dim)
+- the EM-tree assignment pass is a pure map: NO Exchange anywhere in its plan
+- the partial-accumulator pass shuffles only blob rows (one per partition), never
+  signature rows
+- the LSH band self-join is a shuffle hash/sort-merge equi-join on the band key
+  (the one data-sized shuffle the design allows), not a nested-loop join
+"""
+
+import contextlib
+import io
+import os
+import re
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def simple_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_filter_and_pruning_pushed_to_parquet_scan(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    q = orders.where(F.col("o_orderkey") % 10 == 0).select("o_orderkey", "o_totalprice")
+    plan = plan_of(q)
+    scan = plan[plan.index("Scan parquet") :]
+    # column pruning: the scan reads exactly the two projected columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_orderkey", "o_totalprice"}, scan
+    # predicate pushdown: IsNotNull reaches the scan (the %10 residual stays above)
+    assert "PushedFilters: [IsNotNull(o_orderkey)]" in scan, scan
+
+
+def test_subset_semi_join_is_broadcast(spark):
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q_subset_semi_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_top_customers_dim_join_is_broadcast(spark):
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q_top_customers(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    # top-k compiles to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_emtree_assign_has_no_shuffle(spark):
+    """The labeling pass (reference `visit`, StreamingEMTree.h:48-80) must stay a
+    pure map at any scale: broadcast tree + mapInPandas, zero Exchange nodes."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign, em_tree_fit
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images
+
+    sigs = extract_signatures(generate_images(spark, 64), SMALL)
+    fit = em_tree_fit(sigs, SMALL)
+    plan = simple_plan(assign(sigs, fit.tree))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_accumulator_pass_shuffles_blobs_not_rows(spark):
+    """The EM insert pass reduces each partition to ONE binary blob before
+    anything crosses the wire (emtree._accumulate_pass): the plan is
+    scan → MapInPandas → (driver Arrow collect). No Exchange, no per-row
+    shuffle — same plan shape as the real `partial` closure (which is not
+    importable; a stub with the identical mapInPandas signature stands in)."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators import emtree
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images
+
+    def stub(batches):
+        import pandas as pd
+
+        for _pdf in batches:
+            yield pd.DataFrame({"payload": [b""]})
+
+    sigs = extract_signatures(generate_images(spark, 64), SMALL)
+    blob_df = sigs.select("sig").mapInPandas(stub, emtree.ACC_SCHEMA)
+    plan = simple_plan(blob_df)
+    assert "Exchange" not in plan, plan
+
+
+def test_band_join_is_equi_join_not_nested_loop(spark):
+    """LSH candidate pairing must compile to an equi-join on the band key —
+    never BroadcastNestedLoopJoin / CartesianProduct (which would be O(n²)
+    at scale)."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators import lsh
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images
+
+    sigs = extract_signatures(generate_images(spark, 64), SMALL)
+    edges = lsh.candidate_edges(sigs, SMALL)
+    plan = simple_plan(edges)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_events_filter_pushdown_on_driver_tables(spark):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q = events.where(F.col("event_type") == "click").select("user_id")
+    scan = plan_of(q)
+    assert "PushedFilters" in scan and "EqualTo(event_type,click)" in scan, scan
+
+
+def test_aqe_and_arrow_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
+def test_verify_edges_uses_jvm_bit_count(spark):
+    """Edge verification must stay JVM-side (bit_count SQL expr inside
+    whole-stage codegen), not fall back to a Python UDF."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators import lsh
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images
+
+    sigs = extract_signatures(generate_images(spark, 64), SMALL)
+    verified = lsh.verify_edges(lsh.candidate_edges(sigs, SMALL), sigs, SMALL)
+    plan = simple_plan(verified)
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
+    assert "bit_count" in plan, plan  # Hamming verify is a codegen'd JVM expr
