@@ -433,6 +433,21 @@ def q_ktree_images(spark, sf_dir):
     return assign(sigs, fit.tree).orderBy("image_id")
 
 
+def q_kmeans_images(spark, sf_dir):
+    """Flat k-means over bit signatures — reference entry point C
+    (`sigKmeansCluster`, /root/reference/src/GeneralExperiments.h:7-29): k=36,
+    maxiters=10, docid→cluster output; here (image_id, cluster_id, distance)."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign, kmeans_fit
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
+
+    n = min(n_images_for_sf_dir(sf_dir), 1400)
+    sigs = extract_signatures(generate_images(spark, n), SMALL).persist()
+    fit = kmeans_fit(sigs, k=36, iters=10, cfg=SMALL)
+    return assign(sigs, fit.tree).orderBy("image_id")
+
+
 def q_emtree_per_level(spark, sf_dir):
     """Per-level assignment rows — the reference ClusterWriter's one-CSV-per-level
     output (/root/reference/src/lmw/InsertVisitor.h:25-56) as a single table
@@ -524,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "ivf_ann": q_ivf_ann,
         "emtree_images": q_emtree_images,
+        "kmeans_images": q_kmeans_images,
         "emtree_per_level": q_emtree_per_level,
         "emtree_cluster_stats": q_emtree_cluster_stats,
         "minibatch_emtree": q_minibatch_emtree,
