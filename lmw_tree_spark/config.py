@@ -32,7 +32,12 @@ class PipelineConfig:
     bucket_pair_cap: int = 24     # buckets larger than this emit chain edges only
                                   # (chain keeps connectivity; cap bounds clique
                                   # pair volume at cap*(cap-1)/2 per bucket)
-    salt_buckets: int = 8         # salt factor when repartitioning skewed band keys
+    bucket_salt_rows: int = 65536 # max rows one chain-window partition may hold:
+                                  # a skewed bucket (hot band) is split into
+                                  # ceil(size/this) salted sub-chains linked by
+                                  # per-salt representatives — bounds any single
+                                  # task regardless of key skew (AQE cannot split
+                                  # a window partition, so salting is explicit)
     # (substring buckets use winnowing with window = substring_len - shingle_k + 1:
     #  exact share-substring(≥L) ⇒ share-fingerprint guarantee at ~2/(w+1) density)
     verify_minhash_prefix: int = 32  # minhash values used for pair verification

@@ -13,10 +13,11 @@ exhaustively; candidate generation is the scale path that makes 10^12 rows feasi
 2. **Edges from buckets — all JVM-side, no Python:**
    - *chain edges*: within each bucket, sort by id and link consecutive ids
      (``lead`` window). O(n) edges per bucket, preserves connectivity for the
-     connected-components pass no matter how skewed the bucket — this is the
-     explicit skew handling: a 10M-row bucket of identical memes emits 10M-1 edges,
-     never 10M² pairs. The window shuffle hash-partitions on the bucket key; AQE
-     skew-split handles residual imbalance.
+     connected-components pass no matter how skewed the bucket — a 10M-row bucket
+     of identical memes emits 10M-1 edges, never 10M² pairs. Skew is handled
+     EXPLICITLY with salted keys (AQE cannot split a window partition): oversize
+     buckets are hashed into bounded sub-chains re-linked through per-salt
+     representatives — see ``edges_from_buckets``.
    - *clique edges*: buckets with ≤ cfg.bucket_pair_cap members additionally emit
      all pairs (better direct recall for near-dup verification).
 3. **Verification**: join both endpoints' signatures and evaluate phash/simhash
@@ -129,7 +130,9 @@ def lgram_buckets(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return sigs.select("image_id", "caption").mapInPandas(run, BUCKET_SCHEMA)
 
 
-def edges_from_buckets(buckets: DataFrame, pair_cap: int) -> DataFrame:
+def edges_from_buckets(
+    buckets: DataFrame, pair_cap: int, salt_rows: int = 65536
+) -> DataFrame:
     """(bucket, image_id) → candidate edges (src < dst), JVM-only.
 
     Chain edges give O(n)-per-bucket connectivity regardless of skew; clique edges
@@ -139,17 +142,44 @@ def edges_from_buckets(buckets: DataFrame, pair_cap: int) -> DataFrame:
     any window sort, so the expensive per-bucket ordering only touches colliding
     rows. Producers guarantee (bucket, image_id) uniqueness, so no global
     dedup pass is needed here.
-    """
+
+    **Explicit skew salting** (north-rule requirement; AQE splits skewed *joins*
+    but can never split a *window* partition): a bucket larger than ``salt_rows``
+    is hashed into ``ceil(size/salt_rows)`` salted sub-chains, so no single task
+    ever sorts more than ``salt_rows`` rows — a 10M-row bucket of identical memes
+    becomes ~153 parallel 64k-row chains. Connectivity across sub-chains is
+    restored by a second, tiny window over the per-salt representatives (min id
+    per sub-chain: ≤ size/salt_rows rows per bucket)."""
     multi = (
         buckets.groupBy("bucket")
         .agg(F.count("*").alias("bsize"))
         .where(F.col("bsize") >= 2)
     )
     sized = buckets.join(multi, "bucket")
-    w = Window.partitionBy("bucket").orderBy("image_id")
+    n_salts = F.ceil(F.col("bsize") / F.lit(salt_rows))
+    salted = sized.withColumn(
+        "salt",
+        F.when(F.col("bsize") <= salt_rows, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("image_id"), n_salts)
+        ),
+    )
+    w = Window.partitionBy("bucket", "salt").orderBy("image_id")
 
     chain = (
-        sized.withColumn("nxt", F.lead("image_id").over(w))
+        salted.withColumn("nxt", F.lead("image_id").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("image_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+
+    # link the salted sub-chains of oversize buckets (no-op when nothing is salted)
+    reps = (
+        salted.where(F.col("bsize") > salt_rows)
+        .groupBy("bucket", "salt")
+        .agg(F.min("image_id").alias("image_id"))
+    )
+    wr = Window.partitionBy("bucket").orderBy("image_id")
+    rep_chain = (
+        reps.withColumn("nxt", F.lead("image_id").over(wr))
         .where(F.col("nxt").isNotNull())
         .select(F.col("image_id").alias("src"), F.col("nxt").alias("dst"))
     )
@@ -161,7 +191,11 @@ def edges_from_buckets(buckets: DataFrame, pair_cap: int) -> DataFrame:
         .where(F.col("a.image_id") < F.col("b.image_id"))
         .select(F.col("a.image_id").alias("src"), F.col("b.image_id").alias("dst"))
     )
-    return chain.unionByName(clique).dropDuplicates(["src", "dst"])
+    return (
+        chain.unionByName(rep_chain)
+        .unionByName(clique)
+        .dropDuplicates(["src", "dst"])
+    )
 
 
 def candidate_edges(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -172,7 +206,7 @@ def candidate_edges(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .unionByName(hamming64_buckets(sigs, "simhash", cfg.phash_bands, namespace=2))
         .unionByName(lgram_buckets(sigs, cfg))
     )
-    return edges_from_buckets(buckets, cfg.bucket_pair_cap)
+    return edges_from_buckets(buckets, cfg.bucket_pair_cap, cfg.bucket_salt_rows)
 
 
 def minhash_agreement_col() -> F.Column:

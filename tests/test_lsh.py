@@ -76,6 +76,48 @@ def test_bucket_cap_emits_chain_not_clique(spark):
     assert cnt == n - 1  # chain only — skew-safe
 
 
+def test_salted_mega_bucket_stays_connected_and_bounded(spark):
+    """Skew salting: with salt_rows=50, a 500-row bucket splits into ~10 bounded
+    sub-chains; representative linking must keep every member in ONE component,
+    and edge volume stays O(n)."""
+    n = 500
+    df = spark.createDataFrame(
+        [(1, f"id{i:05d}") for i in range(n)], "bucket long, image_id string"
+    )
+    edges = lsh.edges_from_buckets(df, pair_cap=16, salt_rows=50).collect()
+    assert n - 1 <= len(edges) <= n + 12  # chains + ≤ (n_salts-1) rep links
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges:
+        parent[find(r["src"])] = find(r["dst"])
+    roots = {find(f"id{i:05d}") for i in range(n)}
+    assert len(roots) == 1, "salting broke bucket connectivity"
+
+
+def test_salting_does_not_change_small_buckets(spark):
+    df = spark.createDataFrame(
+        [(b, f"id{i}x{b}") for b in range(3) for i in range(5)],
+        "bucket long, image_id string",
+    )
+    unsalted = {
+        (r["src"], r["dst"])
+        for r in lsh.edges_from_buckets(df, pair_cap=64, salt_rows=65536).collect()
+    }
+    salted = {
+        (r["src"], r["dst"])
+        for r in lsh.edges_from_buckets(df, pair_cap=64, salt_rows=100).collect()
+    }
+    assert unsalted == salted
+
+
 def test_small_bucket_emits_clique(spark):
     df = spark.createDataFrame(
         [(1, f"id{i}") for i in range(4)], "bucket long, image_id string"
