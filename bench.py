@@ -220,11 +220,22 @@ def main():
     big = run_flagship(f"local[{CPUS}]", CPUS, n_images)
 
     # primary scaling evidence: signature stage at N=2 vs 4N=8 cores
-    # (see module docstring for why 2→8 and not 8→32 on this VM)
+    # (see module docstring for why 2→8 and not 8→32 on this VM).
+    # Wall clock on this VM swings 2-5x between identical runs minutes apart, so
+    # the two levels are sampled in ALTERNATING sessions (2,8,2,8) and min-of-all
+    # trials per level is used — an unlucky page-cache window then hurts both
+    # levels instead of biasing the ratio.
     sig_n = max(50_000, int(sf * 500_000))
     sig2 = run_sig_stage("local[2]", 2, sig_n)
     sig8 = run_sig_stage("local[8]", 8, sig_n)
-    sig_eff = round((min(sig2["trial_secs"]) / min(sig8["trial_secs"])) / 4, 3)
+    sig2b = run_sig_stage("local[2]", 2, sig_n, trials=2)
+    sig8b = run_sig_stage("local[8]", 8, sig_n, trials=2)
+    sig2["trial_secs"] += sig2b["trial_secs"]
+    sig8["trial_secs"] += sig8b["trial_secs"]
+    t2, t8 = min(sig2["trial_secs"]), min(sig8["trial_secs"])
+    sig2["images_per_sec"] = round(sig_n / t2, 0)
+    sig8["images_per_sec"] = round(sig_n / t8, 0)
+    sig_eff = round((t2 / t8) / 4, 3)
 
     # EM-iteration throughput vs reference single-node, at two levels
     em8 = run_em_iters("local[8]", 8, EM_ROWS, iters=3)

@@ -63,36 +63,75 @@ def winnow_select(hashes: np.ndarray, mask: np.ndarray, window: int) -> list[np.
     return out
 
 
-def suffix_array(s: np.ndarray) -> np.ndarray:
+def suffix_array(s: np.ndarray, return_levels: bool = False):
     """Suffix array of an integer sequence via prefix doubling (np.lexsort).
 
     O(n log n) lexsorts, fully vectorized — the per-group analogue of the
     corpus-level suffix array in Lee et al. 2022.
+
+    With ``return_levels=True`` returns ``(order, levels)`` where ``levels`` is
+    ``[(k, rank_k), ...]``: the length-k substring rank tables produced at each
+    doubling step (int32). They come for free during construction and power the
+    vectorized adjacent-LCP computation (``adjacent_lcp``).
     """
     s = np.asarray(s, dtype=np.int64)
     n = len(s)
     if n == 0:
-        return np.empty(0, dtype=np.int64)
-    rank = np.unique(s, return_inverse=True)[1].astype(np.int64)
+        empty = np.empty(0, dtype=np.int64)
+        return (empty, []) if return_levels else empty
+    rank = np.unique(s, return_inverse=True)[1].astype(np.int32)
+    levels: list[tuple[int, np.ndarray]] = [(1, rank)]
     k = 1
     order = np.argsort(rank, kind="stable")
     if rank[order[-1]] == n - 1:
-        return order
+        return (order, levels) if return_levels else order
     while True:
-        key2 = np.full(n, -1, dtype=np.int64)
+        key2 = np.full(n, -1, dtype=np.int32)
         if k < n:
             key2[: n - k] = rank[k:]
         order = np.lexsort((key2, rank))
         r1, r2 = rank[order], key2[order]
-        diff = np.empty(n, dtype=np.int64)
+        diff = np.empty(n, dtype=np.int32)
         diff[0] = 0
-        diff[1:] = ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(np.int64)
-        newrank = np.cumsum(diff)
-        rank = np.empty(n, dtype=np.int64)
+        diff[1:] = ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(np.int32)
+        newrank = np.cumsum(diff, dtype=np.int32)
+        rank = np.empty(n, dtype=np.int32)
         rank[order] = newrank
-        if newrank[-1] == n - 1:
-            return order
         k <<= 1
+        levels.append((k, rank))
+        if newrank[-1] == n - 1:
+            return (order, levels) if return_levels else order
+
+
+def adjacent_lcp(
+    order: np.ndarray, levels: list[tuple[int, np.ndarray]], n: int
+) -> np.ndarray:
+    """Vectorized LCP of adjacent suffix-array entries from doubling rank tables.
+
+    Replaces the scalar Kasai loop (its h-extension is O(n) *Python* iterations —
+    the dominant cost on multi-MB groups). Walk the levels from the largest k
+    down: whenever the two suffixes' length-k ranks (offset by the LCP matched so
+    far) agree, extend the LCP by k. Equal rank at any level implies genuinely
+    equal (untruncated) content here because every document ends with a unique
+    sentinel — no two distinct positions can share a truncated suffix.
+    Returns lcp[i] = LCP(order[i-1], order[i]) with lcp[0] = 0 (Kasai layout).
+    """
+    if n < 2:
+        return np.zeros(n, dtype=np.int64)
+    a = order[:-1].astype(np.int64)
+    b = order[1:].astype(np.int64)
+    l = np.zeros(n - 1, dtype=np.int64)
+    for k, rank in reversed(levels):
+        ia = a + l
+        ib = b + l
+        ok = (ia + k <= n) & (ib + k <= n)
+        idx_a = np.where(ok, ia, 0)
+        idx_b = np.where(ok, ib, 0)
+        ok &= rank[idx_a] == rank[idx_b]
+        l[ok] += k
+    lcp = np.zeros(n, dtype=np.int64)
+    lcp[1:] = l
+    return lcp
 
 
 def lcp_array(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
@@ -142,17 +181,15 @@ def substring_pairs_in_group(
     lengths then lower bounds) — the skew guard for pathological groups.
     """
     seq, doc_of = _concat_group(texts)
-    sa = suffix_array(seq)
-    lcp = lcp_array(seq, sa)
+    sa, levels = suffix_array(seq, return_levels=True)
+    lcp = adjacent_lcp(sa, levels, len(sa))
+    del levels
     n = len(sa)
-    best: dict[tuple[int, int], int] = {}
-
-    def emit(a: int, b: int, length: int) -> None:
-        if a == b or a < 0 or b < 0:
-            return
-        key = (a, b) if a < b else (b, a)
-        if length > best.get(key, 0):
-            best[key] = length
+    # vectorized accumulation: (a_doc, b_doc, bound) triples per run, combined
+    # with one lexsort groupby-max at the end — no per-pair Python
+    accs_a: list[np.ndarray] = []
+    accs_b: list[np.ndarray] = []
+    accs_l: list[np.ndarray] = []
 
     i = 1
     while i < n:
@@ -170,13 +207,34 @@ def substring_pairs_in_group(
             # pairwise interval minima: row a = cummin of runs_lcp[a:]
             for a in range(r - 1):
                 m = np.minimum.accumulate(runs_lcp[a:])
-                da = docs[a]
-                for off, mv in enumerate(m):
-                    emit(da, docs[a + 1 + off], int(mv))
+                accs_a.append(np.full(r - 1 - a, docs[a], dtype=np.int64))
+                accs_b.append(docs[a + 1 :])
+                accs_l.append(m)
         else:
-            for a in range(r - 1):
-                emit(docs[a], docs[a + 1], int(runs_lcp[a]))
-    return best
+            # skew guard: adjacent pairs only (connectivity + lower bounds)
+            accs_a.append(docs[:-1])
+            accs_b.append(docs[1:])
+            accs_l.append(runs_lcp)
+
+    if not accs_a:
+        return {}
+    a = np.concatenate(accs_a)
+    b = np.concatenate(accs_b)
+    ln = np.concatenate(accs_l)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    valid = (lo >= 0) & (lo != hi)  # drop sentinel suffixes and same-doc pairs
+    lo, hi, ln = lo[valid], hi[valid], ln[valid]
+    if not len(lo):
+        return {}
+    order = np.lexsort((-ln, hi, lo))  # per (lo, hi): longest first
+    lo, hi, ln = lo[order], hi[order], ln[order]
+    first = np.ones(len(lo), dtype=bool)
+    first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+    return {
+        (int(x), int(y)): int(v)
+        for x, y, v in zip(lo[first], hi[first], ln[first])
+    }
 
 
 def brute_force_lcs(a: bytes, b: bytes) -> int:
