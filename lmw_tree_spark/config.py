@@ -32,12 +32,12 @@ class PipelineConfig:
     bucket_pair_cap: int = 24     # buckets larger than this emit chain edges only
                                   # (chain keeps connectivity; cap bounds clique
                                   # pair volume at cap*(cap-1)/2 per bucket)
-    bucket_salt_rows: int = 65536 # max rows one chain-window partition may hold:
-                                  # a skewed bucket (hot band) is split into
-                                  # ceil(size/this) salted sub-chains linked by
-                                  # per-salt representatives — bounds any single
-                                  # task regardless of key skew (AQE cannot split
-                                  # a window partition, so salting is explicit)
+    chain_salts: int = 4096       # fixed salt count for the two-level chain
+                                  # windows: level-1 sorts (bucket, hash(id)%this)
+                                  # sub-chains (max ~size/this rows per task at
+                                  # any skew), level-2 links ≤ this per-salt
+                                  # representatives per bucket. Explicit skew
+                                  # handling — AQE cannot split a window partition
     # (substring buckets use winnowing with window = substring_len - shingle_k + 1:
     #  exact share-substring(≥L) ⇒ share-fingerprint guarantee at ~2/(w+1) density)
     verify_minhash_prefix: int = 32  # minhash values used for pair verification

@@ -15,9 +15,9 @@ exhaustively; candidate generation is the scale path that makes 10^12 rows feasi
      (``lead`` window). O(n) edges per bucket, preserves connectivity for the
      connected-components pass no matter how skewed the bucket — a 10M-row bucket
      of identical memes emits 10M-1 edges, never 10M² pairs. Skew is handled
-     EXPLICITLY with salted keys (AQE cannot split a window partition): oversize
-     buckets are hashed into bounded sub-chains re-linked through per-salt
-     representatives — see ``edges_from_buckets``.
+     EXPLICITLY with fixed salted keys (AQE cannot split a window partition):
+     chains run in two levels — (bucket, hash-salt) sub-chains, then per-salt
+     representatives linked within the bucket — see ``edges_from_buckets``.
    - *clique edges*: buckets with ≤ cfg.bucket_pair_cap members additionally emit
      all pairs (better direct recall for near-dup verification).
 3. **Verification**: join both endpoints' signatures and evaluate phash/simhash
@@ -131,65 +131,68 @@ def lgram_buckets(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def edges_from_buckets(
-    buckets: DataFrame, pair_cap: int, salt_rows: int = 65536
+    buckets: DataFrame, pair_cap: int, chain_salts: int = 4096
 ) -> DataFrame:
     """(bucket, image_id) → candidate edges (src < dst), JVM-only.
 
     Chain edges give O(n)-per-bucket connectivity regardless of skew; clique edges
     (bucket size ≤ pair_cap) add direct pairs for verification recall.
 
-    Singleton buckets (the vast majority) are dropped by an aggregate+join BEFORE
-    any window sort, so the expensive per-bucket ordering only touches colliding
-    rows. Producers guarantee (bucket, image_id) uniqueness, so no global
-    dedup pass is needed here.
+    **Every stage here is skew-bounded by construction** (north-rule requirement;
+    AQE splits skewed *joins* but can never split a *window* partition):
 
-    **Explicit skew salting** (north-rule requirement; AQE splits skewed *joins*
-    but can never split a *window* partition): a bucket larger than ``salt_rows``
-    is hashed into ``ceil(size/salt_rows)`` salted sub-chains, so no single task
-    ever sorts more than ``salt_rows`` rows — a 10M-row bucket of identical memes
-    becomes ~153 parallel 64k-row chains. Connectivity across sub-chains is
-    restored by a second, tiny window over the per-salt representatives (min id
-    per sub-chain: ≤ size/salt_rows rows per bucket)."""
-    multi = (
+    - *Level-1 chains* sort within ``(bucket, salt)`` where
+      ``salt = hash(id) % chain_salts`` — a fixed salting that needs NO bucket
+      size, so no count-join precedes it. The largest window partition is
+      ~``size/chain_salts`` rows: a 10M-row bucket of identical memes becomes
+      ~2.4k-row parallel sub-chains at the default 4096 salts.
+    - *Level-2* chains the per-salt representatives (min id per sub-chain) within
+      each bucket — at most ``chain_salts`` rows per window partition, restoring
+      cross-salt connectivity. Singleton and small buckets chain entirely here
+      (their members land in distinct salts), so level 1 is a no-op for them and
+      the behavior matches unsalted sorted-adjacency chaining.
+    - *Cliques* need bucket sizes, but the count is a partial-aggregated
+      ``groupBy`` (skew-immune) and the members-of-small-buckets join is an
+      equi-join AQE can split; the ``collect_list`` buffer is bounded because
+      only buckets ≤ pair_cap reach it. Pair expansion is an array transform —
+      no self-join.
+
+    Producers guarantee (bucket, image_id) uniqueness; the final
+    ``dropDuplicates`` dedups across the three edge sources."""
+    salted = buckets.withColumn(
+        "salt", F.pmod(F.xxhash64("image_id"), F.lit(chain_salts))
+    )
+    w1 = Window.partitionBy("bucket", "salt").orderBy("image_id")
+    chain = (
+        salted.withColumn("nxt", F.lead("image_id").over(w1))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("image_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+
+    reps = salted.groupBy("bucket", "salt").agg(F.min("image_id").alias("image_id"))
+    w2 = Window.partitionBy("bucket").orderBy("image_id")
+    rep_chain = (
+        reps.withColumn("nxt", F.lead("image_id").over(w2))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("image_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+
+    small_ids = (
         buckets.groupBy("bucket")
         .agg(F.count("*").alias("bsize"))
-        .where(F.col("bsize") >= 2)
+        .where((F.col("bsize") >= 2) & (F.col("bsize") <= pair_cap))
+        .select("bucket")
     )
-    sized = buckets.join(multi, "bucket")
-    n_salts = F.ceil(F.col("bsize") / F.lit(salt_rows))
-    salted = sized.withColumn(
-        "salt",
-        F.when(F.col("bsize") <= salt_rows, F.lit(0)).otherwise(
-            F.pmod(F.xxhash64("image_id"), n_salts)
-        ),
+    pairs_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS src, y AS dst))))"
     )
-    w = Window.partitionBy("bucket", "salt").orderBy("image_id")
-
-    chain = (
-        salted.withColumn("nxt", F.lead("image_id").over(w))
-        .where(F.col("nxt").isNotNull())
-        .select(F.col("image_id").alias("src"), F.col("nxt").alias("dst"))
-    )
-
-    # link the salted sub-chains of oversize buckets (no-op when nothing is salted)
-    reps = (
-        salted.where(F.col("bsize") > salt_rows)
-        .groupBy("bucket", "salt")
-        .agg(F.min("image_id").alias("image_id"))
-    )
-    wr = Window.partitionBy("bucket").orderBy("image_id")
-    rep_chain = (
-        reps.withColumn("nxt", F.lead("image_id").over(wr))
-        .where(F.col("nxt").isNotNull())
-        .select(F.col("image_id").alias("src"), F.col("nxt").alias("dst"))
-    )
-
-    small = sized.where(F.col("bsize") <= pair_cap).select("bucket", "image_id")
     clique = (
-        small.alias("a")
-        .join(small.alias("b"), "bucket")
-        .where(F.col("a.image_id") < F.col("b.image_id"))
-        .select(F.col("a.image_id").alias("src"), F.col("b.image_id").alias("dst"))
+        buckets.join(small_ids, "bucket")
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("image_id")).alias("ids"))
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.src", "p.dst")
     )
     return (
         chain.unionByName(rep_chain)
@@ -206,7 +209,7 @@ def candidate_edges(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .unionByName(hamming64_buckets(sigs, "simhash", cfg.phash_bands, namespace=2))
         .unionByName(lgram_buckets(sigs, cfg))
     )
-    return edges_from_buckets(buckets, cfg.bucket_pair_cap, cfg.bucket_salt_rows)
+    return edges_from_buckets(buckets, cfg.bucket_pair_cap, cfg.chain_salts)
 
 
 def minhash_agreement_col() -> F.Column:

@@ -76,17 +76,7 @@ def test_bucket_cap_emits_chain_not_clique(spark):
     assert cnt == n - 1  # chain only — skew-safe
 
 
-def test_salted_mega_bucket_stays_connected_and_bounded(spark):
-    """Skew salting: with salt_rows=50, a 500-row bucket splits into ~10 bounded
-    sub-chains; representative linking must keep every member in ONE component,
-    and edge volume stays O(n)."""
-    n = 500
-    df = spark.createDataFrame(
-        [(1, f"id{i:05d}") for i in range(n)], "bucket long, image_id string"
-    )
-    edges = lsh.edges_from_buckets(df, pair_cap=16, salt_rows=50).collect()
-    assert n - 1 <= len(edges) <= n + 12  # chains + ≤ (n_salts-1) rep links
-
+def _components(edges, ids):
     parent = {}
 
     def find(x):
@@ -98,24 +88,39 @@ def test_salted_mega_bucket_stays_connected_and_bounded(spark):
 
     for r in edges:
         parent[find(r["src"])] = find(r["dst"])
-    roots = {find(f"id{i:05d}") for i in range(n)}
-    assert len(roots) == 1, "salting broke bucket connectivity"
+    groups = {}
+    for i in ids:
+        groups.setdefault(find(i), set()).add(i)
+    return {frozenset(g) for g in groups.values()}
 
 
-def test_salting_does_not_change_small_buckets(spark):
+def test_salted_mega_bucket_stays_connected_and_bounded(spark):
+    """Skew salting: with chain_salts=10, a 500-row bucket chains in ~10 bounded
+    sub-chains; representative linking must keep every member in ONE component,
+    and edge volume stays O(n)."""
+    n = 500
+    ids = [f"id{i:05d}" for i in range(n)]
     df = spark.createDataFrame(
-        [(b, f"id{i}x{b}") for b in range(3) for i in range(5)],
-        "bucket long, image_id string",
+        [(1, i) for i in ids], "bucket long, image_id string"
     )
-    unsalted = {
-        (r["src"], r["dst"])
-        for r in lsh.edges_from_buckets(df, pair_cap=64, salt_rows=65536).collect()
-    }
-    salted = {
-        (r["src"], r["dst"])
-        for r in lsh.edges_from_buckets(df, pair_cap=64, salt_rows=100).collect()
-    }
-    assert unsalted == salted
+    edges = lsh.edges_from_buckets(df, pair_cap=16, chain_salts=10).collect()
+    assert len(edges) == n - 1  # sub-chain edges + rep links, disjoint by design
+    assert _components(edges, ids) == {frozenset(ids)}
+
+
+def test_salt_count_does_not_change_components(spark):
+    ids = [f"id{i}x{b}" for b in range(3) for i in range(5)]
+    df = spark.createDataFrame(
+        [(int(i.split("x")[1]), i) for i in ids], "bucket long, image_id string"
+    )
+    comp_big = _components(
+        lsh.edges_from_buckets(df, pair_cap=64, chain_salts=65536).collect(), ids
+    )
+    comp_small = _components(
+        lsh.edges_from_buckets(df, pair_cap=64, chain_salts=2).collect(), ids
+    )
+    assert comp_big == comp_small
+    assert len(comp_big) == 3
 
 
 def test_small_bucket_emits_clique(spark):
