@@ -350,6 +350,57 @@ def q_embedding_neardup(spark, sf_dir):
     return cosine_neardup_pairs(emb, min_cosine=0.42).orderBy("src", "dst")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster embeddings
+    (here: assign to fixed centroids — the first 8 vectors, mirroring
+    q_centroid_assign), then emit within-cluster pairs above a cosine threshold.
+    The cluster assignment bounds the pair search to O(cluster²) instead of
+    O(n²) — the scale path for embedding near-dup at 10^12 rows."""
+    from lmw_tree_spark.operators.similarity import centroid_assign, cosine_sim_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = centroid_assign(emb, F.col("vec_id") < 8).select("vec_id", "cluster")
+    with_vec = assigned.join(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+        ),
+        "vec_id",
+    )
+    a = with_vec.select(
+        "cluster", F.col("vec_id").alias("src"), F.col("vec").alias("a_vec")
+    )
+    b = with_vec.select(
+        "cluster", F.col("vec_id").alias("dst"), F.col("vec").alias("b_vec")
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            "cluster",
+            "src",
+            "dst",
+            F.round(cosine_sim_col("a_vec", "b_vec"), 4).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.4)
+        .orderBy("src", "dst")
+    )
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary stats — the tokenizer-prep aggregation of a training-data
+    pipeline: top 20 tokens by document frequency (ties → token asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).distinct()
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
 def q_suffix_pairs(spark, sf_dir):
     """Suffix-array substring pass (winnow → per-group SA+LCP, exact): doc pairs
     sharing a common substring of length ≥ 20 in lowercased text. Oracle: two docs
@@ -531,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_dims": q_reduce_dims,
         "group_size_histogram": q_group_size_histogram,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
+        "vocab_stats": q_vocab_stats,
         "suffix_pairs": q_suffix_pairs,
         "cosine_topk": q_cosine_topk,
         "centroid_assign": q_centroid_assign,
@@ -756,6 +809,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 4) >= 0.42
             ORDER BY src, dst
+        """,
+        "semantic_dedup": """
+            WITH scored AS (
+                SELECT v.vec_id, c.vec_id AS cluster,
+                       round(list_distance(v.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS dist
+                FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+            assigned AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist ASC, cluster ASC) AS rn
+                    FROM scored) WHERE rn = 1)
+            SELECT a.cluster, a.vec_id AS src, b.vec_id AS dst,
+                   round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                eb.embedding::DOUBLE[]), 4) AS cosine_sim
+            FROM assigned a
+            JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                               eb.embedding::DOUBLE[]), 4) >= 0.4
+            ORDER BY src, dst
+        """,
+        "vocab_stats": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok AS token
+                FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok))
+            SELECT token, count(*)::BIGINT AS doc_freq
+            FROM toks GROUP BY token
+            ORDER BY doc_freq DESC, token ASC LIMIT 20
         """,
         "suffix_pairs": """
             WITH grams AS (
