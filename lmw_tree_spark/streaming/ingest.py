@@ -9,10 +9,11 @@ reference's mini-batch mode, StreamingEMTreeExperiments.h:143-189, maps to runni
 the EM update per ingested batch).
 
 ``stream_images`` wires a rate-source → deterministic generator → parquet/Iceberg
-append via ``foreachBatch``; ``stream_signature_counts`` shows an event-time
-windowed aggregation (watermark + tumbling window) over the ingest stream for
-monitoring — signature popcount distribution per window, the same lineage metric the
-batch checkpointer records.
+append via ``foreachBatch``; ``stream_em_updates`` runs the reference's mini-batch
+EM as a stream — one distributed accumulate + centroid update per micro-batch,
+with per-batch durable tree commits and restart-safe resume (``latest_tree``);
+``stream_event_counts`` shows an event-time windowed aggregation (watermark +
+tumbling window) over the ingest stream for monitoring.
 """
 
 from __future__ import annotations
@@ -51,6 +52,95 @@ def stream_images(
         .trigger(processingTime="2 seconds")
         .start()
     )
+
+
+def stream_em_updates(
+    spark: SparkSession,
+    sig_stream: DataFrame,
+    seed_tree,
+    tree_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Streaming EM-tree updates: one centroid update per micro-batch.
+
+    The streaming counterpart of the reference's mini-batch mode
+    (/root/reference/src/StreamingEMTreeExperiments.h:143-189 — insert a bounded
+    batch, then ``update()``): each micro-batch of signature rows runs the
+    distributed accumulate pass against the CURRENT broadcast tree, the driver
+    finalizes majority prototypes + prunes, and the new tree is checkpointed as
+    rows before the next batch. Restart-safe two ways: Spark's streaming
+    checkpoint replays unprocessed source batches, and ``latest_tree`` reloads
+    the last committed tree so updates resume from where they stopped.
+
+    Returns the StreamingQuery; caller stops it. ``sig_stream`` needs the
+    ``sig array<long>`` column (e.g. ingest parquet → ``extract_signatures``
+    applied to the stream — mapInPandas works on streaming DataFrames).
+    """
+    import os
+
+    from lmw_tree_spark.operators import emtree
+    from lmw_tree_spark.operators.tree import update_tree
+
+    state = {"tree": latest_tree(spark, tree_dir) or seed_tree}
+
+    def update_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bc = spark.sparkContext.broadcast(state["tree"])
+        try:
+            sums, counts, _sse = emtree._accumulate_pass(batch_df.select("sig"), bc)
+        finally:
+            bc.unpersist()
+        if counts.sum() == 0:
+            return
+        state["tree"] = update_tree(state["tree"], sums, counts)
+        rows = [
+            (int(batch_id), lvl, nid, pid, words)
+            for lvl, nid, pid, words in state["tree"].to_rows()
+        ]
+        (
+            spark.createDataFrame(
+                rows,
+                "batch_id long, level int, node_id long, parent_id long, centroid array<long>",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(os.path.join(tree_dir, f"batch={batch_id}"))
+        )
+
+    writer = sig_stream.writeStream.foreachBatch(update_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trigger = trigger or {"processingTime": "5 seconds"}
+    return writer.trigger(**trigger).start()
+
+
+def latest_tree(spark: SparkSession, tree_dir: str):
+    """Load the highest-batch committed tree from ``tree_dir`` (None if empty)."""
+    import os
+
+    from lmw_tree_spark.operators.tree import CentroidTree
+
+    if not os.path.isdir(tree_dir):
+        return None
+    batches = sorted(
+        (int(d.split("=")[1]), d)
+        for d in os.listdir(tree_dir)
+        if d.startswith("batch=")
+    )
+    for _bid, d in reversed(batches):
+        path = os.path.join(tree_dir, d)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        rows = spark.read.parquet(path).collect()
+        order = max(
+            (len([r for r in rows if r["parent_id"] == p]) for p in {r["parent_id"] for r in rows}),
+            default=2,
+        )
+        return CentroidTree.from_rows(
+            [(r["level"], r["node_id"], r["parent_id"], r["centroid"]) for r in rows],
+            order=order,
+        )
+    return None
 
 
 def stream_event_counts(

@@ -64,6 +64,58 @@ def test_windowed_event_counts_match_batch(spark, tmpdir_ck):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), expect.reset_index(drop=True))
 
 
+def test_stream_em_updates_converge_and_resume(spark, tmpdir_ck, planted_signatures):
+    """foreachBatch EM: each micro-batch updates the centroid tree (reference
+    mini-batch mode as a stream); trees are durably committed per batch and
+    `latest_tree` resumes from the last commit."""
+    import numpy as np
+
+    from lmw_tree_spark.functions.bitops import unpack_bits
+    from lmw_tree_spark.operators.tree import tsvq_init
+    from lmw_tree_spark.streaming.ingest import latest_tree, stream_em_updates
+
+    sigs_u64, _ = planted_signatures
+    src = os.path.join(tmpdir_ck, "sig_src")
+    tree_dir = os.path.join(tmpdir_ck, "trees")
+    ck = os.path.join(tmpdir_ck, "em_ck")
+    rows = [
+        (f"img{i:05d}", sigs_u64[i].view(np.int64).tolist())
+        for i in range(len(sigs_u64))
+    ]
+    # two source files → at least one micro-batch each under availableNow
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], "image_id string, sig array<long>").write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(rows[half:], "image_id string, sig array<long>").write.mode(
+        "append"
+    ).parquet(src)
+
+    seed = tsvq_init(sigs_u64[:100], 4, 2, 0, 7)
+    stream = spark.readStream.schema("image_id string, sig array<long>").parquet(src)
+    q = stream_em_updates(
+        spark, stream, seed, tree_dir, ck, trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+
+    final = latest_tree(spark, tree_dir)
+    assert final is not None and final.n_leaves >= 2
+    # the streamed updates must not degenerate: centroids differ from the seed
+    assert not np.array_equal(final.levels[-1].centroid, seed.levels[-1].centroid)
+
+    # resume: a new query instance starts from the committed tree, not the seed
+    resumed = latest_tree(spark, tree_dir)
+    assert np.array_equal(resumed.levels[-1].centroid, final.levels[-1].centroid)
+
+    # replaying the same availableNow source is a no-op (offsets are committed)
+    q2 = stream_em_updates(
+        spark, stream, seed, tree_dir, ck, trigger={"availableNow": True}
+    )
+    q2.awaitTermination(60)
+    after = latest_tree(spark, tree_dir)
+    assert np.array_equal(after.levels[-1].centroid, final.levels[-1].centroid)
+
+
 @pytest.mark.slow
 def test_rate_source_ingest_appends_input_schema(spark, tmpdir_ck):
     out_dir = os.path.join(tmpdir_ck, "ingest_out")
