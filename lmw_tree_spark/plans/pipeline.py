@@ -35,6 +35,7 @@ class PipelineResult:
     signatures: DataFrame
     dup_groups: DataFrame      # (image_id, dup_group)
     assignments: DataFrame     # (image_id, cluster_id, distance, dup_group)
+    cluster_stats: DataFrame   # (cluster_id, n_objects, rmse) — ClusterStats parity
     tree: CentroidTree
     metrics: list[dict]
 
@@ -113,4 +114,8 @@ def run_pipeline(
             F.coalesce("dup_group", "image_id").alias("dup_group"),
         ),
     )
-    return PipelineResult(sigs, groups, assignments, tree, metrics)
+    # the reference's final pass emits ClusterWriter AND ClusterStats outputs
+    # (/root/reference/src/StreamingEMTreeExperiments.h:66-92); assignments above
+    # are the former, this per-cluster stats table is the latter
+    stats = staged("cluster_stats", lambda: emtree.cluster_stats(assignments))
+    return PipelineResult(sigs, groups, assignments, stats, tree, metrics)

@@ -35,6 +35,11 @@ def test_end_to_end_recall(spark, tmpdir_ck):
     rmses = [m["rmse"] for m in res.metrics]
     assert all(a2 <= a1 + 1e-9 for a1, a2 in zip(rmses, rmses[1:]))
     assert all(m["objects"] == 280 for m in res.metrics)
+    # ClusterStats output: every cluster accounted, counts conserve objects
+    stats = res.cluster_stats.toPandas()
+    assert stats["n_objects"].sum() == 280
+    assert set(stats["cluster_id"]) == set(a["cluster_id"])
+    assert (stats["rmse"] >= 0).all()
 
     # resume: wipe the last stage; earlier stages must be reused, output identical
     os.remove(os.path.join(tmpdir_ck, "assignments", "_SUCCESS"))
