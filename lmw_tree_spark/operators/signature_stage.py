@@ -53,13 +53,16 @@ def _planes(dims: int, bits: int, seed: int) -> np.ndarray:
     return _PLANES_CACHE[key]
 
 
-def _luma32_batch(byte_col, fmt_col) -> np.ndarray:
-    """Decode a batch → (N, 32, 32) float luma (nearest-neighbor resize)."""
+def _luma32_batch(byte_col, fmt_col) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a batch → ((N, 32, 32) float luma via nearest-neighbor resize,
+    (N, 2) original (h, w))."""
     out = np.empty((len(byte_col), 32, 32), dtype=np.float64)
+    dims = np.empty((len(byte_col), 2), dtype=np.int32)
     for i, (data, fmt) in enumerate(zip(byte_col, fmt_col)):
         px = codecs.decode_image(bytes(data), fmt)
+        dims[i] = px.shape[:2]
         out[i] = codecs.resize_nn(codecs.luma(px), 32, 32)
-    return out
+    return out, dims
 
 
 def _project_bits(feats: np.ndarray, bits: int, seed: int) -> np.ndarray:
@@ -73,7 +76,7 @@ def _project_bits(feats: np.ndarray, bits: int, seed: int) -> np.ndarray:
 def compute_signature_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     from lmw_tree_spark.functions.signatures import _dct_matrix
 
-    luma = _luma32_batch(pdf["bytes"], pdf["fmt"])
+    luma, dims = _luma32_batch(pdf["bytes"], pdf["fmt"])
     n = len(pdf)
     # 64-bit SimHash from 8x8 block-mean features of the 32x32 luma
     blocks = luma.reshape(n, 8, 4, 8, 4).mean(axis=(2, 4)).reshape(n, 64)
@@ -87,10 +90,19 @@ def compute_signature_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFr
     # caption MinHash
     sh, mask = char_shingle_hashes(pdf["caption"], cfg.shingle_k)
     mh = minhash_matrix(sh, mask, cfg.minhash_perms, cfg.minhash_seed)
-    # phash is recomputed here too (fidelity check available to callers); we keep the
-    # stored column, which was computed from the same decoded bytes at generation.
-    _ = phash_from_luma32  # recompute path exercised in tests
+    # keep the stored phash where present (it was computed from the same decoded
+    # bytes at generation); COMPUTE it from the decoded pixels where the input
+    # column is null — adapted sources (tar shards, sampled video frames) supply
+    # no phash, and a placeholder constant would put every row in one pigeonhole
+    # bucket AND verify every candidate pair as distance-0 dup
     out = pdf[["image_id", "w", "h", "fmt", "caption", "phash"]].copy()
+    if out["phash"].isna().any():
+        # recompute for the whole batch: Arrow→pandas turns a null-bearing int64
+        # column into float64, so per-row mixing would read stored 64-bit values
+        # through a 53-bit mantissa — all-or-nothing keeps them exact
+        out["phash"] = phash_from_luma32(luma).view(np.int64)
+        out["w"] = dims[:, 1]
+        out["h"] = dims[:, 0]
     out["simhash"] = simhash.view(np.int64)
     out["sig"] = list(u64_to_longs(sig))
     out["minhash"] = list(mh.view(np.int64))

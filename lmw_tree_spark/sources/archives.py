@@ -154,9 +154,11 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def tar_samples_to_images(samples: DataFrame) -> DataFrame:
-    """(shard, sample_id, files) → input_hint-shaped rows for samples carrying an
-    image payload + caption text: (image_id, bytes, fmt, caption). Width/height/
-    phash are computed downstream by the signature stage (which decodes anyway)."""
+    """(shard, sample_id, files) → input-schema rows for samples carrying an
+    image payload + caption text: (image_id, bytes, w, h, fmt, caption, phash).
+    Dimensions and phash are left NULL — the signature stage derives them from
+    the decoded pixels (it decodes each image exactly once anyway); a placeholder
+    constant would poison the phash pigeonhole buckets."""
     from pyspark.sql import functions as F
 
     img = F.coalesce(F.col("files")["png"], F.col("files")["jpg"], F.col("files")["jpeg"])
@@ -171,7 +173,10 @@ def tar_samples_to_images(samples: DataFrame) -> DataFrame:
         .select(
             F.concat_ws("/", "shard", "sample_id").alias("image_id"),
             img.alias("bytes"),
+            F.lit(None).cast("int").alias("w"),
+            F.lit(None).cast("int").alias("h"),
             fmt.alias("fmt"),
             caption.cast("string").alias("caption"),
+            F.lit(None).cast("long").alias("phash"),
         )
     )

@@ -1,0 +1,198 @@
+"""Multimodal payload plumbing: video frame-sampling and audio feature extraction
+over opaque ``binary`` columns.
+
+Same contract as the image codecs (sources/codecs.py): the container has no
+libav/ffmpeg/libsndfile, so REAL mp4/webm/mp3/wav decoding raises
+``NotImplementedError`` at the clearly-marked codec boundary, while everything
+Spark-side — schemas, Arrow batching, frame explosion, windowed features — is real
+and tested against deterministic stand-in containers:
+
+- ``FVID``: header (w, h, n_frames, fps_milli) + length-prefixed FJPG frames
+  (the lossy image stub, ~43 dB PSNR per frame).
+- ``FAUD``: header (sample_rate) + zlib'd int16 PCM mono.
+
+Swap ``decode_video_frames`` / ``decode_audio_pcm`` for PyAV/soundfile bindings in
+production; the operators (``sample_frames``, ``audio_features``) do not change.
+
+Scale shape: one input row (video/audio blob) explodes to k frame rows / one
+feature row inside ``mapInPandas`` — decode happens once per blob per pass, frames
+flow straight into the image signature stage (operators/signature_stage.py), which
+is how video dedup reduces to the image pipeline (per-frame signatures → per-video
+aggregation).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from lmw_tree_spark.sources.codecs import decode_lossy, encode_lossy
+
+FVID_MAGIC = b"FVID"
+FAUD_MAGIC = b"FAUD"
+
+FRAMES_SCHEMA = (
+    "video_id string, frame_idx int, ts_ms long, bytes binary, w int, h int, "
+    "fmt string"
+)
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id string, sample_rate int, n_samples long, duration_ms long, "
+    "rms double, peak double, window_rms array<double>"
+)
+
+
+# ---------------------------------------------------------------------------
+# stand-in containers (STUB boundary — see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def encode_video(frames: np.ndarray, fps: float = 10.0) -> bytes:
+    """(n, h, w, 3) uint8 → FVID bytes (per-frame FJPG)."""
+    n, h, w, _ = frames.shape
+    parts = [FVID_MAGIC, struct.pack(">HHIH", w, h, n, int(fps * 1000) & 0xFFFF)]
+    for i in range(n):
+        blob = encode_lossy(frames[i])
+        parts.append(struct.pack(">I", len(blob)))
+        parts.append(blob)
+    return b"".join(parts)
+
+
+def decode_video_frames(data: bytes, fmt: str, every_k: int = 1) -> tuple:
+    """FVID bytes → (sampled frame blobs as FJPG bytes, indices, w, h, fps).
+
+    Real video formats are NOT implemented (no libav in this environment)."""
+    if fmt != "fvid" or data[:4] != FVID_MAGIC:
+        raise NotImplementedError(
+            f"real video decoding ({fmt!r}) requires libav, unavailable here; "
+            "only the deterministic FVID stand-in is supported"
+        )
+    w, h, n, fps_milli = struct.unpack(">HHIH", data[4:14])
+    pos = 14
+    blobs, idxs = [], []
+    for i in range(n):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        pos += 4
+        if i % every_k == 0:
+            blobs.append(data[pos : pos + length])
+            idxs.append(i)
+        pos += length
+    return blobs, idxs, w, h, fps_milli / 1000.0
+
+
+def encode_audio(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono PCM → FAUD bytes."""
+    assert pcm.dtype == np.int16
+    return FAUD_MAGIC + struct.pack(">I", sample_rate) + zlib.compress(pcm.tobytes(), 6)
+
+
+def decode_audio_pcm(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """FAUD bytes → (int16 PCM, sample_rate). Real audio formats raise."""
+    if fmt != "faud" or data[:4] != FAUD_MAGIC:
+        raise NotImplementedError(
+            f"real audio decoding ({fmt!r}) requires libsndfile/ffmpeg, "
+            "unavailable here; only the deterministic FAUD stand-in is supported"
+        )
+    (rate,) = struct.unpack(">I", data[4:8])
+    pcm = np.frombuffer(zlib.decompress(data[8:]), dtype=np.int16)
+    return pcm, rate
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (real plumbing)
+# ---------------------------------------------------------------------------
+
+
+def sample_frames(
+    videos: DataFrame,
+    every_k: int = 1,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """(video_id, bytes, fmt) → one row per sampled frame (FRAMES_SCHEMA).
+
+    Frame rows carry FJPG payloads directly consumable by the image signature
+    stage; ``ts_ms`` is derived from the container fps for event-time use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, idxs, ts, blobs, ws, hs = [], [], [], [], [], []
+            for vid, blob, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                fb, fi, w, h, fps = decode_video_frames(bytes(blob), fmt, every_k)
+                step_ms = 1000.0 / max(fps, 1e-6)
+                ids += [vid] * len(fb)
+                idxs += fi
+                ts += [int(i * step_ms) for i in fi]
+                blobs += fb
+                ws += [w] * len(fb)
+                hs += [h] * len(fb)
+            yield pd.DataFrame(
+                {
+                    "video_id": ids,
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "ts_ms": np.array(ts, dtype=np.int64),
+                    "bytes": blobs,
+                    "w": np.array(ws, dtype=np.int32),
+                    "h": np.array(hs, dtype=np.int32),
+                    "fmt": "jpeg",  # FJPG payload — image codec dispatch handles it
+                }
+            )
+
+    return videos.select(id_col, bytes_col, fmt_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
+def audio_features(
+    audio: DataFrame,
+    window_ms: int = 250,
+    id_col: str = "audio_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """(audio_id, bytes, fmt) → one feature row per clip (AUDIO_FEATURES_SCHEMA):
+    global RMS/peak (float in [-1, 1] domain) + per-window RMS vector — the
+    fingerprint-ready energy envelope."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for aid, blob, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                pcm, rate = decode_audio_pcm(bytes(blob), fmt)
+                x = pcm.astype(np.float64) / 32768.0
+                win = max(1, rate * window_ms // 1000)
+                n_win = len(x) // win
+                wr = (
+                    np.sqrt((x[: n_win * win].reshape(n_win, win) ** 2).mean(axis=1))
+                    if n_win
+                    else np.empty(0)
+                )
+                rows.append(
+                    (
+                        aid,
+                        rate,
+                        len(pcm),
+                        int(len(pcm) * 1000 / rate),
+                        float(np.sqrt((x**2).mean())) if len(x) else 0.0,
+                        float(np.abs(x).max()) if len(x) else 0.0,
+                        wr.tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "sample_rate", "n_samples", "duration_ms",
+                    "rms", "peak", "window_rms",
+                ],
+            )
+
+    return audio.select(id_col, bytes_col, fmt_col).mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )

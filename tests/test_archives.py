@@ -84,24 +84,20 @@ def test_warc_records_roundtrip(spark, tmpdir_ck):
 
 
 def test_tar_to_pipeline_signatures(spark, tmpdir_ck):
-    """Tar shards feed the signature stage directly (w/h/phash derived there)."""
-    from pyspark.sql import functions as F
-
+    """Tar shards feed the signature stage directly; null w/h/phash are derived
+    from the decoded pixels (a placeholder constant would poison the phash
+    pigeonhole buckets — every row would pair with every other)."""
     from lmw_tree_spark.config import SMALL
     from lmw_tree_spark.operators.signature_stage import extract_signatures
 
     _make_tar_shard(os.path.join(tmpdir_ck, "shard-0.tar"), 4, seed=3)
     images = tar_samples_to_images(
         read_tar_shards(spark, os.path.join(tmpdir_ck, "shard-0.tar"))
-    ).select(
-        "image_id",
-        "bytes",
-        F.lit(8).alias("w"),
-        F.lit(8).alias("h"),
-        "fmt",
-        "caption",
-        F.lit(0).cast("long").alias("phash"),
     )
+    assert images.schema["phash"].dataType.typeName() == "long"
     sigs = extract_signatures(images, SMALL).toPandas()
     assert len(sigs) == 4
     assert all(len(s) == SMALL.sig_bits // 64 for s in sigs["sig"])
+    # derived from pixels, not placeholder: distinct phashes, real dimensions
+    assert sigs["phash"].nunique() == 4
+    assert (sigs["w"] == 8).all() and (sigs["h"] == 8).all()

@@ -1,0 +1,82 @@
+"""Video frame-sampling + audio feature plumbing (deterministic stand-in codecs)."""
+
+import numpy as np
+import pytest
+
+from lmw_tree_spark.sources import codecs
+from lmw_tree_spark.sources.multimodal import (
+    audio_features,
+    decode_audio_pcm,
+    decode_video_frames,
+    encode_audio,
+    encode_video,
+    sample_frames,
+)
+
+
+def _video(n=12, h=16, w=16, seed=5):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+
+
+def test_fvid_roundtrip_psnr():
+    frames = _video()
+    blob = encode_video(frames, fps=10.0)
+    fb, idxs, w, h, fps = decode_video_frames(blob, "fvid", every_k=1)
+    assert (w, h, fps) == (16, 16, 10.0) and idxs == list(range(12))
+    decoded = codecs.decode_lossy(fb[3])
+    assert codecs.psnr(frames[3], decoded) >= 40.0  # lossy fidelity invariant
+
+
+def test_real_video_formats_raise():
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(b"\x00\x00\x00\x18ftypmp42", "mp4")
+    with pytest.raises(NotImplementedError):
+        decode_audio_pcm(b"ID3\x04", "mp3")
+
+
+def test_sample_frames_explodes_and_feeds_signature_stage(spark):
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+
+    rows = [
+        (f"vid{i}", bytearray(encode_video(_video(seed=i), fps=5.0)), "fvid")
+        for i in range(3)
+    ]
+    videos = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    frames = sample_frames(videos, every_k=4)
+    pdf = frames.toPandas()
+    assert len(pdf) == 3 * 3  # 12 frames, every 4th
+    assert set(pdf["frame_idx"]) == {0, 4, 8}
+    assert list(pdf["ts_ms"].sort_values().unique()) == [0, 800, 1600]  # 5 fps
+
+    # frame rows plug straight into the image signature stage (phash null →
+    # computed per frame from decoded pixels)
+    images = frames.select(
+        F.concat_ws("#", "video_id", "frame_idx").alias("image_id"),
+        "bytes", "w", "h", "fmt",
+        F.concat_ws(" ", F.lit("frame of"), "video_id").alias("caption"),
+        F.lit(None).cast("long").alias("phash"),
+    )
+    sigs = extract_signatures(images, SMALL).toPandas()
+    assert len(sigs) == 9
+    assert all(len(s) == SMALL.sig_bits // 64 for s in sigs["sig"])
+    assert sigs["phash"].nunique() > 1  # real per-frame phashes, not placeholder
+
+
+def test_audio_features_match_numpy(spark):
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    pcm = (np.sin(2 * np.pi * 440 * t / rate) * 16000).astype(np.int16)
+    rows = [("a0", bytearray(encode_audio(pcm, rate)), "faud")]
+    audio = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    got = audio_features(audio, window_ms=250).toPandas().iloc[0]
+    x = pcm.astype(np.float64) / 32768.0
+    assert got["sample_rate"] == rate and got["n_samples"] == rate
+    assert got["duration_ms"] == 1000
+    assert abs(got["rms"] - np.sqrt((x**2).mean())) < 1e-9
+    assert len(got["window_rms"]) == 4  # 4 x 250ms windows
+    # a pure tone has uniform energy per window
+    assert np.allclose(got["window_rms"], got["rms"], rtol=1e-2)
