@@ -57,8 +57,11 @@ def char_shingle_hashes(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, np.nd
     """k-char shingle hashes for a batch of strings.
 
     Returns ``(hashes, mask)``: hashes is (N, S) uint64 (S = max shingle count in
-    batch), mask is (N, S) bool marking valid positions. Texts shorter than k get a
-    single sentinel shingle (hash of the whole padded text) so every row has ≥1.
+    batch), mask is (N, S) bool marking valid positions. Non-empty texts shorter
+    than k get a single shingle (hash of the whole zero-padded text) so they can
+    still match their exact duplicates; EMPTY texts get NO shingles (all-False
+    mask) — an empty caption carries no similarity evidence, and a shared padded
+    shingle would make every captionless row pairwise identical.
     Vectorized: k shifted multiply-adds over the byte matrix, no per-row loop.
     """
     encoded = [
@@ -77,7 +80,8 @@ def char_shingle_hashes(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, np.nd
     for j in range(k):
         acc = _mod61(_mulmod61(acc, _BASE) + mat[:, j : j + s] + np.uint64(1))
     positions = np.arange(s, dtype=np.int64)[None, :]
-    mask = positions <= (lens[:, None] - k)
+    true_lens = np.array([len(e) for e in encoded], dtype=np.int64)
+    mask = (positions <= (lens[:, None] - k)) & (true_lens[:, None] > 0)
     return acc, mask
 
 

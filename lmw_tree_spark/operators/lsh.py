@@ -57,8 +57,15 @@ def minhash_buckets(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
             if not len(pdf):
                 continue
             mh = np.array(list(pdf["minhash"]), dtype=np.int64).view(np.uint64)
+            # captions too short to shingle yield the all-sentinel signature —
+            # no caption evidence; banding them would bucket every captionless
+            # row together
+            nonempty = ~(mh == np.uint64(0xFFFFFFFFFFFFFFFF)).all(axis=1)
+            if not nonempty.any():
+                continue
+            mh = mh[nonempty]
             bands = band_hashes(mh, n_bands)  # (N, b) int64
-            ids = pdf["image_id"].to_numpy()
+            ids = pdf["image_id"].to_numpy()[nonempty]
             yield pd.DataFrame(
                 {
                     "bucket": bands.ravel(),
@@ -214,8 +221,13 @@ def candidate_edges(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def minhash_agreement_col() -> F.Column:
     """Fraction of agreeing MinHash values between columns a_mh / b_mh (estimates
-    caption Jaccard) — zip_with + aggregate, stays in codegen."""
-    return (
+    caption Jaccard) — zip_with + aggregate, stays in codegen.
+
+    The all-sentinel signature (every value -1 as int64; produced for captions
+    too short to shingle) carries NO caption evidence: agreement against it is
+    0, never 1 — otherwise any two captionless images would verify as dups."""
+    empty = lambda c: (F.array_min(c) == F.lit(-1)) & (F.array_max(c) == F.lit(-1))
+    agree = (
         F.aggregate(
             F.zip_with("a_mh", "b_mh", lambda x, y: (x == y).cast("int")),
             F.lit(0),
@@ -223,6 +235,7 @@ def minhash_agreement_col() -> F.Column:
         )
         / F.size("a_mh")
     ).cast("double")
+    return F.when(empty("a_mh") | empty("b_mh"), F.lit(0.0)).otherwise(agree)
 
 
 def verify_edges(edges: DataFrame, sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:

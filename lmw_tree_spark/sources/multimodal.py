@@ -148,6 +148,72 @@ def sample_frames(
     return videos.select(id_col, bytes_col, fmt_col).mapInPandas(run, FRAMES_SCHEMA)
 
 
+def video_neardup_groups(
+    videos: DataFrame,
+    cfg,
+    every_k: int = 2,
+    min_frame_frac: float = 0.5,
+    id_col: str = "video_id",
+) -> DataFrame:
+    """Video near-duplicate groups via frame-level reduction.
+
+    The video modality reduces to the image pipeline: sample frames →
+    per-frame signatures (null phash → computed from pixels) → LSH candidate
+    pairs → verified frame near-dups → per-video evidence aggregation. Two
+    videos are near-dups when their verified frame matches cover at least
+    ``min_frame_frac`` of the smaller video's sampled frames; connected
+    components over those video edges give the dup groups (video_id, dup_group).
+
+    Scale shape: frame volume = rows × frames/every_k, all stages inherit the
+    image pipeline's skew-bounded candidate generation; the per-video rollup is
+    one partial-aggregated groupBy.
+    """
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.operators import lsh
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+
+    frames = sample_frames(videos, every_k, id_col=id_col)
+    images = frames.select(
+        F.concat_ws("#", id_col, "frame_idx").alias("image_id"),
+        "bytes",
+        "w",
+        "h",
+        "fmt",
+        F.lit("").alias("caption"),
+        F.lit(None).cast("long").alias("phash"),
+    )
+    sigs = extract_signatures(images, cfg)
+    verified = (
+        lsh.verify_edges(lsh.candidate_edges(sigs, cfg), sigs, cfg)
+        .where("is_dup")
+    )
+    vsrc = F.substring_index("src", "#", 1)
+    vdst = F.substring_index("dst", "#", 1)
+    pair_votes = (
+        verified.select(
+            F.least(vsrc, vdst).alias("a"), F.greatest(vsrc, vdst).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("matched"))
+    )
+    n_frames = frames.groupBy(id_col).agg(F.count("*").alias("nf"))
+    video_edges = (
+        pair_votes.join(
+            n_frames.select(F.col(id_col).alias("a"), F.col("nf").alias("na")), "a"
+        )
+        .join(n_frames.select(F.col(id_col).alias("b"), F.col("nf").alias("nb")), "b")
+        .where(F.col("matched") >= F.least("na", "nb") * F.lit(min_frame_frac))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return connected_components(
+        video_edges, vertices=videos.select(F.col(id_col).alias("image_id")),
+        id_col="image_id", label_col="dup_group",
+    ).select(F.col("image_id").alias(id_col), "dup_group")
+
+
 def audio_features(
     audio: DataFrame,
     window_ms: int = 250,

@@ -66,6 +66,32 @@ def test_sample_frames_explodes_and_feeds_signature_stage(spark):
     assert sigs["phash"].nunique() > 1  # real per-frame phashes, not placeholder
 
 
+def test_video_neardup_groups(spark):
+    """Video dedup via frame reduction: a noise-perturbed copy co-groups with
+    its source; an unrelated video stays alone."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.sources.multimodal import video_neardup_groups
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+    noisy = np.clip(
+        base.astype(np.int16) + rng.integers(-2, 3, base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+    rows = [
+        ("v0", bytearray(encode_video(base)), "fvid"),
+        ("v1", bytearray(encode_video(other)), "fvid"),
+        ("v2", bytearray(encode_video(noisy)), "fvid"),
+    ]
+    videos = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    groups = {
+        r["video_id"]: r["dup_group"]
+        for r in video_neardup_groups(videos, SMALL, every_k=2).collect()
+    }
+    assert groups["v0"] == groups["v2"]
+    assert groups["v1"] != groups["v0"]
+
+
 def test_audio_features_match_numpy(spark):
     rate = 8000
     t = np.arange(rate)  # 1 second
