@@ -148,6 +148,47 @@ def sample_frames(
     return videos.select(id_col, bytes_col, fmt_col).mapInPandas(run, FRAMES_SCHEMA)
 
 
+def audio_neardup_groups(
+    audio: DataFrame,
+    window_ms: int = 250,
+    quant_db: float = 3.0,
+    id_col: str = "audio_id",
+) -> DataFrame:
+    """Audio near-duplicate groups via quantized energy-envelope fingerprints.
+
+    The per-window RMS envelope (``audio_features``) is quantized to
+    ``quant_db``-wide log-energy steps and hashed — clips whose loudness
+    envelope matches at that resolution (same content re-encoded, volume-shifted
+    by < quant_db/2) share a fingerprint. Exact hash-groupBy then yields groups:
+    the audio analogue of the image pipeline's exact-dedup first pass (swap the
+    envelope for chromaprint bindings in production; the dataflow is identical).
+    Output (audio_id, dup_group, group_size).
+    """
+    from pyspark.sql import functions as F
+
+    feats = audio_features(audio, window_ms, id_col=id_col)
+    # log-energy quantization, volume-normalized by the clip's global RMS
+    q = F.transform(
+        "window_rms",
+        lambda x: F.round(
+            F.log10((x + F.lit(1e-9)) / (F.col("rms") + F.lit(1e-9)))
+            * F.lit(20.0 / quant_db)
+        ).cast("int"),
+    )
+    fps = feats.select(
+        F.col(id_col),
+        F.xxhash64(F.concat_ws(",", q), F.col("duration_ms") / 100).alias("fingerprint"),
+    )
+    w_group = fps.groupBy("fingerprint").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    return w_group.select(
+        F.explode("ids").alias(id_col),
+        F.col("ids")[0].alias("dup_group"),
+        F.size("ids").alias("group_size"),
+    )
+
+
 def video_neardup_groups(
     videos: DataFrame,
     cfg,

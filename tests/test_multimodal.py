@@ -92,6 +92,30 @@ def test_video_neardup_groups(spark):
     assert groups["v1"] != groups["v0"]
 
 
+def test_audio_neardup_groups(spark):
+    """Same clip at different volume → same envelope fingerprint; different
+    content → different group."""
+    from lmw_tree_spark.sources.multimodal import audio_neardup_groups
+
+    rate = 8000
+    t = np.arange(rate)
+    tone = np.sin(2 * np.pi * 440 * t / rate)
+    env = np.where((t // (rate // 4)) % 2 == 0, 1.0, 0.25)  # on/off envelope
+    a = (tone * env * 16000).astype(np.int16)
+    a_quiet = (tone * env * 8000).astype(np.int16)          # same content, -6 dB
+    rng = np.random.default_rng(3)
+    b = (rng.standard_normal(rate) * 8000).clip(-32767, 32767).astype(np.int16)
+    rows = [
+        ("a0", bytearray(encode_audio(a, rate)), "faud"),
+        ("a1", bytearray(encode_audio(a_quiet, rate)), "faud"),
+        ("b0", bytearray(encode_audio(b, rate)), "faud"),
+    ]
+    audio = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    g = {r["audio_id"]: r["dup_group"] for r in audio_neardup_groups(audio).collect()}
+    assert g["a0"] == g["a1"]
+    assert g["b0"] != g["a0"]
+
+
 def test_audio_features_match_numpy(spark):
     rate = 8000
     t = np.arange(rate)  # 1 second
