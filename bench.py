@@ -202,6 +202,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "lang_id", "exact_dedup", "token_jaccard", "simhash32", "minhash_sql",
         "suffix_pairs", "cosine_topk", "centroid_assign", "minhash_lsh_dedup",
         "simhash_dedup", "ivf_ann", "user_sessions", "events_hourly",
+        "semantic_dedup", "vocab_stats", "group_size_histogram", "reduce_dims",
     ]
     qs = entry.queries()
     out = {}
