@@ -128,8 +128,12 @@ def minhash_lsh_dedup(
             )
 
     buckets = mh.mapInPandas(bucketer, "bucket long, image_id string")
-    edges = edges_from_buckets(buckets, pair_cap).select(
-        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    # bucket ids chain in STRING order; re-normalize src < dst numerically
+    cast_edges = edges_from_buckets(buckets, pair_cap).select(
+        F.col("src").cast("long").alias("s"), F.col("dst").cast("long").alias("d")
+    )
+    edges = cast_edges.select(
+        F.least("s", "d").alias("src"), F.greatest("s", "d").alias("dst")
     )
     a = mh.select(F.col("doc_id").alias("src"), F.col("minhash").alias("a_mh"))
     b = mh.select(F.col("doc_id").alias("dst"), F.col("minhash").alias("b_mh"))
@@ -188,8 +192,11 @@ def simhash_dedup(
             )
 
     buckets = sh.mapInPandas(bucketer, "bucket long, image_id string")
-    edges = edges_from_buckets(buckets, pair_cap).select(
-        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    cast_edges = edges_from_buckets(buckets, pair_cap).select(
+        F.col("src").cast("long").alias("s"), F.col("dst").cast("long").alias("d")
+    )
+    edges = cast_edges.select(
+        F.least("s", "d").alias("src"), F.greatest("s", "d").alias("dst")
     )
     a = sh.select(F.col("doc_id").alias("src"), F.col("simhash").alias("a_sh"))
     b = sh.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("b_sh"))
