@@ -34,6 +34,11 @@ def main() -> int:
     ap.add_argument("--tree-order", type=int, default=10)
     ap.add_argument("--tree-depth", type=int, default=4)
     ap.add_argument("--em-iters", type=int, default=4)
+    ap.add_argument(
+        "--tsvq-sample", type=int, default=None,
+        help="TSVQ seed sample size; defaults to min(2000, n/4) for synthetic "
+             "input so small demo runs don't seed more leaves than warranted",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -43,11 +48,15 @@ def main() -> int:
     from lmw_tree_spark.sources.images import generate_images
 
     spark = SparkSession.builder.appName("lmw-dedup-cluster").getOrCreate()
+    sample = args.tsvq_sample or (
+        2000 if args.input else min(2000, max(64, args.n_images // 4))
+    )
     cfg = PipelineConfig(
         sig_bits=args.sig_bits,
         tree_order=args.tree_order,
         tree_depth=args.tree_depth,
         em_iters=args.em_iters,
+        tsvq_sample=sample,
     )
     t0 = time.time()
     images = (
