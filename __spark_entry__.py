@@ -350,6 +350,55 @@ def q_embedding_neardup(spark, sf_dir):
     return cosine_neardup_pairs(emb, min_cosine=0.42).orderBy("src", "dst")
 
 
+def q_simhash_knn(spark, sf_dir):
+    """Hamming-distance top-k nearest neighbors — the reference's core NN
+    operation (Optimizer::nearest, /root/reference/src/lmw/Optimizer.h:91-104)
+    as a query: for every 25th doc, the 3 nearest others by
+    bit_count(simhash32 XOR simhash32), ties → neighbor id asc. JVM-side
+    bit_count, broadcast query side, window top-k."""
+    from pyspark.sql import Window
+
+    from lmw_tree_spark.functions.text import token_hash32_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).select("doc_id", token_hash32_col(F.col("tok")).alias("h"))
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    )
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(F.expr("(shiftright(h, j) & 1) * 2 - 1")).alias("vote")
+    )
+    sigs = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("sh")
+    )
+    q = sigs.where(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("sh").alias("q_sh")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(sigs.select(F.col("doc_id").alias("neighbor_id"), F.col("sh")), F.lit(True))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(F.col("q_sh").bitwiseXOR(F.col("sh"))).cast("long").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "dist", F.col("rank").cast("int"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster embeddings
     (here: assign to fixed centroids — the first 8 vectors, mirroring
@@ -582,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_dims": q_reduce_dims,
         "group_size_histogram": q_group_size_histogram,
         "embedding_neardup": q_embedding_neardup,
+        "simhash_knn": q_simhash_knn,
         "semantic_dedup": q_semantic_dedup,
         "vocab_stats": q_vocab_stats,
         "suffix_pairs": q_suffix_pairs,
@@ -809,6 +859,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 4) >= 0.42
             ORDER BY src, dst
+        """,
+        "simhash_knn": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)),
+            votes AS (
+                SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS vote
+                FROM toks, range(32) AS r(j) GROUP BY doc_id, j),
+            sigs AS (
+                SELECT doc_id,
+                       sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS sh
+                FROM votes GROUP BY doc_id),
+            scored AS (
+                SELECT q.doc_id AS query_id, b.doc_id AS neighbor_id,
+                       bit_count(xor(q.sh, b.sh))::BIGINT AS dist
+                FROM sigs q JOIN sigs b ON q.doc_id != b.doc_id
+                WHERE q.doc_id % 25 = 0),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dist ASC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, dist, rank::INT AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
         """,
         "semantic_dedup": """
             WITH scored AS (
