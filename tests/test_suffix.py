@@ -13,6 +13,21 @@ import pandas as pd
 import pytest
 
 from lmw_tree_spark.functions.signatures import char_shingle_hashes
+
+
+def test_adjacent_lcp_matches_kasai():
+    """The vectorized doubling-rank LCP must equal the scalar Kasai loop on
+    sequences with repeated symbols and a unique final sentinel (the
+    _concat_group invariant that licenses the truncation-free rank compare)."""
+    from lmw_tree_spark.functions.suffix import adjacent_lcp, lcp_array, suffix_array
+
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        n = int(rng.integers(2, 3000))
+        s = rng.integers(0, 4, n).astype(np.int64)
+        s[-1] = -1  # unique sentinel, as _concat_group guarantees
+        sa, levels = suffix_array(s, return_levels=True)
+        assert (lcp_array(s, sa) == adjacent_lcp(sa, levels, n)).all()
 from lmw_tree_spark.functions.suffix import (
     brute_force_lcs,
     lcp_array,
