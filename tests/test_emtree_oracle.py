@@ -134,6 +134,31 @@ def _pairs(ids, labels):
     return out
 
 
+def test_emtree_deterministic_across_partitioning(spark, planted_signatures):
+    """Identical assignments regardless of how the input is partitioned — the
+    sample is a partition-count-independent top-k by xxhash64 and all kernels
+    are seeded, so parallelism never changes the result (the N vs 4N claim)."""
+    sigs_u64, _ = planted_signatures
+    rows = [
+        (f"img{i:06d}", sigs_u64[i].view(np.int64).tolist())
+        for i in range(len(sigs_u64))
+    ]
+    cfg = PipelineConfig(
+        sig_bits=256, tree_order=3, tree_depth=2, em_iters=2, tsvq_sample=150,
+        tsvq_maxiters=1, seed=42,
+    )
+    results = []
+    for parts in (3, 11):
+        df = spark.createDataFrame(rows, "image_id string, sig array<long>").repartition(parts)
+        fit = emtree.em_tree_fit(df, cfg)
+        a = {
+            r["image_id"]: (int(r["cluster_id"]), float(r["distance"]))
+            for r in emtree.assign(df, fit.tree).collect()
+        }
+        results.append(a)
+    assert results[0] == results[1]
+
+
 @pytest.mark.slow
 def test_spark_emtree_matches_numpy_oracle(spark, planted_signatures):
     sigs_u64, _ = planted_signatures
