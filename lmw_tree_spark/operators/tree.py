@@ -373,23 +373,54 @@ def update_tree(tree: CentroidTree, bit_sums: np.ndarray, counts: np.ndarray) ->
 # ---------------------------------------------------------------------------
 
 
+def dsquared_seed(
+    sigs: np.ndarray, k: int, rng: np.random.Generator
+) -> np.ndarray:
+    """k-means++ D² seeding (reference DSquaredSeeder::seed,
+    /root/reference/src/lmw/DSquaredSeeder.h:30-105): first seed uniform, each
+    further seed drawn with probability ∝ squared Hamming distance to the
+    nearest already-chosen seed (the reference's ``numLocalTries=1`` hack,
+    DSquaredSeeder.h:42-43 — one candidate per round, no argmin over tries).
+    Returns (k', W) uint64 centroids."""
+    n = sigs.shape[0]
+    k = min(k, n)
+    chosen = [int(rng.integers(0, n))]
+    d2 = hamming_cdist(sigs, sigs[chosen[0]][None]).ravel().astype(np.float64) ** 2
+    for _ in range(1, k):
+        total = d2.sum()
+        if total <= 0:  # all remaining points coincide with a seed
+            idx = int(rng.integers(0, n))
+        else:
+            idx = int(rng.choice(n, p=d2 / total))
+        chosen.append(idx)
+        nd = hamming_cdist(sigs, sigs[idx][None]).ravel().astype(np.float64) ** 2
+        np.minimum(d2, nd, out=d2)
+    return sigs[np.array(chosen)].copy()
+
+
 def kmeans_bits(
     sigs: np.ndarray,
     k: int,
     max_iters: int,
     rng: np.random.Generator,
+    seeder: str = "random",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lloyd's k-means with Hamming distance + majority prototypes.
 
-    Seeding = random shuffle, first k distinct rows (RandomSeeder.h:23-41).
-    max_iters semantics match the reference (KMeans.h:230-236): 0 → seed + single
-    assignment, no mean updates; n → at most n update rounds, stopping early when
-    assignments are unchanged. Returns (centroids (k', W) uint64, assign (N,)).
+    Seeding: ``"random"`` = random shuffle, first k rows (RandomSeeder.h:23-41,
+    the reference's bit-pipeline default, ExperimentTypedefs.h:26); ``"dsquared"``
+    = k-means++ D² (``dsquared_seed``). max_iters semantics match the reference
+    (KMeans.h:230-236): 0 → seed + single assignment, no mean updates; n → at
+    most n update rounds, stopping early when assignments are unchanged.
+    Returns (centroids (k', W) uint64, assign (N,)).
     """
     n = sigs.shape[0]
     k = min(k, n)
-    perm = rng.permutation(n)
-    centroids = sigs[perm[:k]].copy()
+    if seeder == "dsquared":
+        centroids = dsquared_seed(sigs, k, rng)
+    else:
+        perm = rng.permutation(n)
+        centroids = sigs[perm[:k]].copy()
     assign, _ = hamming_argmin(sigs, centroids)
     for _ in range(max_iters):
         new_centroids = centroids.copy()

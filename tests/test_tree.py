@@ -15,6 +15,34 @@ from lmw_tree_spark.operators.tree import (
 )
 
 
+def test_dsquared_seeding_recovers_planted_clusters(planted_signatures):
+    """k-means++ D² seeding (DSquaredSeeder.h:30-105): deterministic under a
+    seeded RNG, spreads seeds across the planted clusters, and the k-means it
+    seeds separates the 8 planted groups."""
+    import numpy as np
+
+    from lmw_tree_spark.functions.bitops import hamming_argmin
+    from lmw_tree_spark.operators.tree import dsquared_seed, kmeans_bits
+
+    sigs, labels = planted_signatures
+    s1 = dsquared_seed(sigs, 8, np.random.default_rng(5))
+    s2 = dsquared_seed(sigs, 8, np.random.default_rng(5))
+    assert np.array_equal(s1, s2)  # deterministic
+    # D² seeds should land in ≥ 6 distinct planted clusters (random seeding
+    # frequently collides; D² is designed to spread)
+    seed_owner, _ = hamming_argmin(
+        s1, np.array([sigs[labels == c][0] for c in range(8)])
+    )
+    assert len(set(seed_owner.tolist())) >= 6
+    _, assign = kmeans_bits(sigs, 8, 10, np.random.default_rng(5), seeder="dsquared")
+    # cluster purity: each k-means cluster dominated by one planted label
+    purity = 0
+    for c in set(assign.tolist()):
+        member_labels = labels[assign == c]
+        purity += (member_labels == np.bincount(member_labels).argmax()).sum()
+    assert purity / len(labels) >= 0.9
+
+
 def test_kmeans_recovers_planted_clusters(planted_signatures):
     sigs, labels = planted_signatures
     cents, assign = kmeans_bits(sigs, 8, 15, np.random.default_rng(42))
