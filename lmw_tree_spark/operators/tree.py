@@ -379,8 +379,15 @@ def dsquared_seed(
     """k-means++ D² seeding (reference DSquaredSeeder::seed,
     /root/reference/src/lmw/DSquaredSeeder.h:30-105): first seed uniform, each
     further seed drawn with probability ∝ squared Hamming distance to the
-    nearest already-chosen seed (the reference's ``numLocalTries=1`` hack,
-    DSquaredSeeder.h:42-43 — one candidate per round, no argmin over tries).
+    nearest already-chosen seed, with one candidate per round (the reference's
+    ``numLocalTries=1`` hack, DSquaredSeeder.h:42-43 — no argmin over tries).
+
+    Intentional divergence from the reference: its chooseSmartCenters feeds the
+    distance functor's RAW output into ``closestDistSq`` without squaring, so for
+    the bit pipeline its sampling weights are ∝ d (plain Hamming). This
+    implementation uses the standard k-means++ ∝ d² weighting instead (Arthur &
+    Vassilvitskii 2007) — structure (first-uniform, single candidate, running
+    min) matches the reference; the weight exponent deliberately does not.
     Returns (k', W) uint64 centroids."""
     n = sigs.shape[0]
     k = min(k, n)

@@ -52,9 +52,19 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def encode_video(frames: np.ndarray, fps: float = 10.0) -> bytes:
-    """(n, h, w, 3) uint8 → FVID bytes (per-frame FJPG)."""
+    """(n, h, w, 3) uint8 → FVID bytes (per-frame FJPG).
+
+    The header stores fps as millifps in a 16-bit field, so fps > 65.535 cannot
+    be represented — fail loudly instead of silently wrapping (a wrapped fps
+    would corrupt every ts_ms that ``sample_frames`` derives)."""
     n, h, w, _ = frames.shape
-    parts = [FVID_MAGIC, struct.pack(">HHIH", w, h, n, int(fps * 1000) & 0xFFFF)]
+    fps_milli = int(fps * 1000)
+    if not 0 < fps_milli <= 0xFFFF:
+        raise ValueError(
+            f"fps {fps} out of range for the 16-bit millifps header field "
+            "(supported: 0 < fps <= 65.535)"
+        )
+    parts = [FVID_MAGIC, struct.pack(">HHIH", w, h, n, fps_milli)]
     for i in range(n):
         blob = encode_lossy(frames[i])
         parts.append(struct.pack(">I", len(blob)))
@@ -208,6 +218,11 @@ def video_neardup_groups(
     Scale shape: frame volume = rows × frames/every_k, all stages inherit the
     image pipeline's skew-bounded candidate generation; the per-video rollup is
     one partial-aggregated groupBy.
+
+    The coverage criterion counts DISTINCT matched frames of the smaller video,
+    not raw pairs: repeated frames (black/intro frames duplicated k times in each
+    of two unrelated videos) produce k² verified pairs but still cover only ONE
+    distinct frame, so they cannot falsely merge the videos.
     """
     from pyspark.sql import functions as F
 
@@ -230,23 +245,33 @@ def video_neardup_groups(
         lsh.verify_edges(lsh.candidate_edges(sigs, cfg), sigs, cfg)
         .where("is_dup")
     )
-    vsrc = F.substring_index("src", "#", 1)
-    vdst = F.substring_index("dst", "#", 1)
-    pair_votes = (
+    vsrc, fsrc = F.substring_index("src", "#", 1), F.substring_index("src", "#", -1)
+    vdst, fdst = F.substring_index("dst", "#", 1), F.substring_index("dst", "#", -1)
+    fwd = vsrc <= vdst  # orient each frame edge so a <= b at the video level
+    pair_cov = (
         verified.select(
-            F.least(vsrc, vdst).alias("a"), F.greatest(vsrc, vdst).alias("b")
+            F.when(fwd, vsrc).otherwise(vdst).alias("a"),
+            F.when(fwd, fsrc).otherwise(fdst).alias("fa"),
+            F.when(fwd, vdst).otherwise(vsrc).alias("b"),
+            F.when(fwd, fdst).otherwise(fsrc).alias("fb"),
         )
         .where(F.col("a") != F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count("*").alias("matched"))
+        .agg(
+            F.countDistinct("fa").alias("cov_a"),
+            F.countDistinct("fb").alias("cov_b"),
+        )
     )
     n_frames = frames.groupBy(id_col).agg(F.count("*").alias("nf"))
+    covered_small = F.when(F.col("na") <= F.col("nb"), F.col("cov_a")).otherwise(
+        F.col("cov_b")
+    )
     video_edges = (
-        pair_votes.join(
+        pair_cov.join(
             n_frames.select(F.col(id_col).alias("a"), F.col("nf").alias("na")), "a"
         )
         .join(n_frames.select(F.col(id_col).alias("b"), F.col("nf").alias("nb")), "b")
-        .where(F.col("matched") >= F.least("na", "nb") * F.lit(min_frame_frac))
+        .where(covered_small >= F.least("na", "nb") * F.lit(min_frame_frac))
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
     return connected_components(

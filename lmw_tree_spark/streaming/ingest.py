@@ -85,6 +85,19 @@ def stream_em_updates(
     state = {"tree": latest_tree(spark, tree_dir) or seed_tree}
 
     def update_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a batch can be replayed after the parquet
+        # write succeeded but before the offset commit. The per-batch commit is
+        # therefore idempotent two ways: (a) a replayed batch whose directory
+        # already carries _SUCCESS RELOADS the committed tree instead of
+        # re-applying the EM update on top of a tree that already includes it;
+        # (b) the write itself is mode('overwrite') into the batch directory, so
+        # a half-written directory (no _SUCCESS) is replaced, never appended to.
+        batch_path = os.path.join(tree_dir, f"batch={batch_id}")
+        if os.path.exists(os.path.join(batch_path, "_SUCCESS")):
+            committed = _read_tree(spark, batch_path)
+            if committed is not None:
+                state["tree"] = committed
+            return
         bc = spark.sparkContext.broadcast(state["tree"])
         try:
             sums, counts, _sse = emtree._accumulate_pass(batch_df.select("sig"), bc)
@@ -93,18 +106,20 @@ def stream_em_updates(
         if counts.sum() == 0:
             return
         state["tree"] = update_tree(state["tree"], sums, counts)
+        order = state["tree"].order
         rows = [
-            (int(batch_id), lvl, nid, pid, words)
+            (int(batch_id), int(order), lvl, nid, pid, words)
             for lvl, nid, pid, words in state["tree"].to_rows()
         ]
         (
             spark.createDataFrame(
                 rows,
-                "batch_id long, level int, node_id long, parent_id long, centroid array<long>",
+                "batch_id long, tree_order int, level int, node_id long, "
+                "parent_id long, centroid array<long>",
             )
             .coalesce(1)
-            .write.mode("append")
-            .parquet(os.path.join(tree_dir, f"batch={batch_id}"))
+            .write.mode("overwrite")
+            .parquet(batch_path)
         )
 
     writer = sig_stream.writeStream.foreachBatch(update_batch).option(
@@ -114,11 +129,36 @@ def stream_em_updates(
     return writer.trigger(**trigger).start()
 
 
+def _read_tree(spark: SparkSession, path: str):
+    """Read one committed batch directory back into a CentroidTree.
+
+    The configured tree order travels WITH the rows (``tree_order`` column) — an
+    underfull early-stream tree restores with the order it was built with, not
+    one inferred from its current fan-out (which would silently cap later
+    splits). Legacy directories without the column fall back to max-fanout
+    inference."""
+    from lmw_tree_spark.operators.tree import CentroidTree
+
+    df = spark.read.parquet(path)
+    rows = df.collect()
+    if not rows:
+        return None
+    if "tree_order" in df.columns:
+        order = int(rows[0]["tree_order"])
+    else:  # legacy commit without the persisted order
+        order = max(
+            (len([r for r in rows if r["parent_id"] == p]) for p in {r["parent_id"] for r in rows}),
+            default=2,
+        )
+    return CentroidTree.from_rows(
+        [(r["level"], r["node_id"], r["parent_id"], r["centroid"]) for r in rows],
+        order=order,
+    )
+
+
 def latest_tree(spark: SparkSession, tree_dir: str):
     """Load the highest-batch committed tree from ``tree_dir`` (None if empty)."""
     import os
-
-    from lmw_tree_spark.operators.tree import CentroidTree
 
     if not os.path.isdir(tree_dir):
         return None
@@ -131,15 +171,9 @@ def latest_tree(spark: SparkSession, tree_dir: str):
         path = os.path.join(tree_dir, d)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             continue
-        rows = spark.read.parquet(path).collect()
-        order = max(
-            (len([r for r in rows if r["parent_id"] == p]) for p in {r["parent_id"] for r in rows}),
-            default=2,
-        )
-        return CentroidTree.from_rows(
-            [(r["level"], r["node_id"], r["parent_id"], r["centroid"]) for r in rows],
-            order=order,
-        )
+        tree = _read_tree(spark, path)
+        if tree is not None:
+            return tree
     return None
 
 

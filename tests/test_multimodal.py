@@ -35,6 +35,20 @@ def test_real_video_formats_raise():
         decode_audio_pcm(b"ID3\x04", "mp3")
 
 
+def test_encode_video_fps_overflow_raises():
+    """fps beyond the 16-bit millifps header fails loudly instead of wrapping
+    (a wrapped 120 fps would decode as 54.464 fps and corrupt every ts_ms)."""
+    frames = _video(n=2)
+    with pytest.raises(ValueError, match="fps"):
+        encode_video(frames, fps=120.0)
+    with pytest.raises(ValueError, match="fps"):
+        encode_video(frames, fps=0.0)
+    # boundary value still round-trips
+    blob = encode_video(frames, fps=65.535)
+    _, _, _, _, fps = decode_video_frames(blob, "fvid")
+    assert fps == 65.535
+
+
 def test_sample_frames_explodes_and_feeds_signature_stage(spark):
     from pyspark.sql import functions as F
 
@@ -90,6 +104,38 @@ def test_video_neardup_groups(spark):
     }
     assert groups["v0"] == groups["v2"]
     assert groups["v1"] != groups["v0"]
+
+
+def test_video_neardup_repeated_common_frame_no_false_merge(spark):
+    """Two otherwise-unrelated videos each carrying k copies of one common frame
+    (black/intro frames) must NOT merge: k copies yield k² verified frame PAIRS
+    but cover only one DISTINCT frame of the smaller video — the coverage
+    criterion counts distinct frames, so the k² inflation cannot pass
+    min_frame_frac."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.sources.multimodal import video_neardup_groups
+
+    # 3 copies of the common frame in each 8-frame video: 3x3 = 9 verified
+    # pairs >= threshold 8*0.5 = 4 (the old pair-count criterion merged), but
+    # only 3 distinct covered frames < 4 (the coverage criterion does not).
+    rng = np.random.default_rng(33)
+    common = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    uniq_a = rng.integers(0, 256, (5, 16, 16, 3), dtype=np.uint8)
+    uniq_b = rng.integers(0, 256, (5, 16, 16, 3), dtype=np.uint8)
+    va = np.concatenate([np.repeat(common[None], 3, axis=0), uniq_a])
+    vb = np.concatenate([np.repeat(common[None], 3, axis=0), uniq_b])
+    rows = [
+        ("v0", bytearray(encode_video(va)), "fvid"),
+        ("v1", bytearray(encode_video(vb)), "fvid"),
+    ]
+    videos = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    groups = {
+        r["video_id"]: r["dup_group"]
+        for r in video_neardup_groups(
+            videos, SMALL, every_k=1, min_frame_frac=0.5
+        ).collect()
+    }
+    assert groups["v0"] != groups["v1"]
 
 
 def test_audio_neardup_groups(spark):

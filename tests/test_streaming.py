@@ -115,6 +115,32 @@ def test_stream_em_updates_converge_and_resume(spark, tmpdir_ck, planted_signatu
     after = latest_tree(spark, tree_dir)
     assert np.array_equal(after.levels[-1].centroid, final.levels[-1].centroid)
 
+    # configured order is persisted with the commit, not inferred from fan-out
+    assert after.order == seed.order
+
+    # at-least-once replay: a FRESH checkpoint forces the source batches to be
+    # re-delivered with already-committed batch ids. The idempotent commit must
+    # neither duplicate tree rows in the batch directories nor re-apply the EM
+    # update on top of a tree that already includes it.
+    row_counts_before = {
+        d: spark.read.parquet(os.path.join(tree_dir, d)).count()
+        for d in os.listdir(tree_dir)
+        if d.startswith("batch=")
+    }
+    q3 = stream_em_updates(
+        spark, stream, seed, tree_dir, os.path.join(tmpdir_ck, "em_ck2"),
+        trigger={"availableNow": True},
+    )
+    q3.awaitTermination(60)
+    replayed = latest_tree(spark, tree_dir)
+    assert np.array_equal(replayed.levels[-1].centroid, final.levels[-1].centroid)
+    row_counts_after = {
+        d: spark.read.parquet(os.path.join(tree_dir, d)).count()
+        for d in os.listdir(tree_dir)
+        if d.startswith("batch=")
+    }
+    assert row_counts_after == row_counts_before
+
 
 @pytest.mark.slow
 def test_rate_source_ingest_appends_input_schema(spark, tmpdir_ck):
