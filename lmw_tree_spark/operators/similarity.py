@@ -193,6 +193,117 @@ def ivf_cosine_topk(
     )
 
 
+CELL_DIST_SCHEMA = "vec_id long, cell int, cdist double"
+
+
+def _cells_with_dist(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment that also emits the L2 distance to the chosen
+    centroid (needed for per-cell radii). ``normalize=True`` projects rows onto
+    the unit sphere first (the cosine-as-Euclidean trick)."""
+    cmat = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if normalize:
+                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+            d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cell": a.astype(np.int32),
+                    "cdist": np.sqrt(d[np.arange(len(a)), a]),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, CELL_DIST_SCHEMA)
+
+
+def cosine_neardup_pairs_bounded(
+    df: DataFrame,
+    min_cosine: float,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs through a bounded ball-cover join —
+    the scale path that replaces ``cosine_neardup_pairs``'s all-pairs cross join.
+
+    On unit-normalized vectors, ``cos(a,b) ≥ t ⟺ ‖â−b̂‖ ≤ √(2−2t)``, so the
+    threshold predicate is a Euclidean radius search. Rows are coarse-quantized
+    into ``n_cells`` balls (IVF cells over normalized vectors); each cell carries
+    its radius ``r_c = max ‖x̂−c‖``. By the triangle inequality a qualifying pair
+    can only span cells with ``‖c_i−c_j‖ ≤ r_i + r_j + √(2−2t)`` — every other
+    cell pair is pruned. Candidates flow through a broadcast equi-join on the
+    admitted (cell_a, cell_b) list (never CartesianProduct /
+    BroadcastNestedLoopJoin), then the IDENTICAL scoring expression as the
+    brute-force oracle decides. Result therefore equals brute force exactly
+    (a rounding slack of 0.5·10^-round_digits is folded into the radius bound).
+
+    Pruning selectivity grows with the threshold: at near-dup thresholds
+    (t ≈ 0.99 → radius 0.14) almost all of the n_cells² pairs drop; at loose
+    thresholds the plan shape is unchanged and only degrades toward all cell
+    pairs — never beyond O(n²/n_cells) candidate volume per admitted pair.
+    """
+    dfe = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    norm = F.sqrt(_dot(vec_col, vec_col))
+    df_norm = dfe.select(
+        id_col, F.transform(vec_col, lambda x: x / norm).alias(vec_col)
+    )
+    cents = train_ivf_centroids(
+        df_norm, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    cells = _cells_with_dist(df_norm, cents, id_col, vec_col).persist()
+    radii_rows = cells.groupBy("cell").agg(F.max("cdist").alias("r")).collect()
+    radii = np.zeros(len(cents), dtype=np.float64)
+    for row in radii_rows:
+        radii[row["cell"]] = row["r"]
+
+    t_eff = min_cosine - 0.5 * 10.0 ** (-round_digits)  # absorb output rounding
+    thresh_d = float(np.sqrt(max(0.0, 2.0 - 2.0 * t_eff))) + 1e-9
+    cd = np.sqrt(
+        ((cents[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    )
+    admit = cd <= radii[:, None] + radii[None, :] + thresh_d
+    pairs = [
+        (int(i), int(j)) for i in range(len(cents)) for j in range(len(cents)) if admit[i, j]
+    ]
+    spark = df.sparkSession
+    cellpairs = spark.createDataFrame(pairs, "ca int, cb int")
+
+    a = dfe.join(cells.select(id_col, "cell"), id_col).select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("cell").alias("ca"),
+    )
+    b = dfe.join(cells.select(id_col, "cell"), id_col).select(
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("cell").alias("cb"),
+    )
+    sim = F.round(cosine_sim_col("a_vec", "b_vec"), round_digits)
+    return (
+        a.join(F.broadcast(cellpairs), "ca")
+        .join(b, "cb")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= min_cosine)
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     min_cosine: float,
