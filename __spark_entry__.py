@@ -469,15 +469,18 @@ def q_vocab_stats(spark, sf_dir):
 
 
 def q_suffix_pairs(spark, sf_dir):
-    """Suffix-array substring pass (winnow → per-group SA+LCP, exact): doc pairs
-    sharing a common substring of length ≥ 20 in lowercased text. Oracle: two docs
-    share a substring of length ≥ L iff they share an L-gram (gram equi-join)."""
-    from lmw_tree_spark.operators.suffix import substring_pairs
+    """Substring-pair detection: doc pairs sharing a common substring of length
+    ≥ 20 in lowercased text, via the exact L-gram identity (share-substring(≥L)
+    ⟺ share an L-gram) — distinct (doc, gram) explode + skew-bounded per-gram
+    pairing, fully JVM. Exact at any gram df ≤ 1024 (cliques); hotter grams
+    chain (bounded). The winnow→suffix-array path (operators/suffix.py
+    substring_pairs) is the variant that additionally reports exact LCS lengths.
+    Oracle: the same L-gram identity as a plain gram equi-join."""
+    from lmw_tree_spark.operators.suffix import substring_pairs_grams
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        substring_pairs(docs, "doc_id", "text", min_len=20)
-        .select("src", "dst")
+        substring_pairs_grams(docs, "doc_id", "text", min_len=20)
         .orderBy("src", "dst")
     )
 

@@ -137,3 +137,56 @@ def substring_pairs(
 
     pairs = with_text.repartition("gid").mapInPandas(verify_partition, out_schema)
     return pairs.groupBy("src", "dst").agg(F.max("lcs_len").alias("lcs_len"))
+
+
+def substring_pairs_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    df_cap: int = 1024,
+) -> DataFrame:
+    """Detection-only substring pairs via the exact L-gram identity — the fast
+    JVM-only path when per-pair LCS *lengths* are not needed.
+
+    Two texts share a common substring of length ≥ L **iff** they share an
+    L-gram, so detection is a distinct-(doc, gram) explode + per-gram pairing —
+    entirely whole-stage-codegen (explode/substring/equi-join), no Python, no
+    suffix arrays. Pair generation reuses the skew-bounded bucket→edge machinery
+    (``edges_from_buckets``): grams shared by ≤ ``df_cap`` docs emit the full
+    clique (every qualifying pair, exactly — both ``src < dst`` and precision 1,
+    since each emitted pair genuinely shares that gram); hotter grams
+    (boilerplate shared by millions of docs) fall back to O(n) chain edges, so
+    output volume is bounded at any skew while connectivity for downstream
+    connected components is preserved.
+
+    vs. ``substring_pairs`` (winnow → per-group SA): the SA path reports exact
+    LCS lengths and keeps shuffle volume at ~2/(w+1) keys per gram (the winnowed
+    density), which is what you want when L-gram volume itself is the bottleneck
+    (L·corpus bytes of shuffle). This path wins when detection suffices: one
+    distinct + one bounded equi-join, all JVM. Output: (src, dst), src < dst in
+    the id column's natural order.
+    """
+    from lmw_tree_spark.operators.lsh import edges_from_buckets
+
+    id_type = dict(df.dtypes)[id_col]
+    grams = (
+        df.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("t"))
+        .where(F.length("t") >= min_len)
+        .select(
+            "id",
+            F.expr(f"explode(sequence(1, length(t) - {int(min_len)} + 1))").alias("i"),
+            "t",
+        )
+        .select("id", F.expr(f"substring(t, i, {int(min_len)})").alias("g"))
+        .distinct()
+    )
+    buckets = grams.select(
+        F.col("g").alias("bucket"), F.col("id").cast("string").alias("image_id")
+    )
+    edges = edges_from_buckets(buckets, pair_cap=df_cap)
+    s, d = F.col("src").cast(id_type), F.col("dst").cast(id_type)
+    return (
+        edges.select(F.least(s, d).alias("src"), F.greatest(s, d).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )

@@ -128,6 +128,60 @@ def test_substring_pairs_operator_exact(spark):
     assert got == expect
 
 
+def test_substring_pairs_grams_matches_sa_path_and_brute_force(spark):
+    """The JVM gram-join detection path must find exactly the pairs the
+    winnow→SA path finds (and brute force confirms) whenever no gram exceeds
+    df_cap — same corpus, same L."""
+    from lmw_tree_spark.operators.suffix import substring_pairs, substring_pairs_grams
+
+    rng = np.random.default_rng(6)
+    docs = _corpus(rng, 40)
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64), "text": [d.decode() for d in docs]}
+    )
+    df = spark.createDataFrame(pdf)
+    L = 12
+    sa_pairs = {
+        (r["src"], r["dst"])
+        for r in substring_pairs(df, "doc_id", "text", min_len=L).collect()
+    }
+    gram_pairs = {
+        (r["src"], r["dst"])
+        for r in substring_pairs_grams(df, "doc_id", "text", min_len=L).collect()
+    }
+    brute = {
+        (i, j)
+        for i, j in itertools.combinations(range(len(docs)), 2)
+        if brute_force_lcs(docs[i].lower(), docs[j].lower()) >= L
+    }
+    assert gram_pairs == sa_pairs == brute
+
+
+def test_substring_pairs_grams_chain_fallback_keeps_connectivity(spark):
+    """Above df_cap, a hot gram emits chain edges instead of the O(df²) clique:
+    every emitted pair still genuinely shares the gram (precision 1), and all
+    docs sharing it stay in one connected component."""
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.suffix import substring_pairs_grams
+
+    shared = "this exact boilerplate phrase repeats"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(12, dtype=np.int64),
+            "text": [f"doc {i} unique preamble {shared}" for i in range(12)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    pairs = substring_pairs_grams(df, "doc_id", "text", min_len=20, df_cap=4)
+    rows = pairs.collect()
+    n_all_pairs = 12 * 11 // 2
+    assert 0 < len(rows) < n_all_pairs  # capped, not the full clique
+    comp = connected_components(
+        pairs.selectExpr("cast(src as string) src", "cast(dst as string) dst")
+    )
+    assert comp.select("dup_group").distinct().count() == 1
+
+
 def test_substring_pairs_string_ids_and_case_fold(spark):
     from lmw_tree_spark.operators.suffix import substring_pairs
 
