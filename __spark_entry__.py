@@ -501,6 +501,22 @@ def q_centroid_assign(spark, sf_dir):
     return centroid_assign(emb, F.col("vec_id") < 8).orderBy("vec_id")
 
 
+def q_dense_kmeans(spark, sf_dir):
+    """Distributed dense-vector k-means (the reference's meanPrototype +
+    euclideanDistance path, /root/reference/src/lmw/Prototype.h:34-52,
+    Distance.h:42-71, run as KMeans::cluster KMeans.h:14-256): k=8 seeds = the 8
+    lowest vec_ids, TWO full Lloyd rounds distributed (broadcast centroids →
+    partition-local partial sums → driver mean; ties → lowest cluster, empty
+    clusters keep their centroid), then the final labeling pass. The DuckDB
+    oracle replays both rounds in pure SQL, so the whole iterative fit is
+    hash-checked end-to-end."""
+    from lmw_tree_spark.operators.dense import assign_dense, kmeans_dense
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_dense(emb, k=8, iters=2, init="lowest_ids")
+    return assign_dense(emb, cents, round_digits=4).orderBy("vec_id")
+
+
 # --- rows-only entries (non-SQL-expressible operators) ----------------------
 
 
@@ -519,11 +535,16 @@ def q_simhash_dedup(spark, sf_dir):
 
 
 def q_ivf_ann(spark, sf_dir):
+    """IVF ANN with the coarse quantizer trained DISTRIBUTED on all rows
+    (dense.kmeans_dense, hash-seeded) rather than the driver-side sample — the
+    path that stays correct when n_cells outgrows what a bounded sample can
+    populate."""
     from lmw_tree_spark.operators.similarity import ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(
-        emb, k=3, n_cells=8, n_probe=3, query_pred=F.col("vec_id") % 50 == 0
+        emb, k=3, n_cells=8, n_probe=3, query_pred=F.col("vec_id") % 50 == 0,
+        trainer="distributed",
     ).orderBy("query_id", "rank")
 
 
@@ -658,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_pairs": q_suffix_pairs,
         "cosine_topk": q_cosine_topk,
         "centroid_assign": q_centroid_assign,
+        "dense_kmeans": q_dense_kmeans,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -962,6 +984,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank
             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "dense_kmeans": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            seeds AS (SELECT vec_id::INT AS c, v FROM emb WHERE vec_id < 8),
+            a1 AS (
+                SELECT vec_id, c FROM (
+                    SELECT e.vec_id, s.c,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, s.v) ASC, s.c ASC) AS rn
+                    FROM emb e CROSS JOIN seeds s) WHERE rn = 1),
+            sums1 AS (
+                SELECT c, dim, avg(val) AS m
+                FROM (SELECT a1.c, generate_subscripts(e.v, 1) AS dim,
+                             unnest(e.v) AS val
+                      FROM a1 JOIN emb e USING (vec_id))
+                GROUP BY c, dim),
+            m1 AS (
+                SELECT s.c, coalesce(u.v, s.v) AS v
+                FROM seeds s LEFT JOIN (
+                    SELECT c, list(m ORDER BY dim) AS v FROM sums1 GROUP BY c
+                ) u USING (c)),
+            a2 AS (
+                SELECT vec_id, c FROM (
+                    SELECT e.vec_id, m.c,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, m.v) ASC, m.c ASC) AS rn
+                    FROM emb e CROSS JOIN m1 m) WHERE rn = 1),
+            sums2 AS (
+                SELECT c, dim, avg(val) AS m
+                FROM (SELECT a2.c, generate_subscripts(e.v, 1) AS dim,
+                             unnest(e.v) AS val
+                      FROM a2 JOIN emb e USING (vec_id))
+                GROUP BY c, dim),
+            m2 AS (
+                SELECT m1.c, coalesce(u.v, m1.v) AS v
+                FROM m1 LEFT JOIN (
+                    SELECT c, list(m ORDER BY dim) AS v FROM sums2 GROUP BY c
+                ) u USING (c))
+            SELECT vec_id, cluster, dist FROM (
+                SELECT e.vec_id, m.c AS cluster,
+                       round(list_distance(e.v, m.v), 4) AS dist,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, m.v) ASC, m.c ASC) AS rn
+                FROM emb e CROSS JOIN m2 m) WHERE rn = 1
+            ORDER BY vec_id
         """,
         "centroid_assign": """
             WITH scored AS (

@@ -134,13 +134,30 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    trainer: str = "sample",
+    train_iters: int = 5,
 ) -> DataFrame:
     """Approximate cosine top-k: IVF coarse quantization + multi-probe.
 
     Each query joins only rows in its ``n_probe`` nearest cells (cell-equi-join, no
     cross join). Output schema matches ``cosine_topk``.
+
+    ``trainer='sample'`` fits the coarse quantizer with the driver-side mini
+    k-means on a bounded sample (fine for n_cells ≲ 1k); ``'distributed'`` fits
+    it on ALL rows with ``dense.kmeans_dense`` (hash-seeded, deterministic at any
+    partitioning) — the path for large cell counts where a 2048-row sample can't
+    populate every cell. With ``n_probe == n_cells`` the search probes every cell
+    and the result equals exact brute force (the candidate set is total).
     """
-    cents = train_ivf_centroids(df, n_cells, seed=seed, id_col=id_col, vec_col=vec_col)
+    if trainer == "distributed":
+        from lmw_tree_spark.operators.dense import kmeans_dense
+
+        cents = kmeans_dense(
+            df, k=n_cells, iters=train_iters, id_col=id_col, vec_col=vec_col,
+            init="hash", seed=seed,
+        )
+    else:
+        cents = train_ivf_centroids(df, n_cells, seed=seed, id_col=id_col, vec_col=vec_col)
     cells = ivf_cells(df, cents, id_col, vec_col).withColumnRenamed("vec_id", "_cell_id")
     base = df.join(cells, df[id_col] == F.col("_cell_id")).select(
         F.col(id_col).alias("neighbor_id"),

@@ -53,6 +53,78 @@ def test_bounded_neardup_plan_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_kmeans_dense_matches_numpy_lloyd_and_partitioning(spark):
+    """Distributed dense k-means must equal a single-machine NumPy Lloyd loop
+    with the identical algebra (lowest-id seeds, first-min ties, empty keeps
+    centroid), at any input partitioning."""
+    from lmw_tree_spark.operators.dense import assign_dense, kmeans_dense
+
+    rng = np.random.default_rng(17)
+    n, d, k, iters = 200, 8, 6, 3
+    x = rng.standard_normal((n, d))
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(n)]
+
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        new = cents.copy()
+        for c in range(k):
+            m = x[a == c]
+            if len(m):
+                new[c] = m.mean(axis=0)
+        cents = new
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    expect_assign = d2.argmin(axis=1)
+
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(
+            parts
+        )
+        got_cents = kmeans_dense(df, k=k, iters=iters, init="lowest_ids")
+        assert np.allclose(got_cents, cents, atol=1e-9)
+        got = (
+            assign_dense(df, got_cents)
+            .orderBy("vec_id")
+            .toPandas()["cluster"]
+            .to_numpy()
+        )
+        assert (got == expect_assign).all()
+
+
+def test_ivf_distributed_trainer_probe_all_equals_brute_force(spark):
+    """IVF with the distributed trainer at a large cell count: probing every
+    cell makes the candidate set total, so results must equal exact brute-force
+    top-k; probing few cells is the approximate trade and must keep high
+    recall on this data."""
+    from lmw_tree_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    emb = _emb_df(spark, n=250)
+    pred = F.col("vec_id") % 25 == 0
+    exact = cosine_topk(emb, k=3, query_pred=pred).orderBy("query_id", "rank").toPandas()
+    probe_all = (
+        ivf_cosine_topk(
+            emb, k=3, n_cells=64, n_probe=64, query_pred=pred,
+            trainer="distributed", train_iters=3,
+        )
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), probe_all.reset_index(drop=True)
+    )
+    few = (
+        ivf_cosine_topk(
+            emb, k=3, n_cells=64, n_probe=8, query_pred=pred,
+            trainer="distributed", train_iters=3,
+        )
+        .toPandas()
+    )
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+    few_set = set(map(tuple, few[["query_id", "neighbor_id"]].to_numpy()))
+    assert len(exact_set & few_set) / len(exact_set) >= 0.5
+
+
 def test_token_jaccard_df_guard_matches_numpy(spark):
     """max_token_df drops hot tokens from the token universe (both the join and
     the size counts); the result equals a NumPy reference of Jaccard over the
