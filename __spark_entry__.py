@@ -2,14 +2,17 @@
 
 ``entry(spark)`` runs the flagship dedup+cluster pipeline on the synthetic
 image+caption table (input_hint schema) at sf0.001 scale. ``queries()`` exposes the
-engine's operator inventory over the driver's parquet tables; each SQL-expressible
-query has a DuckDB oracle in ``oracle_sql()`` with identical column names/types.
-Non-SQL-expressible operators (MinHash-LSH dedup, SimHash dedup, IVF ANN, the
-EM-tree itself) are included as rows-only entries.
+engine's operator inventory over the driver's parquet tables; every query has a
+DuckDB oracle in ``oracle_sql()`` with identical column names/types. Iterative
+operators (EM-tree/k-means/K-tree fits, MinHash-LSH + SimHash dedup, IVF ANN,
+connected components) are oracled through the .oracle_exchange mechanism: the
+query materializes the fitted state (centroid tree / signatures / centroids /
+edge list) and DuckDB independently replays the decision algebra from it.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +21,159 @@ from pyspark.sql import functions as F
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# oracle exchange — makes the clustering/LSH family DuckDB-checkable
+# ---------------------------------------------------------------------------
+#
+# The iterative operators (EM-tree, k-means, K-tree, MinHash/SimHash dedup, IVF,
+# connected components) are not SQL-expressible end-to-end, but their fitted
+# STATE is tiny and their decision step IS SQL: materialize the state (centroid
+# tree / signatures / centroids / edge list) to parquet and let DuckDB replay
+# the assignment/band/verify algebra independently. Every exchange-backed query
+# therefore uses FIXED-SIZE synthetic inputs (deterministic at any sf — the
+# driver's sf tables differ between scale factors), so the artifacts are
+# byte-stable; they are committed to the repo AND rewritten on every query run,
+# which keeps the oracle runnable under any spark/oracle execution order while
+# any engine change that alters the state shows up as a hash mismatch.
+
+_EXCHANGE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".oracle_exchange")
+_X_N = 1000  # fixed synthetic input size for exchange-backed queries
+
+
+def _write_exchange(query: str, **tables) -> None:
+    """Write small driver-side pandas tables as single deterministic parquet
+    files under .oracle_exchange/<query>/ for the DuckDB side to read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(_EXCHANGE_DIR, query)
+    os.makedirs(d, exist_ok=True)
+    for name, pdf in tables.items():
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(d, f"{name}.parquet"),
+        )
+
+
+def _sig_long(sigs: DataFrame):
+    """(image_id, sig array<long>) → long-format (image_id, word_idx, word)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sigs.select("image_id", "sig").collect()
+    ids = np.array([r["image_id"] for r in rows], dtype=object)
+    mat = np.array([r["sig"] for r in rows], dtype=np.int64)
+    n, w = mat.shape
+    return pd.DataFrame(
+        {
+            "image_id": np.repeat(ids, w),
+            "word_idx": np.tile(np.arange(w, dtype=np.int64), n),
+            "word": mat.ravel(),
+        }
+    )
+
+
+def _tree_long(tree):
+    """CentroidTree → long-format (level 1-based, node_id, parent_id, child_rank,
+    word_idx, word). child_rank is the node's position within its level array —
+    exactly the scan order the descent kernel's first-wins argmin uses, so the
+    oracle's ORDER BY d ASC, child_rank ASC replays tie-breaking bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    recs = []
+    for li, lv in enumerate(tree.levels):
+        parent_ids = (
+            np.full(len(lv.node_id), -1, dtype=np.int64)
+            if li == 0
+            else tree.levels[li - 1].node_id[lv.parent_idx]
+        )
+        cents = lv.centroid.view(np.int64)
+        for j in range(len(lv.node_id)):
+            for wi in range(cents.shape[1]):
+                recs.append(
+                    (li + 1, int(lv.node_id[j]), int(parent_ids[j]), j, wi,
+                     int(cents[j, wi]))
+                )
+    return pd.DataFrame(
+        recs,
+        columns=["level", "node_id", "parent_id", "child_rank", "word_idx", "word"],
+    )
+
+
+def _descend_oracle(xname: str, depth: int, final: str) -> str:
+    """DuckDB SQL that replays the tree-descent assignment: per level, Hamming
+    distance = sum(bit_count(xor(word, word))) over aligned 64-bit words, argmin
+    over the current node's children with first-wins (child_rank) ties."""
+    x = os.path.join(_EXCHANGE_DIR, xname)
+    ctes = [
+        f"s AS (SELECT image_id, word_idx, word FROM read_parquet('{x}/sigs.parquet'))",
+        f"t AS (SELECT * FROM read_parquet('{x}/tree.parquet'))",
+    ]
+    for li in range(1, depth + 1):
+        parent_join = (
+            ""
+            if li == 1
+            else f" JOIN a{li-1} ON a{li-1}.image_id = s.image_id"
+            f" AND t.parent_id = a{li-1}.node_id"
+        )
+        ctes.append(
+            f"d{li} AS (SELECT s.image_id, t.node_id, t.child_rank, "
+            f"sum(bit_count(xor(s.word, t.word)))::BIGINT AS d "
+            f"FROM s JOIN t ON t.level = {li} AND s.word_idx = t.word_idx{parent_join} "
+            f"GROUP BY s.image_id, t.node_id, t.child_rank)"
+        )
+        ctes.append(
+            f"a{li} AS (SELECT image_id, node_id, d FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY image_id "
+            f"ORDER BY d ASC, child_rank ASC) AS rn FROM d{li}) WHERE rn = 1)"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def _fixed_signatures(spark: SparkSession):
+    """Fixed-size synthetic signatures for the exchange-backed clustering
+    queries (input size must not depend on sf — see module comment)."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images
+
+    return extract_signatures(generate_images(spark, _X_N), SMALL).persist()
+
+
+def _caption_docs(spark: SparkSession, n: int) -> DataFrame:
+    """Synthetic caption corpus as (doc_id long, text) — the deterministic
+    document table for the exchange-backed text-dedup queries (captions carry
+    planted near-dup structure: verbatim copies and one-token edits)."""
+    from lmw_tree_spark.sources.images import generate_images
+
+    return generate_images(spark, n).select(
+        F.substring("image_id", 4, 10).cast("long").alias("doc_id"),
+        F.col("caption").alias("text"),
+    )
+
+
+def _synthetic_embeddings(spark: SparkSession, n: int = 1000, d: int = 32) -> DataFrame:
+    """Deterministic per-id embeddings with planted near-dups (id % 10 == 1 is a
+    perturbed copy of id - 1) — sf-independent input for the IVF exchange."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                base = i - 1 if i % 10 == 1 else i
+                v = np.random.default_rng([101, base]).standard_normal(d)
+                if i != base:
+                    v = v + 0.05 * np.random.default_rng([101, i, 1]).standard_normal(d)
+                rows.append((i, [float(x) for x in v]))
+            yield pd.DataFrame(rows, columns=["vec_id", "embedding"])
+
+    return spark.range(0, n, 1, 8).mapInPandas(gen, "vec_id long, embedding array<double>")
 
 
 # ---------------------------------------------------------------------------
@@ -517,105 +673,153 @@ def q_dense_kmeans(spark, sf_dir):
     return assign_dense(emb, cents, round_digits=4).orderBy("vec_id")
 
 
-# --- rows-only entries (non-SQL-expressible operators) ----------------------
+# --- exchange-backed entries (iterative operators, oracled via materialized
+#     state — see the oracle-exchange comment at the top) ---------------------
 
 
 def q_minhash_lsh_dedup(spark, sf_dir):
-    from lmw_tree_spark.operators.dedup import minhash_lsh_dedup
+    """MinHash+LSH near-dup pairs over the synthetic caption corpus. The 64-perm
+    MinHash matrix is materialized long-format; the oracle independently replays
+    the band algebra (pairs agreeing on ALL 4 perms of some band — band-hash
+    equality without the hash) and the agreement-fraction verify in SQL.
+    pair_cap is set above any bucket size so candidates are exactly
+    "pairs sharing ≥ 1 band"."""
+    import numpy as np
+    import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(docs, min_sim=0.5).orderBy("src", "dst")
+    from lmw_tree_spark.operators.dedup import doc_minhash, minhash_lsh_dedup
+
+    docs = _caption_docs(spark, 1200)
+    mh = doc_minhash(docs, k=5, n_perm=64)
+    pdf = mh.toPandas()
+    m = np.array(list(pdf["minhash"]), dtype=np.int64)
+    n, p = m.shape
+    _write_exchange(
+        "minhash",
+        minhash=pd.DataFrame(
+            {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), p),
+                "perm_idx": np.tile(np.arange(p, dtype=np.int64), n),
+                "val": m.ravel(),
+            }
+        ),
+    )
+    return minhash_lsh_dedup(
+        docs, min_sim=0.5, pair_cap=100_000, mh=mh
+    ).orderBy("src", "dst")
 
 
 def q_simhash_dedup(spark, sf_dir):
-    from lmw_tree_spark.operators.dedup import simhash_dedup
+    """SimHash near-dup pairs over the synthetic caption corpus: 64-bit token
+    SimHash materialized per doc; the oracle replays the 16-bit pigeonhole band
+    buckets and the bit_count(xor) ≤ max_dist verify in SQL."""
+    from lmw_tree_spark.operators.dedup import doc_simhash, simhash_dedup
 
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_dedup(docs, max_dist=10).orderBy("src", "dst")
+    docs = _caption_docs(spark, 1200)
+    sh = doc_simhash(docs)
+    _write_exchange("simhash", simhash=sh.toPandas())
+    return simhash_dedup(
+        docs, max_dist=10, pair_cap=100_000, sh=sh
+    ).orderBy("src", "dst")
 
 
 def q_ivf_ann(spark, sf_dir):
     """IVF ANN with the coarse quantizer trained DISTRIBUTED on all rows
-    (dense.kmeans_dense, hash-seeded) rather than the driver-side sample — the
-    path that stays correct when n_cells outgrows what a bounded sample can
-    populate."""
+    (dense.kmeans_dense, hash-seeded). Embeddings + fitted centroids are
+    materialized; the oracle replays cell assignment, 3-probe selection, and
+    the within-cell cosine top-k in SQL."""
+    import pandas as pd
+
+    from lmw_tree_spark.operators.dense import kmeans_dense
     from lmw_tree_spark.operators.similarity import ivf_cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _synthetic_embeddings(spark, _X_N).persist()
+    cents = kmeans_dense(emb, k=8, iters=3, init="hash", seed=42)
+    emb_pdf = emb.toPandas()
+    _write_exchange(
+        "ivf",
+        embeddings=pd.DataFrame(
+            {"vec_id": emb_pdf["vec_id"], "v": [list(map(float, v)) for v in emb_pdf["embedding"]]}
+        ),
+        centroids=pd.DataFrame(
+            {"cell": range(len(cents)), "v": [list(map(float, c)) for c in cents]}
+        ),
+    )
     return ivf_cosine_topk(
         emb, k=3, n_cells=8, n_probe=3, query_pred=F.col("vec_id") % 50 == 0,
-        trainer="distributed",
+        centroids=cents,
     ).orderBy("query_id", "rank")
 
 
 def q_emtree_images(spark, sf_dir):
+    """EM-tree fit + leaf assignment (reference flagship, entry point A). The
+    fitted centroid tree and the signatures are materialized long-format; the
+    oracle replays the 2-level nearest-child descent (argmin over
+    sum(bit_count(xor)) per level, first-wins ties) in SQL."""
     from lmw_tree_spark.config import SMALL
     from lmw_tree_spark.operators.emtree import assign, em_tree_fit
-    from lmw_tree_spark.operators.signature_stage import extract_signatures
-    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
 
-    n = min(n_images_for_sf_dir(sf_dir), 2100)
-    sigs = extract_signatures(generate_images(spark, n), SMALL)
+    sigs = _fixed_signatures(spark)
     fit = em_tree_fit(sigs, SMALL)
+    assert fit.tree.depth == 2, f"oracle SQL assumes depth 2, got {fit.tree.depth}"
+    _write_exchange("emtree", sigs=_sig_long(sigs), tree=_tree_long(fit.tree))
     return assign(sigs, fit.tree).orderBy("image_id")
 
 
 def q_ktree_images(spark, sf_dir):
     """K-tree hybrid (reference ClueWeb recipe, JournalPaperExperiments.h:548-614):
-    online K-tree on a sample seeds the distributed EM machinery."""
+    online K-tree build seeds the distributed assignment. The grown tree (depth 4
+    at this input) is materialized; same descent oracle as the EM-tree."""
     from lmw_tree_spark.config import SMALL
     from lmw_tree_spark.operators.emtree import assign
     from lmw_tree_spark.operators.ktree import ktree_fit
-    from lmw_tree_spark.operators.signature_stage import extract_signatures
-    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
 
-    n = min(n_images_for_sf_dir(sf_dir), 1400)
-    sigs = extract_signatures(generate_images(spark, n), SMALL).persist()
+    sigs = _fixed_signatures(spark)
     fit = ktree_fit(sigs, SMALL, order=8, update_delay=200)
+    assert fit.tree.depth == 4, f"oracle SQL assumes depth 4, got {fit.tree.depth}"
+    _write_exchange("ktree", sigs=_sig_long(sigs), tree=_tree_long(fit.tree))
     return assign(sigs, fit.tree).orderBy("image_id")
 
 
 def q_kmeans_images(spark, sf_dir):
     """Flat k-means over bit signatures — reference entry point C
     (`sigKmeansCluster`, /root/reference/src/GeneralExperiments.h:7-29): k=36,
-    maxiters=10, docid→cluster output; here (image_id, cluster_id, distance)."""
+    maxiters=10. Final centroids materialized; flat-argmin oracle."""
     from lmw_tree_spark.config import SMALL
     from lmw_tree_spark.operators.emtree import assign, kmeans_fit
-    from lmw_tree_spark.operators.signature_stage import extract_signatures
-    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
 
-    n = min(n_images_for_sf_dir(sf_dir), 1400)
-    sigs = extract_signatures(generate_images(spark, n), SMALL).persist()
+    sigs = _fixed_signatures(spark)
     fit = kmeans_fit(sigs, k=36, iters=10, cfg=SMALL)
+    assert fit.tree.depth == 1, f"oracle SQL assumes depth 1, got {fit.tree.depth}"
+    _write_exchange("kmeans", sigs=_sig_long(sigs), tree=_tree_long(fit.tree))
     return assign(sigs, fit.tree).orderBy("image_id")
 
 
 def q_emtree_per_level(spark, sf_dir):
     """Per-level assignment rows — the reference ClusterWriter's one-CSV-per-level
     output (/root/reference/src/lmw/InsertVisitor.h:25-56) as a single table
-    (image_id, level, cluster_id, distance)."""
+    (image_id, level, cluster_id, distance); per-level descent oracle."""
     from lmw_tree_spark.config import SMALL
     from lmw_tree_spark.operators.emtree import assign, em_tree_fit
-    from lmw_tree_spark.operators.signature_stage import extract_signatures
-    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
 
-    n = min(n_images_for_sf_dir(sf_dir), 1400)
-    sigs = extract_signatures(generate_images(spark, n), SMALL).persist()
+    sigs = _fixed_signatures(spark)
     fit = em_tree_fit(sigs, SMALL)
+    assert fit.tree.depth == 2, f"oracle SQL assumes depth 2, got {fit.tree.depth}"
+    _write_exchange("emtree", sigs=_sig_long(sigs), tree=_tree_long(fit.tree))
     return assign(sigs, fit.tree, per_level=True).orderBy("image_id", "level")
 
 
 def q_emtree_cluster_stats(spark, sf_dir):
     """Per-cluster stats — the reference ClusterStats CSV
-    (/root/reference/src/lmw/ClusterVisitor.h:25-49): (cluster_id, n_objects, rmse)."""
+    (/root/reference/src/lmw/ClusterVisitor.h:25-49): (cluster_id, n_objects,
+    rmse); descent oracle + SQL rollup."""
     from lmw_tree_spark.config import SMALL
     from lmw_tree_spark.operators.emtree import assign, cluster_stats, em_tree_fit
-    from lmw_tree_spark.operators.signature_stage import extract_signatures
-    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
 
-    n = min(n_images_for_sf_dir(sf_dir), 1400)
-    sigs = extract_signatures(generate_images(spark, n), SMALL).persist()
+    sigs = _fixed_signatures(spark)
     fit = em_tree_fit(sigs, SMALL)
+    assert fit.tree.depth == 2, f"oracle SQL assumes depth 2, got {fit.tree.depth}"
+    _write_exchange("emtree", sigs=_sig_long(sigs), tree=_tree_long(fit.tree))
     return (
         cluster_stats(assign(sigs, fit.tree))
         .select("cluster_id", "n_objects", F.round("rmse", 4).alias("rmse"))
@@ -626,29 +830,149 @@ def q_emtree_cluster_stats(spark, sf_dir):
 def q_minibatch_emtree(spark, sf_dir):
     """Mini-batch streaming EM (reference mode,
     /root/reference/src/StreamingEMTreeExperiments.h:143-189) — centroids update
-    after each deterministic hash slice within a pass."""
+    after each deterministic hash slice within a pass; the differently-fitted
+    tree gets its own exchange + descent oracle."""
     from lmw_tree_spark.config import SMALL
     from lmw_tree_spark.operators.emtree import assign, em_tree_fit_minibatch
-    from lmw_tree_spark.operators.signature_stage import extract_signatures
-    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
 
-    n = min(n_images_for_sf_dir(sf_dir), 1400)
-    sigs = extract_signatures(generate_images(spark, n), SMALL).persist()
+    sigs = _fixed_signatures(spark)
     fit = em_tree_fit_minibatch(sigs, SMALL, n_batches=2)
+    assert fit.tree.depth == 2, f"oracle SQL assumes depth 2, got {fit.tree.depth}"
+    _write_exchange("minibatch", sigs=_sig_long(sigs), tree=_tree_long(fit.tree))
     return assign(sigs, fit.tree).orderBy("image_id")
 
 
 def q_dedup_images(spark, sf_dir):
-    from lmw_tree_spark.config import SMALL
+    """Image dedup: LSH candidates → verified edges → connected components.
+    The verified edge list + vertex universe are materialized; the oracle
+    recomputes the components independently with a recursive-CTE transitive
+    closure and min-label per vertex."""
     from lmw_tree_spark.operators.ccomp import connected_components
     from lmw_tree_spark.operators.lsh import candidate_edges, verify_edges
-    from lmw_tree_spark.operators.signature_stage import extract_signatures
-    from lmw_tree_spark.sources.images import generate_images, n_images_for_sf_dir
+    from lmw_tree_spark.config import SMALL
 
-    n = min(n_images_for_sf_dir(sf_dir), 2100)
-    sigs = extract_signatures(generate_images(spark, n), SMALL).persist()
+    sigs = _fixed_signatures(spark)
     verified = verify_edges(candidate_edges(sigs, SMALL), sigs, SMALL).where("is_dup")
-    return connected_components(verified, vertices=sigs).orderBy("image_id")
+    edges = verified.select("src", "dst").persist()
+    _write_exchange(
+        "dedup_cc",
+        edges=edges.toPandas(),
+        vertices=sigs.select("image_id").toPandas(),
+    )
+    return connected_components(edges, vertices=sigs).orderBy("image_id")
+
+
+def _exchange_oracles() -> dict[str, str]:
+    """DuckDB oracles for the exchange-backed queries: each independently
+    replays the operator's decision algebra (descent argmin / band buckets /
+    probe top-k / transitive closure) from the materialized state."""
+    x = _EXCHANGE_DIR
+    mh = os.path.join(x, "minhash", "minhash.parquet")
+    sh = os.path.join(x, "simhash", "simhash.parquet")
+    ivf_e = os.path.join(x, "ivf", "embeddings.parquet")
+    ivf_c = os.path.join(x, "ivf", "centroids.parquet")
+    cc_e = os.path.join(x, "dedup_cc", "edges.parquet")
+    cc_v = os.path.join(x, "dedup_cc", "vertices.parquet")
+    leaf_assign = (
+        "SELECT image_id, node_id AS cluster_id, d::DOUBLE AS distance "
+        "FROM a{d} ORDER BY image_id"
+    )
+    return {
+        "emtree_images": _descend_oracle("emtree", 2, leaf_assign.format(d=2)),
+        "kmeans_images": _descend_oracle("kmeans", 1, leaf_assign.format(d=1)),
+        "ktree_images": _descend_oracle("ktree", 4, leaf_assign.format(d=4)),
+        "minibatch_emtree": _descend_oracle("minibatch", 2, leaf_assign.format(d=2)),
+        "emtree_per_level": _descend_oracle(
+            "emtree", 2,
+            "SELECT image_id, 1::INT AS level, node_id AS cluster_id, "
+            "d::DOUBLE AS distance FROM a1 "
+            "UNION ALL SELECT image_id, 2::INT, node_id, d::DOUBLE FROM a2 "
+            "ORDER BY image_id, level",
+        ),
+        "emtree_cluster_stats": _descend_oracle(
+            "emtree", 2,
+            "SELECT node_id AS cluster_id, count(*)::BIGINT AS n_objects, "
+            "round(sqrt(avg((d * d)::DOUBLE)), 4) AS rmse "
+            "FROM a2 GROUP BY node_id ORDER BY cluster_id",
+        ),
+        "minhash_lsh_dedup": f"""
+            WITH mh AS (SELECT doc_id, perm_idx, val FROM read_parquet('{mh}')),
+            cand AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM mh a JOIN mh b ON a.perm_idx = b.perm_idx AND a.val = b.val
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, a.perm_idx // 4
+                HAVING count(*) = 4),
+            pairs AS (SELECT DISTINCT src, dst FROM cand),
+            agree AS (
+                SELECT p.src, p.dst, count(*) AS n
+                FROM pairs p
+                JOIN mh a ON a.doc_id = p.src
+                JOIN mh b ON b.doc_id = p.dst AND b.perm_idx = a.perm_idx
+                             AND b.val = a.val
+                GROUP BY p.src, p.dst)
+            SELECT src, dst, n / 64.0 AS est_jaccard
+            FROM agree WHERE n / 64.0 >= 0.5 ORDER BY src, dst
+        """,
+        "simhash_dedup": f"""
+            WITH sh AS (SELECT doc_id, simhash FROM read_parquet('{sh}')),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM sh a, sh b, range(4) r(b_idx)
+                WHERE a.doc_id < b.doc_id
+                  AND ((a.simhash >> (b_idx * 16)) & 65535)
+                    = ((b.simhash >> (b_idx * 16)) & 65535))
+            SELECT src, dst, bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
+            FROM pairs JOIN sh a ON a.doc_id = src JOIN sh b ON b.doc_id = dst
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+            ORDER BY src, dst
+        """,
+        "ivf_ann": f"""
+            WITH emb AS (SELECT vec_id, v FROM read_parquet('{ivf_e}')),
+            cents AS (SELECT cell, v FROM read_parquet('{ivf_c}')),
+            cell_of AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, c.v) ASC, c.cell ASC) AS rn
+                    FROM emb e CROSS JOIN cents c) WHERE rn = 1),
+            probes AS (
+                SELECT vec_id AS query_id, cell FROM (
+                    SELECT e.vec_id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, c.v) ASC, c.cell ASC) AS rn
+                    FROM emb e CROSS JOIN cents c WHERE e.vec_id % 50 = 0)
+                WHERE rn <= 3),
+            cand AS (
+                SELECT DISTINCT p.query_id, co.vec_id AS neighbor_id
+                FROM probes p JOIN cell_of co ON co.cell = p.cell
+                WHERE co.vec_id != p.query_id),
+            scored AS (
+                SELECT c.query_id, c.neighbor_id,
+                       round(list_cosine_similarity(q.v, b.v), 4) AS cosine_sim
+                FROM cand c JOIN emb q ON q.vec_id = c.query_id
+                            JOIN emb b ON b.vec_id = c.neighbor_id),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "dedup_images": f"""
+            WITH RECURSIVE sym AS (
+                SELECT src AS u, dst AS v FROM read_parquet('{cc_e}')
+                UNION
+                SELECT dst, src FROM read_parquet('{cc_e}')),
+            verts AS (SELECT image_id FROM read_parquet('{cc_v}')),
+            reach(u, v) AS (
+                SELECT image_id, image_id FROM verts
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v)
+            SELECT u AS image_id, min(v) AS dup_group
+            FROM reach GROUP BY u ORDER BY image_id
+        """,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -680,7 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "centroid_assign": q_centroid_assign,
         "dense_kmeans": q_dense_kmeans,
-        # rows-only (non-SQL-expressible)
+        # exchange-backed (iterative operators; oracle replays the decision
+        # algebra from materialized state — see _exchange_oracles)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ivf_ann": q_ivf_ann,
@@ -715,7 +1040,8 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN score_{c} = {greatest} THEN '{c}'" for c in sorted(stop)
     ) + " END"
 
-    return {
+    oracles = _exchange_oracles()
+    oracles.update({
         "subset_semi_join": """
             SELECT l_returnflag, count(*)::BIGINT AS n_rows,
                    round(sum(l_quantity), 2) AS sum_qty
@@ -1041,4 +1367,5 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT vec_id, cluster, dist FROM ranked WHERE rn = 1 ORDER BY vec_id
         """,
-    }
+    })
+    return oracles

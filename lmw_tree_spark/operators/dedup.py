@@ -130,10 +130,20 @@ def minhash_lsh_dedup(
     df: DataFrame, n_bands: int = 16, k: int = 5, n_perm: int = 64,
     min_sim: float = 0.6, pair_cap: int = 64,
     text: str = "text", id_col: str = "doc_id",
+    mh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle → minhash → band → bucket join → verify
-    by signature agreement. Output (src, dst, est_jaccard)."""
-    mh = doc_minhash(df, k, n_perm, text=text, id_col=id_col).persist()
+    by signature agreement. Output (src, dst, est_jaccard).
+
+    ``mh`` optionally injects a precomputed ``doc_minhash`` DataFrame (e.g. one
+    the caller also materializes for an external oracle) so the signatures are
+    computed once. With ``pair_cap`` ≥ the largest band-bucket size every bucket
+    emits its full clique, making the candidate set EXACTLY "pairs sharing ≥ 1
+    band" — the SQL-replayable configuration; smaller caps trade completeness
+    for bounded volume (chains)."""
+    if mh is None:
+        mh = doc_minhash(df, k, n_perm, text=text, id_col=id_col)
+    mh = mh.persist()
 
     def bucketer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -194,10 +204,15 @@ def doc_simhash(
 def simhash_dedup(
     df: DataFrame, max_dist: int = 6, n_bands: int = 4,
     text: str = "text", id_col: str = "doc_id", pair_cap: int = 256,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole band buckets + exact Hamming verify.
-    Output (src, dst, dist)."""
-    sh = doc_simhash(df, text, id_col).persist()
+    Output (src, dst, dist). ``sh`` optionally injects a precomputed
+    ``doc_simhash`` DataFrame; ``pair_cap`` ≥ the largest bucket makes the
+    candidate set exactly "pairs sharing ≥ 1 bit-slice band" (SQL-replayable)."""
+    if sh is None:
+        sh = doc_simhash(df, text, id_col)
+    sh = sh.persist()
 
     def bucketer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -49,6 +49,7 @@ from lmw_tree_spark.operators.tree import (
 )
 
 ACC_SCHEMA = "payload binary"
+KEYED_ACC_SCHEMA = "merge_key int, payload binary"
 ASSIGN_SCHEMA = "image_id string, level int, cluster_id long, distance double"
 LEAF_ASSIGN_SCHEMA = "image_id string, cluster_id long, distance double"
 
@@ -75,8 +76,24 @@ def sample_signatures(sigs: DataFrame, n: int, seed: int) -> np.ndarray:
     return longs_to_u64([r["sig"] for r in rows])
 
 
-def _accumulate_pass(sigs: DataFrame, tree_bc) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One distributed insert pass → (bit_sums (L,B), counts (L,), sse (L,))."""
+def _accumulate_pass(
+    sigs: DataFrame,
+    tree_bc,
+    combine_threshold: int = 64,
+    combine_keys: int = 32,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One distributed insert pass → (bit_sums (L,B), counts (L,), sse (L,)).
+
+    Two-level combine (the distributed ``gatherAccumulators``,
+    /root/reference/src/lmw/StreamingEMTree.h:253-268): each partition reduces to
+    ONE compact blob; when the input has more than ``combine_threshold``
+    partitions, an intermediate ``groupBy(merge_key)`` stage — keyed by
+    ``partition_id % combine_keys`` — merges partition blobs executor-side
+    before the driver gather, so driver memory is O(combine_keys × leaves ×
+    bits) at ANY partition count (10^5-10^6 partitions at 100 TB), never
+    O(partitions × leaves). Below the threshold the direct gather skips the
+    extra (tiny) shuffle.
+    """
 
     import pickle
     import zlib
@@ -89,6 +106,8 @@ def _accumulate_pass(sigs: DataFrame, tree_bc) -> tuple[np.ndarray, np.ndarray, 
         travel at the narrowest safe width (uint16 when the partition holds
         < 65536 rows) and zlib(1)-compressed — per-leaf bit counts are small
         integers, so the high bytes are near-zero and compress 4-8x."""
+        from pyspark import TaskContext
+
         tree: CentroidTree = tree_bc.value
         total_sums = total_counts = total_sse = None
         n_rows = 0
@@ -120,24 +139,53 @@ def _accumulate_pass(sigs: DataFrame, tree_bc) -> tuple[np.ndarray, np.ndarray, 
             ),
             1,
         )
-        yield pd.DataFrame({"payload": [payload]})
-
-    # Arrow-path toPandas (not py4j collect) — the blobs come back at IPC speed.
-    # At extreme partition counts this becomes a treeAggregate over the same
-    # blobs; at ≤ O(10^3) partitions the direct gather is cheaper.
-    pdf = sigs.select("sig").mapInPandas(partial, ACC_SCHEMA).toPandas()
+        ctx = TaskContext.get()
+        key = (ctx.partitionId() if ctx is not None else 0) % combine_keys
+        yield pd.DataFrame({"merge_key": [key], "payload": [payload]})
 
     tree: CentroidTree = tree_bc.value
     n_leaves, n_bits = tree.n_leaves, tree.levels[-1].centroid.shape[1] * 64
-    sums = np.zeros((n_leaves, n_bits), dtype=np.int64)
-    counts = np.zeros(n_leaves, dtype=np.int64)
-    sse = np.zeros(n_leaves, dtype=np.float64)
-    for blob in pdf["payload"]:
-        touched, cnt, ss, bsums = pickle.loads(zlib.decompress(blob))
-        sums[touched] += bsums.astype(np.int64)
-        counts[touched] += cnt
-        sse[touched] += ss
-    return sums, counts, sse
+
+    def _combine_blobs(payloads) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        sums = np.zeros((n_leaves, n_bits), dtype=np.int64)
+        counts = np.zeros(n_leaves, dtype=np.int64)
+        sse = np.zeros(n_leaves, dtype=np.float64)
+        for blob in payloads:
+            touched, cnt, ss, bsums = pickle.loads(zlib.decompress(blob))
+            sums[touched] += bsums.astype(np.int64)
+            counts[touched] += cnt
+            sse[touched] += ss
+        return sums, counts, sse
+
+    blob_df = sigs.select("sig").mapInPandas(partial, KEYED_ACC_SCHEMA)
+
+    # getNumPartitions inspects the plan without running a job
+    n_parts = sigs.rdd.getNumPartitions()
+    if n_parts > combine_threshold:
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            sums, counts, sse = _combine_blobs(pdf["payload"])
+            touched = np.where(counts > 0)[0]
+            payload = zlib.compress(
+                pickle.dumps(
+                    (
+                        touched.astype(np.int32),
+                        counts[touched],
+                        sse[touched],
+                        sums[touched],  # int64: merged counts can exceed uint32
+                    ),
+                    protocol=4,
+                ),
+                1,
+            )
+            return pd.DataFrame({"payload": [payload]})
+
+        blob_df = blob_df.groupBy("merge_key").applyInPandas(merge, ACC_SCHEMA)
+        pdf = blob_df.toPandas()  # ≤ combine_keys rows
+    else:
+        pdf = blob_df.select("payload").toPandas()  # ≤ n_parts rows
+
+    return _combine_blobs(pdf["payload"])
 
 
 def em_tree_fit(sigs: DataFrame, cfg: PipelineConfig) -> FitResult:

@@ -136,6 +136,7 @@ def ivf_cosine_topk(
     seed: int = 42,
     trainer: str = "sample",
     train_iters: int = 5,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: IVF coarse quantization + multi-probe.
 
@@ -146,10 +147,14 @@ def ivf_cosine_topk(
     k-means on a bounded sample (fine for n_cells ≲ 1k); ``'distributed'`` fits
     it on ALL rows with ``dense.kmeans_dense`` (hash-seeded, deterministic at any
     partitioning) — the path for large cell counts where a 2048-row sample can't
-    populate every cell. With ``n_probe == n_cells`` the search probes every cell
-    and the result equals exact brute force (the candidate set is total).
+    populate every cell. ``centroids`` injects a pre-fitted matrix (e.g. one the
+    caller also materializes for an external oracle), skipping training. With
+    ``n_probe == n_cells`` the search probes every cell and the result equals
+    exact brute force (the candidate set is total).
     """
-    if trainer == "distributed":
+    if centroids is not None:
+        cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    elif trainer == "distributed":
         from lmw_tree_spark.operators.dense import kmeans_dense
 
         cents = kmeans_dense(
@@ -175,7 +180,9 @@ def ivf_cosine_topk(
                 continue
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
             d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-            top = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+            # stable sort: equal distances keep ascending cell order, matching
+            # the SQL oracle's ORDER BY dist ASC, cell ASC tie rule
+            top = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
             ids = pdf[id_col].to_numpy()
             yield pd.DataFrame(
                 {"query_id": np.repeat(ids, nprobe), "cell": top.ravel()}
