@@ -84,9 +84,10 @@ class CentroidTree:
         return rows
 
     def __getstate__(self):
-        # derived descent tensors (_pads) never travel — rebuilt per executor
+        # derived descent tensors (_pads/_ppads) never travel — rebuilt per executor
         d = dict(self.__dict__)
         d.pop("_pads", None)
+        d.pop("_ppads", None)
         return d
 
     @staticmethod
@@ -185,10 +186,94 @@ def descend(
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
         )
-    return _descend_from_pm(tree, _pm_from_bits(unpack_bits(sigs)))
+    return _descend_core(tree, sigs, _pm_from_bits(unpack_bits(sigs)))
 
 
 _SMALL_BATCH = 512
+
+# A level is processed in the packed domain (fanout-bucketed XOR + LUT popcount)
+# once it has at least this many parents: many parents ⇒ tiny per-parent row
+# groups ⇒ the per-group BLAS calls and the level-wide ±1 gather are overhead-
+# dominated, while the packed path's cost is one vectorized pass per distinct
+# fanout. Few-parent levels (big row groups) stay on BLAS GEMMs, which win on
+# arithmetic throughput there.
+_PACKED_LEVEL_MIN_PARENTS = 256
+
+_HUGE = np.int64(1) << np.int64(60)
+
+
+def _packed_pads(tree: CentroidTree) -> list:
+    """Per-level padded kid tensors for the packed descent kernel, cached on the
+    tree instance like ``_level_pads`` (never pickled):
+
+    [0]: level-0 packed centroids (C0, W) uint64
+    [li≥1]: (cent_pad (P, m, W) uint64 zero-padded, idx_pad (P, m) int64
+             global child indices (-1 padding), n_kids (P,) int64)
+    """
+    cached = tree.__dict__.get("_ppads")
+    if cached is not None:
+        return cached
+    pads: list = [tree.levels[0].centroid]
+    for li in range(1, tree.depth):
+        lv = tree.levels[li]
+        n_par = len(tree.levels[li - 1].node_id)
+        order = np.argsort(lv.parent_idx, kind="stable")
+        bounds = np.searchsorted(lv.parent_idx[order], np.arange(n_par + 1))
+        m = max(int((bounds[1:] - bounds[:-1]).max()) if n_par else 1, 1)
+        w = lv.centroid.shape[1]
+        cent_pad = np.zeros((n_par, m, w), dtype=np.uint64)
+        idx_pad = np.full((n_par, m), -1, dtype=np.int64)
+        n_kids = np.zeros(n_par, dtype=np.int64)
+        for p in range(n_par):
+            ks = order[bounds[p] : bounds[p + 1]]
+            cent_pad[p, : len(ks)] = lv.centroid[ks]
+            idx_pad[p, : len(ks)] = ks
+            n_kids[p] = len(ks)
+        pads.append((cent_pad, idx_pad, n_kids))
+    tree.__dict__["_ppads"] = pads
+    return pads
+
+
+def _descend_packed(
+    tree: CentroidTree, sigs: np.ndarray, block: int = 2048
+) -> tuple[np.ndarray, np.ndarray]:
+    """Packed-domain descent: XOR + LUT popcount against gathered padded kid
+    tensors, no unpacking, no float expansion. Identical results and first-wins
+    tie-breaking to the float32 kernel (both are exact Hamming argmin over the
+    children in level-array order; padding distances are +inf-like). Memory
+    traffic per row is the 512-byte signature + the (m, W) kid gather — 32×
+    less than the ±1 float32 expansion, which is what matters when many workers
+    share one memory bus."""
+    from lmw_tree_spark.functions.bitops import popcount_u64
+
+    n = sigs.shape[0]
+    depth = tree.depth
+    pads = _packed_pads(tree)
+    out_cur = np.empty(n, dtype=np.int64)
+    out_d = np.empty((n, depth), dtype=np.int64)
+    for lo in range(0, n, block):
+        s = sigs[lo : lo + block]
+        nb = len(s)
+        x0 = np.bitwise_xor(s[:, None, :], pads[0][None, :, :])
+        d0 = popcount_u64(x0).sum(axis=-1, dtype=np.int64)
+        cur = d0.argmin(axis=1)
+        out_d[lo : lo + nb, 0] = d0[np.arange(nb), cur]
+        for li in range(1, depth):
+            cent_pad, idx_pad, n_kids = pads[li]
+            safe_cur = np.where(cur >= 0, cur, 0)  # dead rows gather dummies
+            kids = cent_pad[safe_cur]  # (nb, m, W) gather
+            np.bitwise_xor(kids, s[:, None, :], out=kids)
+            d = popcount_u64(kids).sum(axis=-1, dtype=np.int64)  # (nb, m)
+            invalid = np.arange(d.shape[1])[None, :] >= n_kids[safe_cur][:, None]
+            d[invalid] = _HUGE
+            j = d.argmin(axis=1)
+            dj = d[np.arange(nb), j]
+            # childless parent (cannot happen post-prune) or already-dead row
+            dead = (dj >= _HUGE) | (cur < 0)
+            out_d[lo : lo + nb, li] = np.where(dead, np.iinfo(np.int64).max, dj)
+            cur = np.where(dead, np.int64(-1), idx_pad[safe_cur, j])
+        out_cur[lo : lo + nb] = cur
+    return out_cur, out_d
 
 
 def _descend_small(tree: CentroidTree, sigs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -228,10 +313,50 @@ def _descend_small(tree: CentroidTree, sigs: np.ndarray) -> tuple[np.ndarray, np
     return cur, dists
 
 
-def _descend_from_pm(
-    tree: CentroidTree, bits_pm: np.ndarray
+def _level_packed_bucketed(
+    tree: CentroidTree, li: int, sigs: np.ndarray, cur: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Descent core over ±1 float32 rows (see ``descend``)."""
+    """One descent level in the packed domain, vectorized per distinct fanout.
+
+    Rows are bucketed by their parent's child count g; each bucket gathers its
+    parents' (g, W) packed kid blocks, XORs against the rows' packed signatures
+    and takes the LUT-popcount argmin — one vectorized pass per distinct g
+    (≤ tree order of them) instead of one BLAS call per parent. First-wins tie
+    semantics are identical to the GEMM path (argmin over children in
+    level-array order). Cost ∝ Σ_rows g_row · W words — no ±1 expansion, no
+    level-wide gather of the float matrix."""
+    from lmw_tree_spark.functions.bitops import _POP16
+
+    cent_pad, idx_pad, n_kids = _packed_pads(tree)[li]
+    n = len(cur)
+    new_cur = np.full(n, -1, dtype=np.int64)
+    d_out = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    safe = np.where(cur >= 0, cur, 0)
+    k_of_row = np.where(cur >= 0, n_kids[safe], 0)
+    for g in np.unique(k_of_row):
+        if g == 0:
+            continue
+        rows = np.where(k_of_row == g)[0]
+        parents = cur[rows]
+        kids = cent_pad[:, :g][parents]              # (R, g, W) packed gather
+        np.bitwise_xor(kids, sigs[rows][:, None, :], out=kids)
+        r = len(rows)
+        halves = kids.view(np.uint16).reshape(r, g, -1)
+        d = _POP16[halves].sum(axis=-1, dtype=np.int64)  # (R, g)
+        j = d.argmin(axis=1)
+        new_cur[rows] = idx_pad[parents, j]
+        d_out[rows] = d[np.arange(r), j]
+    return new_cur, d_out
+
+
+def _descend_core(
+    tree: CentroidTree, sigs: np.ndarray, bits_pm: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Adaptive descent core: per level, BLAS GEMMs over ±1 float32 rows for
+    few-parent levels (big groups — arithmetic-throughput bound) and the packed
+    fanout-bucketed kernel for many-parent levels (tiny groups — call-overhead
+    and gather bound). Both are exact Hamming argmin with identical first-wins
+    ties, so the split is invisible to results (pinned by tests)."""
     n = bits_pm.shape[0]
     pads = _level_pads(tree)
     b = np.float32(bits_pm.shape[1])
@@ -244,6 +369,10 @@ def _descend_from_pm(
     sentinel = np.iinfo(np.int64).max
     neg_inf = np.float32(-np.inf)
     for li in range(1, tree.depth):
+        if len(tree.levels[li - 1].node_id) >= _PACKED_LEVEL_MIN_PARENTS:
+            cur, d_level = _level_packed_bucketed(tree, li, sigs, cur)
+            dists[:, li] = d_level
+            continue
         kids_pm, kid_idx = pads[li]
         new_cur = np.full(n, -1, dtype=np.int64)
         best_dot = np.full(n, neg_inf, dtype=np.float32)
@@ -273,6 +402,15 @@ def _descend_from_pm(
         d_level[dead] = sentinel
         cur, dists[:, li] = new_cur, d_level
     return cur, dists
+
+
+def _descend_from_pm(
+    tree: CentroidTree, bits_pm: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-GEMM descent over ±1 float32 rows (compat shim for tests: packs the
+    rows back to feed the adaptive core's packed levels)."""
+    sigs = pack_bits((bits_pm > 0).astype(np.uint8))
+    return _descend_core(tree, sigs, bits_pm)
 
 
 # ---------------------------------------------------------------------------
@@ -308,14 +446,24 @@ def accumulate_leaves(
         if len(chunk_sigs) < _SMALL_BATCH:
             leaf_pos, dists = _descend_small(tree, chunk_sigs)
         else:
-            leaf_pos, dists = _descend_from_pm(tree, _pm_from_bits(bits))
+            leaf_pos, dists = _descend_core(tree, chunk_sigs, _pm_from_bits(bits))
         order = np.argsort(leaf_pos, kind="stable")
         sorted_bits = bits[order]
         sp = leaf_pos[order]
         uniq, starts = np.unique(sp, return_index=True)
         ends = np.append(starts[1:], len(sp))
-        for u, s0, s1 in zip(uniq, starts, ends):
-            sums[u] += sorted_bits[s0:s1].sum(axis=0, dtype=np.int64)
+        sizes = ends - starts
+        # segment sums vectorized per distinct segment LENGTH: one reshape+sum
+        # per length (~O(√chunk) of them) instead of one numpy call per leaf
+        # (~1k calls/chunk, overhead-dominated at small mean leaf occupancy)
+        for g in np.unique(sizes):
+            sel = np.where(sizes == g)[0]
+            if g == 1:  # most common bucket: plain gather-assign, no reshape
+                sums[uniq[sel]] += sorted_bits[starts[sel]]
+                continue
+            pos = (starts[sel][:, None] + np.arange(g)[None, :]).ravel()
+            grp = sorted_bits[pos].reshape(len(sel), int(g), -1)
+            sums[uniq[sel]] += grp.sum(axis=1, dtype=np.int64)
         counts += np.bincount(leaf_pos, minlength=n_leaves)
         leaf_d = dists[:, -1].astype(np.float64)
         sse += np.bincount(leaf_pos, weights=leaf_d * leaf_d, minlength=n_leaves)
