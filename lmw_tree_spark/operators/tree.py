@@ -516,6 +516,65 @@ def update_tree(tree: CentroidTree, bit_sums: np.ndarray, counts: np.ndarray) ->
     return new_tree
 
 
+def _prune_childless(tree: CentroidTree) -> CentroidTree:
+    """Drop internal nodes with no children (bottom-up cascade), preserving node
+    ids and leaf set — the structural half of the reference's ``prune()``
+    (/root/reference/src/lmw/EMTree.h:273-290)."""
+    keep_masks = [np.ones(len(lv.node_id), dtype=bool) for lv in tree.levels]
+    for li in range(tree.depth - 2, -1, -1):
+        has_child = np.zeros(len(tree.levels[li].node_id), dtype=bool)
+        child_lv = tree.levels[li + 1]
+        has_child[child_lv.parent_idx[keep_masks[li + 1]]] = True
+        keep_masks[li] = has_child
+    new_tree = CentroidTree(order=tree.order)
+    remap: np.ndarray | None = None
+    for li, lv in enumerate(tree.levels):
+        keep = keep_masks[li]
+        idx = np.where(keep)[0]
+        parent = (
+            np.full(len(idx), -1, dtype=np.int64)
+            if li == 0
+            else remap[lv.parent_idx[idx]]
+        )
+        new_tree.levels.append(Level(lv.node_id[idx], parent, lv.centroid[idx]))
+        remap = np.full(len(lv.node_id), -1, dtype=np.int64)
+        remap[idx] = np.arange(len(idx))
+    return new_tree
+
+
+def rearrange_internal(tree: CentroidTree) -> CentroidTree:
+    """Re-home internal subtrees by nearest descent — the reference's
+    ``EMTree::rearrangeInternal`` (/root/reference/src/lmw/EMTree.h:148-158:
+    per depth, remove every (key, child-subtree) pair and re-insert it via
+    ``pushDownNoUpdateInternal`` EMTree.h:327-334,360-368 — greedy
+    nearest-child descent through the CURRENT upper levels — then prune).
+
+    Flat-level re-expression: processing levels top-down, every node of level
+    li ≥ 1 descends the levels above it (exactly the ``descend`` kernel on a
+    tree truncated at level li-1) and re-attaches to the reached parent;
+    childless internal nodes are pruned before the next level is processed.
+    No prototype updates here — the caller's rebuild pass recomputes means
+    (EMTree.h:164-171), matching the reference's NoUpdate semantics. Returns a
+    new tree; node ids are preserved.
+    """
+    current = tree
+    for li in range(1, current.depth):
+        if li == 1 and len(current.levels[0].node_id) <= 1:
+            continue  # single root child: nothing to re-home at this level
+        upper = CentroidTree(order=current.order)
+        upper.levels = current.levels[:li]
+        new_parent, _dists = descend(upper, current.levels[li].centroid)
+        rebuilt = CentroidTree(order=current.order)
+        rebuilt.levels = list(current.levels)
+        rebuilt.levels[li] = Level(
+            current.levels[li].node_id,
+            new_parent.astype(np.int64),
+            current.levels[li].centroid,
+        )
+        current = _prune_childless(rebuilt)
+    return current
+
+
 # ---------------------------------------------------------------------------
 # k-means over packed bits (reference KMeans semantics)
 # ---------------------------------------------------------------------------
@@ -559,6 +618,7 @@ def kmeans_bits(
     max_iters: int,
     rng: np.random.Generator,
     seeder: str = "random",
+    enforce_num_clusters: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lloyd's k-means with Hamming distance + majority prototypes.
 
@@ -568,6 +628,17 @@ def kmeans_bits(
     (KMeans.h:230-236): 0 → seed + single assignment, no mean updates; n → at
     most n update rounds, stopping early when assignments are unchanged.
     Returns (centroids (k', W) uint64, assign (N,)).
+
+    ``enforce_num_clusters`` re-expresses ``KMeans::setEnforceNumClusters``
+    (/root/reference/src/lmw/KMeans.h:74-94): guarantee that all k clusters end
+    non-empty. Intentional divergence on mechanism: the reference's
+    finalizeClusters "random shuffle" has a degenerate stride (step =
+    shuffled.size(), so every row lands in cluster 0 and the random labels are
+    then overwritten by vectorsToNearestCentroid anyway — effectively just one
+    extra Lloyd round). We implement the documented intent instead: each empty
+    cluster is re-seeded with a random data row (deterministic rng), followed
+    by reassign + mean update, repeated until k clusters are occupied (bounded;
+    can only fall short when the data has fewer than k distinct rows).
     """
     n = sigs.shape[0]
     k = min(k, n)
@@ -576,20 +647,36 @@ def kmeans_bits(
     else:
         perm = rng.permutation(n)
         centroids = sigs[perm[:k]].copy()
-    assign, _ = hamming_argmin(sigs, centroids)
-    for _ in range(max_iters):
+
+    def update(assign: np.ndarray, centroids: np.ndarray) -> np.ndarray:
         new_centroids = centroids.copy()
         for c in range(k):
             members = sigs[assign == c]
             if len(members):
                 counts = unpack_bits(members).sum(axis=0, dtype=np.int64)
                 new_centroids[c] = majority_from_counts(counts, len(members))
+        return new_centroids
+
+    assign, _ = hamming_argmin(sigs, centroids)
+    for _ in range(max_iters):
+        new_centroids = update(assign, centroids)
         new_assign, _ = hamming_argmin(sigs, new_centroids)
         centroids = new_centroids
         if (new_assign == assign).all():
             assign = new_assign
             break
         assign = new_assign
+    if enforce_num_clusters:
+        for _ in range(16):  # bounded: each round fills ≥1 empty cluster
+            occupied = np.unique(assign)
+            if len(occupied) == k:
+                break
+            empty = np.setdiff1d(np.arange(k), occupied)
+            reseed = rng.choice(n, size=len(empty), replace=False)
+            centroids[empty] = sigs[reseed]
+            assign, _ = hamming_argmin(sigs, centroids)
+            centroids = update(assign, centroids)
+            assign, _ = hamming_argmin(sigs, centroids)
     return centroids, assign
 
 

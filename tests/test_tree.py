@@ -139,3 +139,78 @@ def test_descend_small_and_blas_paths_agree():
     blas_pos, blas_d = _descend_from_pm(tree, _pm_from_bits(unpack_bits(sigs)))
     np.testing.assert_array_equal(small_pos, blas_pos)
     np.testing.assert_array_equal(small_d, blas_d)
+
+
+def test_enforce_num_clusters_guarantees_k_nonempty(planted_signatures):
+    """setEnforceNumClusters semantics (/root/reference/src/lmw/KMeans.h:74-94):
+    with enforcement on, the fit ends with exactly k occupied clusters even
+    when plain Lloyd's collapses some; results stay deterministic per rng."""
+    sigs, _ = planted_signatures  # 8 planted groups
+    k = 24  # far more clusters than planted structure: collapses are expected
+    found_collapse = False
+    for seed in range(6):
+        _, plain = kmeans_bits(sigs, k, 10, np.random.default_rng(seed))
+        if len(set(plain.tolist())) < k:
+            found_collapse = True
+        cents, enforced = kmeans_bits(
+            sigs, k, 10, np.random.default_rng(seed), enforce_num_clusters=True
+        )
+        assert len(set(enforced.tolist())) == k, f"seed {seed}"
+        assert len(cents) == k
+        # deterministic under the same rng
+        _, enforced2 = kmeans_bits(
+            sigs, k, 10, np.random.default_rng(seed), enforce_num_clusters=True
+        )
+        assert np.array_equal(enforced, enforced2)
+    assert found_collapse  # the enforcement path was actually exercised
+
+
+def test_rearrange_internal_rehomes_and_reduces_rmse():
+    """rearrangeInternal (/root/reference/src/lmw/EMTree.h:148-158): an internal
+    node attached under the wrong root re-homes to its nearest root by descent,
+    and assignment distances (hence RMSE) improve on data near that node."""
+    from lmw_tree_spark.functions.bitops import pack_bits, unpack_bits
+    from lmw_tree_spark.operators.tree import Level, rearrange_internal
+
+    w = 4  # 256-bit signatures
+    zeros = np.zeros((1, w), dtype=np.uint64)
+    ones = np.full((1, w), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    rng = np.random.default_rng(3)
+
+    def near(base, flips):
+        bits = unpack_bits(base)
+        idx = rng.choice(bits.shape[1], size=flips, replace=False)
+        bits[0, idx] ^= 1
+        return pack_bits(bits)
+
+    # roots: A ~ zeros, B ~ ones. Internal children: under A a zeros-ish node,
+    # under A ALSO a ones-ish node X (wrongly homed); under B a ones-ish node.
+    a0, b0 = near(zeros, 4), near(ones, 4)
+    under_a, x_wrong, under_b = near(zeros, 8), near(ones, 8), near(ones, 120)
+    # leaves: one per internal node (tight copies)
+    leaves = np.concatenate([near(under_a, 2), near(x_wrong, 2), near(under_b, 2)])
+    tree = CentroidTree(order=2)
+    tree.levels = [
+        Level(np.array([0, 1]), np.array([-1, -1]), np.concatenate([a0, b0])),
+        Level(np.array([10, 11, 12]), np.array([0, 0, 1]),
+              np.concatenate([under_a, x_wrong, under_b])),
+        Level(np.array([20, 21, 22]), np.array([0, 1, 2]), leaves),
+    ]
+
+    data = np.concatenate([near(x_wrong, 3) for _ in range(20)])
+    _, d_before = descend(tree, data)
+
+    fixed = rearrange_internal(tree)
+    # X (node_id 11) now lives under root B (node_id 1)
+    lvl1 = fixed.levels[1]
+    x_pos = int(np.where(lvl1.node_id == 11)[0][0])
+    assert fixed.levels[0].node_id[lvl1.parent_idx[x_pos]] == 1
+    # subtree moved with it: leaf 21 still X's child
+    lvl2 = fixed.levels[2]
+    leaf_pos = int(np.where(lvl2.node_id == 21)[0][0])
+    assert lvl1.node_id[lvl2.parent_idx[leaf_pos]] == 11
+
+    _, d_after = descend(fixed, data)
+    rmse_before = float(np.sqrt((d_before[:, -1].astype(float) ** 2).mean()))
+    rmse_after = float(np.sqrt((d_after[:, -1].astype(float) ** 2).mean()))
+    assert rmse_after < rmse_before
