@@ -75,8 +75,8 @@ def run_flagship(master: str, shuffle_partitions: int, n_images: int) -> dict:
     cfg = bench_config()
     try:
         t0 = time.time()
-        images = generate_images(spark, n_images)
-        sigs = extract_signatures(images, cfg).persist()
+        images = generate_images(spark, n_images, with_truth=True)
+        sigs = extract_signatures(images.drop("dup_group"), cfg).persist()
         sigs.count()
         t_sig = time.time() - t0
 
@@ -86,7 +86,7 @@ def run_flagship(master: str, shuffle_partitions: int, n_images: int) -> dict:
             .where("is_dup")
             .persist()
         )
-        groups = connected_components(verified, vertices=sigs)
+        groups = connected_components(verified, vertices=sigs).persist()
         n_groups = groups.count()
         t_dedup = time.time() - t1
 
@@ -95,8 +95,34 @@ def run_flagship(master: str, shuffle_partitions: int, n_images: int) -> dict:
         assignments = emtree.assign(sigs, fit.tree)
         n_assigned = assignments.count()
         t_cluster = time.time() - t2
-
         total = time.time() - t0
+
+        # dup-pair recall/precision vs generator ground truth (north rule
+        # >= 0.99) — evidenced at BENCH scale, not just the pytest config.
+        # Outside the timed section; pair sets are computed driver-side from
+        # the two (id, group) maps (groups are tiny: <= 3 members each).
+        import collections
+        import itertools
+
+        truth_pdf = images.select("image_id", "dup_group").toPandas()
+        pred_pdf = groups.toPandas()
+
+        def pair_set(ids_by_group):
+            return {
+                p
+                for ids in ids_by_group.values()
+                for p in itertools.combinations(sorted(ids), 2)
+            }
+
+        tg, pg = collections.defaultdict(list), collections.defaultdict(list)
+        for r in truth_pdf.itertuples():
+            tg[r.dup_group].append(r.image_id)
+        for r in pred_pdf.itertuples():
+            pg[r.dup_group].append(r.image_id)
+        tp, pp = pair_set(tg), pair_set(pg)
+        recall = len(tp & pp) / max(len(tp), 1)
+        precision = len(tp & pp) / max(len(pp), 1)
+
         return {
             "t_signatures": round(t_sig, 2),
             "t_dedup": round(t_dedup, 2),
@@ -105,6 +131,9 @@ def run_flagship(master: str, shuffle_partitions: int, n_images: int) -> dict:
             "rows": n_assigned,
             "dup_vertices": n_groups,
             "leaves": fit.tree.n_leaves,
+            "dup_pair_recall": round(recall, 4),
+            "dup_pair_precision": round(precision, 4),
+            "n_true_pairs": len(tp),
         }
     finally:
         spark.stop()
@@ -200,7 +229,8 @@ def run_queries(spark, sf_dir: str) -> dict:
     names = [
         "pricing_summary", "subset_semi_join", "topk_dims", "token_count",
         "lang_id", "exact_dedup", "token_jaccard", "simhash32", "minhash_sql",
-        "suffix_pairs", "cosine_topk", "centroid_assign", "minhash_lsh_dedup",
+        "suffix_pairs", "cosine_topk", "centroid_assign", "dense_kmeans",
+        "embedding_neardup", "minhash_lsh_dedup",
         "simhash_dedup", "ivf_ann", "user_sessions", "events_hourly",
         "semantic_dedup", "vocab_stats", "group_size_histogram", "reduce_dims",
     ]
@@ -257,6 +287,8 @@ def main():
         "sf": sf,
         "n_images": n_images,
         "throughput_images_per_sec": round(n_images / big["t_total"], 1),
+        "recall": big["dup_pair_recall"],
+        "precision": big["dup_pair_precision"],
         "stages": big,
         "scaling": {
             "job": "signature_extraction",

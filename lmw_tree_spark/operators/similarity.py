@@ -302,30 +302,84 @@ def cosine_neardup_pairs_bounded(
         ((cents[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     )
     admit = cd <= radii[:, None] + radii[None, :] + thresh_d
+    # ordered pairs with ca <= cb (each unordered cell pair scored once)
     pairs = [
-        (int(i), int(j)) for i in range(len(cents)) for j in range(len(cents)) if admit[i, j]
+        (int(i), int(j))
+        for i in range(len(cents))
+        for j in range(i, len(cents))
+        if admit[i, j]
     ]
     spark = df.sparkSession
     cellpairs = spark.createDataFrame(pairs, "ca int, cb int")
 
-    a = dfe.join(cells.select(id_col, "cell"), id_col).select(
-        F.col(id_col).alias("src"),
-        F.col(vec_col).alias("a_vec"),
-        F.col("cell").alias("ca"),
+    # Score per admitted CELL PAIR with one NumPy GEMM over the two cells'
+    # matrices — never materialize candidate row pairs in the shuffle. Each
+    # cell packs to a single row (ids + flattened vectors; bounded by cell
+    # occupancy ≈ n/n_cells — sub-split hot cells by raising n_cells), so the
+    # join moves O(admitted_pairs × cell_bytes), and the scorer emits only
+    # qualifying pairs.
+    packed = (
+        dfe.join(cells.select(id_col, "cell"), id_col)
+        .groupBy("cell")
+        .agg(
+            F.collect_list(id_col).alias("ids"),
+            F.collect_list(vec_col).alias("vecs"),
+        )
     )
-    b = dfe.join(cells.select(id_col, "cell"), id_col).select(
-        F.col(id_col).alias("dst"),
-        F.col(vec_col).alias("b_vec"),
-        F.col("cell").alias("cb"),
+    cand = (
+        cellpairs.join(
+            packed.select(
+                F.col("cell").alias("ca"),
+                F.col("ids").alias("a_ids"),
+                F.col("vecs").alias("a_vecs"),
+            ),
+            "ca",
+        )
+        .join(
+            packed.select(
+                F.col("cell").alias("cb"),
+                F.col("ids").alias("b_ids"),
+                F.col("vecs").alias("b_vecs"),
+            ),
+            "cb",
+        )
     )
-    sim = F.round(cosine_sim_col("a_vec", "b_vec"), round_digits)
-    return (
-        a.join(F.broadcast(cellpairs), "ca")
-        .join(b, "cb")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst", sim.alias("cosine_sim"))
-        .where(F.col("cosine_sim") >= min_cosine)
-    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples():
+                a_ids = np.asarray(row.a_ids, dtype=np.int64)
+                b_ids = np.asarray(row.b_ids, dtype=np.int64)
+                xa = np.array(list(row.a_vecs), dtype=np.float64)
+                xb = np.array(list(row.b_vecs), dtype=np.float64)
+                na = xa / np.maximum(np.linalg.norm(xa, axis=1, keepdims=True), 1e-30)
+                nb = xb / np.maximum(np.linalg.norm(xb, axis=1, keepdims=True), 1e-30)
+                sim = np.round(na @ nb.T, round_digits)
+                ii, jj = np.where(sim >= min_cosine)
+                if not len(ii):
+                    continue
+                if row.ca == row.cb:
+                    tri = ii < jj  # same-cell: score each unordered pair once
+                    ii, jj = ii[tri], jj[tri]
+                    if not len(ii):
+                        continue
+                src = np.minimum(a_ids[ii], b_ids[jj])
+                dst = np.maximum(a_ids[ii], b_ids[jj])
+                keep = src < dst  # drops degenerate self-pairs only
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "src": src[keep],
+                        "dst": dst[keep],
+                        "cosine_sim": sim[ii, jj][keep],
+                    }
+                )
+
+    scored = cand.mapInPandas(score, "src long, dst long, cosine_sim double")
+    # a pair can appear under (ca,cb) only once (each row has exactly one cell),
+    # except same-cell pairs which the src<dst filter already uniquifies
+    return scored
 
 
 def cosine_neardup_pairs(
