@@ -373,6 +373,20 @@ def q_token_jaccard(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs — the shingle variant of
+    token_jaccard (brief: n-gram Jaccard dedup). Sharper than unigrams: shared
+    vocabulary no longer collides, only shared PHRASES count. Same
+    inverted-index + df-guard machinery, all JVM."""
+    from lmw_tree_spark.operators.dedup import token_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_jaccard_pairs(docs, min_jaccard=0.1, max_token_df=400, ngram=3)
+    return out.select(
+        "src", "dst", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("src", "dst")
+
+
 def q_simhash32(spark, sf_dir):
     """32-bit token SimHash, fully JVM-side with a SQL-portable token hash
     (md5-derived), so the whole signature is DuckDB-checkable bit-for-bit."""
@@ -991,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "token_jaccard": q_token_jaccard,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash32": q_simhash32,
         "minhash_sql": q_minhash_sql,
         "sig_dim_histogram": q_sig_dim_histogram,
@@ -1154,6 +1169,30 @@ def oracle_sql() -> dict[str, str]:
                    round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
             FROM inter JOIN sizes sa ON sa.id = src JOIN sizes sb ON sb.id = dst
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.62
+            ORDER BY src, dst
+        """,
+        "ngram_jaccard": """
+            WITH arr AS (
+                SELECT doc_id AS id, string_split(lower(text), ' ') AS a
+                FROM documents),
+            toks0 AS (
+                SELECT DISTINCT id, array_to_string(a[i:i+2], ' ') AS tok
+                FROM arr, LATERAL (SELECT unnest(range(1, len(a) - 3 + 2)) AS i) r
+                WHERE len(a) >= 3),
+            dfs AS (SELECT tok, count(*) AS df FROM toks0 GROUP BY tok),
+            toks AS (
+                SELECT id, t.tok FROM toks0 t JOIN dfs USING (tok)
+                WHERE dfs.df <= 400),
+            sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+            inter AS (
+                SELECT a.id AS src, b.id AS dst, count(*) AS inter
+                FROM toks a JOIN toks b USING (tok)
+                WHERE a.id < b.id
+                GROUP BY a.id, b.id)
+            SELECT src, dst,
+                   round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.id = src JOIN sizes sb ON sb.id = dst
+            WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1
             ORDER BY src, dst
         """,
         "simhash32": """

@@ -49,12 +49,18 @@ def token_jaccard_pairs(
     id_col: str = "doc_id",
     left_filter=None,
     max_token_df: int | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """Token-set Jaccard between document pairs sharing ≥1 token.
 
     Classic inverted-index join: tokens → equi-join → |A∩B| per pair → Jaccard from
     per-doc distinct counts. ``left_filter`` (a Column predicate on the left side)
     bounds the query side.
+
+    ``ngram > 1`` computes Jaccard over word n-gram sets (shingles) instead of
+    unigrams — much sharper for near-dup detection since shared vocabulary no
+    longer collides; the df guard then bites on boilerplate PHRASES. All JVM
+    (split → transform/slice → explode), no Python.
 
     ``max_token_df`` is the SCALE guard: tokens whose document frequency exceeds it
     (stopwords, boilerplate) are dropped from the token universe BEFORE the
@@ -66,9 +72,21 @@ def token_jaccard_pairs(
     intersect), which changes nothing about the result but halves join volume on
     long-tail vocabulary.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(F.split(F.lower(text), " ")).alias("tok")
-    ).distinct()
+    if ngram == 1:
+        tok_col = F.explode(F.split(F.lower(text), " "))
+    else:
+        n = int(ngram)
+        grams = (
+            f"transform(sequence(1, size(_arr) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(_arr, i, {n})))"
+        )
+        # short docs yield an empty (typed) array — sequence() must not see a
+        # descending range, and array() alone would type as array<void>
+        tok_col = F.explode(
+            F.expr(f"IF(size(_arr) >= {n}, {grams}, slice(_arr, 1, 0))")
+        )
+        df = df.withColumn("_arr", F.split(F.lower(text), " "))
+    toks = df.select(F.col(id_col).alias("id"), tok_col.alias("tok")).distinct()
     if max_token_df is not None:
         keep = (
             toks.groupBy("tok")

@@ -177,6 +177,70 @@ def latest_tree(spark: SparkSession, tree_dir: str):
     return None
 
 
+DEDUP_STATE_SCHEMA = "canonical_id string, n_seen long"
+DEDUP_OUT_SCHEMA = "fingerprint long, canonical_id string, n_seen long"
+
+
+def stream_dedup_groups(sig_stream: DataFrame, fingerprint_col: str = "phash"):
+    """Stateful streaming exact-dedup: per-fingerprint dup groups maintained
+    across micro-batches with ``applyInPandasWithState``.
+
+    State per fingerprint = (canonical id = min image_id seen so far, running
+    count). Every batch that touches a fingerprint emits one UPDATE row
+    (fingerprint, canonical_id, n_seen) — the streaming counterpart of
+    ``dedup.exact_dedup_groups``: a consumer keeps only rows whose image_id
+    equals the canonical id (first-seen wins, stable under replay because min
+    is idempotent). State size is O(distinct fingerprints), the same footprint
+    a batch groupBy would shuffle; no timeout is set because a dup can arrive
+    arbitrarily late (bound it with a timeout when fingerprints have TTL
+    semantics)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        ids: list[str] = []
+        for pdf in pdfs:
+            ids.extend(pdf["image_id"].tolist())
+        if state.exists:
+            canonical, n = state.get
+        else:
+            canonical, n = None, 0
+        if ids:
+            newest = min(ids)
+            canonical = newest if canonical is None else min(canonical, newest)
+            n += len(ids)
+        state.update((canonical, n))
+        yield pd.DataFrame(
+            {"fingerprint": [key[0]], "canonical_id": [canonical], "n_seen": [n]}
+        )
+
+    return (
+        sig_stream.select(
+            F.col(fingerprint_col).cast("long").alias("fingerprint"), "image_id"
+        )
+        .groupBy("fingerprint")
+        .applyInPandasWithState(
+            update,
+            DEDUP_OUT_SCHEMA,
+            DEDUP_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_first_seen(sig_stream: DataFrame, watermark_col: str, delay: str,
+                      fingerprint_col: str = "phash") -> DataFrame:
+    """First-seen-only streaming dedup using the built-in watermarked
+    dropDuplicates — the idiomatic Structured Streaming form when only the
+    first copy should pass (late duplicates beyond the watermark are dropped
+    from state, bounding it)."""
+    return sig_stream.withWatermark(watermark_col, delay).dropDuplicates(
+        [fingerprint_col]
+    )
+
+
 def stream_event_counts(
     spark: SparkSession,
     events_stream: DataFrame,

@@ -172,3 +172,68 @@ def test_rate_source_ingest_appends_input_schema(spark, tmpdir_ck):
     regen = generate_batch(np.array(ids, dtype=np.int64))
     assert list(regen["caption"]) == list(sample["caption"])
     assert [bytes(b) for b in regen["bytes"]] == [bytes(b) for b in sample["bytes"]]
+
+
+def test_stream_dedup_groups_stateful(spark, tmpdir_ck):
+    """applyInPandasWithState dedup: per-fingerprint state (canonical min id +
+    running count) accumulates across micro-batches."""
+    from lmw_tree_spark.streaming.ingest import stream_dedup_groups
+
+    src = os.path.join(tmpdir_ck, "dedup_src")
+    b1 = pd.DataFrame({"image_id": ["img_b", "img_a", "img_c"], "phash": [1, 1, 2]})
+    b2 = pd.DataFrame({"image_id": ["img_d", "img_e"], "phash": [1, 3]})
+    spark.createDataFrame(b1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("image_id string, phash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_dedup_groups(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_state")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmpdir_ck, "dedup_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.table("dedup_state").toPandas()
+    # latest update per fingerprint = max n_seen
+    final = rows.sort_values("n_seen").groupby("fingerprint").last()
+    assert final.loc[1, "canonical_id"] == "img_a"
+    assert final.loc[1, "n_seen"] == 3  # img_a, img_b + late img_d
+    assert final.loc[2, "canonical_id"] == "img_c" and final.loc[2, "n_seen"] == 1
+    assert final.loc[3, "canonical_id"] == "img_e" and final.loc[3, "n_seen"] == 1
+
+
+def test_stream_first_seen_drops_duplicates(spark, tmpdir_ck):
+    from lmw_tree_spark.streaming.ingest import stream_first_seen
+
+    src = os.path.join(tmpdir_ck, "fs_src")
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["a", "b", "c", "d"],
+            "phash": [7, 7, 8, 7],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:01", "2026-01-01 00:00:02",
+                 "2026-01-01 00:00:03", "2026-01-01 00:00:04"]
+            ),
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("image_id string, phash long, ts timestamp").parquet(src)
+    out = stream_first_seen(stream, "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.table("first_seen").toPandas()
+    assert sorted(got["phash"].tolist()) == [7, 8]  # one row per fingerprint
