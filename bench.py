@@ -269,8 +269,8 @@ def main():
     sig_eff = round((t2 / t8) / 4, 3)
 
     # EM-iteration throughput vs reference single-node, at two levels
-    em8 = run_em_iters("local[8]", 8, EM_ROWS, iters=3)
-    em32 = run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=3)
+    em8 = run_em_iters("local[8]", 8, EM_ROWS, iters=4)
+    em32 = run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=4)
     em_eff = round((min(em8["iter_secs"]) / min(em32["iter_secs"])) / (CPUS / 8), 3)
 
     # headline queries on the driver tables

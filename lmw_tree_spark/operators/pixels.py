@@ -1,0 +1,99 @@
+"""Batched pixel-level image operators over the opaque ``binary`` column —
+the decode / resize / feature-extract trio of the multimodal layer (frame-sample
+lives in sources/multimodal.py), each as an Arrow ``mapInPandas`` stage.
+
+Decode happens once per image per pass inside the batch kernel; codecs come
+from sources/codecs.py (real PNG, documented FJPG stand-in for lossy — swap for
+libjpeg bindings in production, these operators do not change). The reference
+has no image machinery (it consumes precomputed signatures,
+/root/reference/src/CreateSignatures.h:26-60); this layer is specified by the
+target's image+caption table.
+
+Scale shape: pure map stages — no shuffle, no driver data; output rows carry
+re-encoded payloads (resize) or fixed-width feature rows (stats), so the
+pipeline composes: resize → signature stage → dedup runs end-to-end batched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from lmw_tree_spark.sources import codecs
+
+RESIZED_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+STATS_SCHEMA = (
+    "image_id string, w int, h int, mean_luma double, std_luma double, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def resize_images(
+    images: DataFrame, out_h: int, out_w: int, out_fmt: str = "png"
+) -> DataFrame:
+    """(image_id, bytes, fmt) → same rows resized to (out_h, out_w) and
+    re-encoded. Nearest-neighbor resampling per channel (codecs.resize_nn —
+    the same kernel the generator's variant-2 near-dups use, so resized copies
+    stay within the dedup layer's perceptual radius)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                pixels = codecs.decode_image(bytes(r.bytes), r.fmt)
+                chans = [
+                    codecs.resize_nn(pixels[..., c].astype(np.float64), out_h, out_w)
+                    for c in range(pixels.shape[-1])
+                ]
+                out = np.stack(chans, axis=-1).clip(0, 255).astype(np.uint8)
+                if out_fmt == "png":
+                    data, fmt = codecs.encode_png(out), "png"
+                else:
+                    data, fmt = codecs.encode_lossy(out), "jpeg"
+                rows.append((r.image_id, data, out_w, out_h, fmt))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def image_stats(images: DataFrame) -> DataFrame:
+    """Per-image pixel statistics (decode + feature-extract): luma mean/std and
+    per-channel means — the cheap quality/filter features of an image-corpus
+    pipeline (e.g. drop near-black or near-constant images before signatures)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                pixels = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.float64)
+                lum = codecs.luma(pixels)
+                rows.append(
+                    (
+                        r.image_id,
+                        pixels.shape[1],
+                        pixels.shape[0],
+                        float(lum.mean()),
+                        float(lum.std()),
+                        float(pixels[..., 0].mean()),
+                        float(pixels[..., 1].mean()),
+                        float(pixels[..., 2].mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "w", "h", "mean_luma", "std_luma",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, STATS_SCHEMA)

@@ -1,0 +1,58 @@
+"""Pixel operators: resize round-trip, composition with the signature stage,
+and stats vs NumPy."""
+
+import numpy as np
+
+from lmw_tree_spark.sources import codecs
+from lmw_tree_spark.sources.images import generate_images
+
+
+def test_resize_images_roundtrip_and_composes_with_signatures(spark):
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.pixels import resize_images
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from pyspark.sql import functions as F
+
+    images = generate_images(spark, 24)
+    resized = resize_images(images, 16, 16)
+    pdf = resized.toPandas()
+    assert len(pdf) == 24
+    assert (pdf["w"] == 16).all() and (pdf["h"] == 16).all()
+    px = codecs.decode_image(bytes(pdf["bytes"].iloc[0]), pdf["fmt"].iloc[0])
+    assert px.shape == (16, 16, 3)
+
+    # resized rows flow straight back into the signature stage
+    as_input = resized.join(
+        images.select("image_id", "caption"), "image_id"
+    ).withColumn("phash", F.lit(None).cast("long"))
+    sigs = extract_signatures(as_input, SMALL)
+    assert sigs.count() == 24
+
+    # nearest-neighbor resize of a resized copy is perceptually close: the
+    # phash of original vs resized stays within the dedup verify radius
+    orig_sigs = extract_signatures(images, SMALL).select("image_id", "phash")
+    res_sigs = sigs.select(
+        F.col("image_id").alias("image_id"), F.col("phash").alias("phash_r")
+    )
+    joined = orig_sigs.join(res_sigs, "image_id").select(
+        F.bit_count(
+            F.col("phash").bitwiseXOR(F.col("phash_r"))
+        ).alias("d")
+    )
+    dists = [r["d"] for r in joined.collect()]
+    assert np.median(dists) <= 12  # perceptually close for most images
+
+
+def test_image_stats_match_numpy(spark):
+    from lmw_tree_spark.operators.pixels import image_stats
+
+    images = generate_images(spark, 6)
+    src = {r["image_id"]: (bytes(r["bytes"]), r["fmt"]) for r in images.collect()}
+    got = image_stats(images).toPandas().set_index("image_id")
+    for iid, (data, fmt) in src.items():
+        px = codecs.decode_image(data, fmt).astype(np.float64)
+        lum = codecs.luma(px)
+        assert abs(got.loc[iid, "mean_luma"] - lum.mean()) < 1e-9
+        assert abs(got.loc[iid, "std_luma"] - lum.std()) < 1e-9
+        assert abs(got.loc[iid, "mean_g"] - px[..., 1].mean()) < 1e-9
+        assert got.loc[iid, "w"] == px.shape[1] and got.loc[iid, "h"] == px.shape[0]
