@@ -856,6 +856,54 @@ def q_minibatch_emtree(spark, sf_dir):
     return assign(sigs, fit.tree).orderBy("image_id")
 
 
+def q_emtree_rearranged(spark, sf_dir):
+    """EM-tree fit + rearrangeInternal (reference EMTree.h:148-158): internal
+    subtrees re-homed by nearest descent before the labeling pass. The
+    post-rearrange tree is materialized; same descent oracle — so the
+    re-homing semantics themselves are hash-checked, not just pytest'd."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign
+    from lmw_tree_spark.operators.ktree import ktree_fit
+    from lmw_tree_spark.operators.tree import rearrange_internal
+
+    sigs = _fixed_signatures(spark)
+    fit = ktree_fit(sigs, SMALL, order=8, update_delay=200)
+    tree = rearrange_internal(fit.tree)
+    assert tree.depth == 4, f"oracle SQL assumes depth 4, got {tree.depth}"
+    _write_exchange("rearranged", sigs=_sig_long(sigs), tree=_tree_long(tree))
+    return assign(sigs, tree).orderBy("image_id")
+
+
+def q_kmeans_enforced(spark, sf_dir):
+    """k-means with setEnforceNumClusters semantics (KMeans.h:74-94): driver
+    fit on a deterministic sample with exactly k=48 occupied clusters
+    guaranteed, then the distributed flat-argmin labeling pass over all rows.
+    Centroids materialized; flat descent oracle."""
+    import numpy as np
+
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign, sample_signatures
+    from lmw_tree_spark.operators.tree import CentroidTree, Level, kmeans_bits
+
+    sigs = _fixed_signatures(spark)
+    sample = sample_signatures(sigs, 500, SMALL.seed)
+    cents, sample_assign = kmeans_bits(
+        sample, k=48, max_iters=5, rng=np.random.default_rng(SMALL.seed),
+        enforce_num_clusters=True,
+    )
+    assert len(np.unique(sample_assign)) == 48  # the guarantee, on the fit set
+    tree = CentroidTree(order=48)
+    tree.levels = [
+        Level(
+            np.arange(len(cents), dtype=np.int64),
+            np.full(len(cents), -1, dtype=np.int64),
+            cents,
+        )
+    ]
+    _write_exchange("kmeans_enforced", sigs=_sig_long(sigs), tree=_tree_long(tree))
+    return assign(sigs, tree).orderBy("image_id")
+
+
 def q_dedup_images(spark, sf_dir):
     """Image dedup: LSH candidates → verified edges → connected components.
     The verified edge list + vertex universe are materialized; the oracle
@@ -895,6 +943,8 @@ def _exchange_oracles() -> dict[str, str]:
         "emtree_images": _descend_oracle("emtree", 2, leaf_assign.format(d=2)),
         "kmeans_images": _descend_oracle("kmeans", 1, leaf_assign.format(d=1)),
         "ktree_images": _descend_oracle("ktree", 4, leaf_assign.format(d=4)),
+        "emtree_rearranged": _descend_oracle("rearranged", 4, leaf_assign.format(d=4)),
+        "kmeans_enforced": _descend_oracle("kmeans_enforced", 1, leaf_assign.format(d=1)),
         "minibatch_emtree": _descend_oracle("minibatch", 2, leaf_assign.format(d=2)),
         "emtree_per_level": _descend_oracle(
             "emtree", 2,
@@ -1030,6 +1080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emtree_cluster_stats": q_emtree_cluster_stats,
         "minibatch_emtree": q_minibatch_emtree,
         "ktree_images": q_ktree_images,
+        "emtree_rearranged": q_emtree_rearranged,
+        "kmeans_enforced": q_kmeans_enforced,
         "dedup_images": q_dedup_images,
     }
 
