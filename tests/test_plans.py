@@ -148,3 +148,35 @@ def test_verify_edges_uses_jvm_bit_count(spark):
     plan = simple_plan(verified)
     assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
     assert "bit_count" in plan, plan  # Hamming verify is a codegen'd JVM expr
+
+
+def test_substring_grams_is_jvm_equi_join(spark):
+    """The gram-join substring detection path must be whole-stage-codegen JVM:
+    no Python evaluation anywhere, no nested-loop joins — at 100 TB it is one
+    distinct + bounded equi-joins."""
+    from lmw_tree_spark.operators.suffix import substring_pairs_grams
+
+    df = spark.createDataFrame(
+        [(i, ("word%d " % (i % 5)) + "shared boilerplate phrase here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = simple_plan(substring_pairs_grams(df, min_len=20))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_dense_assign_is_pure_map(spark):
+    """Dense k-means labeling (the float twin of the EM-tree visit pass) must
+    stay a broadcast-argmin pure map: zero Exchange nodes."""
+    import numpy as np
+
+    from lmw_tree_spark.operators.dense import assign_dense
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = simple_plan(assign_dense(df, np.zeros((4, 2))))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
