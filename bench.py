@@ -250,6 +250,13 @@ def main():
     # flagship e2e at full parallelism
     big = run_flagship(f"local[{CPUS}]", CPUS, n_images)
 
+    # EM-iteration throughput vs reference single-node, at two levels — runs
+    # EARLY, before the scaling sessions churn the page cache (this VM's
+    # fresh-page faults cost ~100 MB/s; measured order effects of 10-20%)
+    em32 = run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=4)
+    em8 = run_em_iters("local[8]", 8, EM_ROWS, iters=4)
+    em_eff = round((min(em8["iter_secs"]) / min(em32["iter_secs"])) / (CPUS / 8), 3)
+
     # primary scaling evidence: signature stage at N=2 vs 4N=8 cores
     # (see module docstring for why 2→8 and not 8→32 on this VM).
     # Wall clock on this VM swings 2-5x between identical runs minutes apart, so
@@ -267,11 +274,6 @@ def main():
     sig2["images_per_sec"] = round(sig_n / t2, 0)
     sig8["images_per_sec"] = round(sig_n / t8, 0)
     sig_eff = round((t2 / t8) / 4, 3)
-
-    # EM-iteration throughput vs reference single-node, at two levels
-    em8 = run_em_iters("local[8]", 8, EM_ROWS, iters=4)
-    em32 = run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=4)
-    em_eff = round((min(em8["iter_secs"]) / min(em32["iter_secs"])) / (CPUS / 8), 3)
 
     # headline queries on the driver tables
     from lmw_tree_spark.session import get_spark
