@@ -318,28 +318,27 @@ def cosine_neardup_pairs_bounded(
     # occupancy ≈ n/n_cells — sub-split hot cells by raising n_cells), so the
     # join moves O(admitted_pairs × cell_bytes), and the scorer emits only
     # qualifying pairs.
+    # single collect of (id, vec) structs — two parallel collect_lists would
+    # rely on undocumented cross-aggregate ordering alignment
     packed = (
         dfe.join(cells.select(id_col, "cell"), id_col)
         .groupBy("cell")
         .agg(
-            F.collect_list(id_col).alias("ids"),
-            F.collect_list(vec_col).alias("vecs"),
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+            ).alias("members")
         )
     )
     cand = (
         cellpairs.join(
             packed.select(
-                F.col("cell").alias("ca"),
-                F.col("ids").alias("a_ids"),
-                F.col("vecs").alias("a_vecs"),
+                F.col("cell").alias("ca"), F.col("members").alias("a_members")
             ),
             "ca",
         )
         .join(
             packed.select(
-                F.col("cell").alias("cb"),
-                F.col("ids").alias("b_ids"),
-                F.col("vecs").alias("b_vecs"),
+                F.col("cell").alias("cb"), F.col("members").alias("b_members")
             ),
             "cb",
         )
@@ -348,10 +347,10 @@ def cosine_neardup_pairs_bounded(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples():
-                a_ids = np.asarray(row.a_ids, dtype=np.int64)
-                b_ids = np.asarray(row.b_ids, dtype=np.int64)
-                xa = np.array(list(row.a_vecs), dtype=np.float64)
-                xb = np.array(list(row.b_vecs), dtype=np.float64)
+                a_ids = np.array([m["id"] for m in row.a_members], dtype=np.int64)
+                b_ids = np.array([m["id"] for m in row.b_members], dtype=np.int64)
+                xa = np.array([m["vec"] for m in row.a_members], dtype=np.float64)
+                xb = np.array([m["vec"] for m in row.b_members], dtype=np.float64)
                 na = xa / np.maximum(np.linalg.norm(xa, axis=1, keepdims=True), 1e-30)
                 nb = xb / np.maximum(np.linalg.norm(xb, axis=1, keepdims=True), 1e-30)
                 sim = np.round(na @ nb.T, round_digits)
