@@ -44,13 +44,25 @@ _X_N = 1000  # fixed synthetic input size for exchange-backed queries
 
 def _write_exchange(query: str, **tables) -> None:
     """Write small driver-side pandas tables as single deterministic parquet
-    files under .oracle_exchange/<query>/ for the DuckDB side to read."""
+    files under .oracle_exchange/<query>/ for the DuckDB side to read.
+
+    Tables are canonicalized (sorted by every scalar column) before writing so
+    artifacts are byte-stable across runs regardless of the Spark collect order
+    — git stays clean after repeated query runs."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     d = os.path.join(_EXCHANGE_DIR, query)
     os.makedirs(d, exist_ok=True)
     for name, pdf in tables.items():
+        def _sortable(c) -> bool:
+            if pdf[c].dtype != object:
+                return True
+            return len(pdf) > 0 and isinstance(pdf[c].iloc[0], str)
+
+        keys = [c for c in pdf.columns if _sortable(c)]
+        if keys:
+            pdf = pdf.sort_values(keys, kind="mergesort").reset_index(drop=True)
         pq.write_table(
             pa.Table.from_pandas(pdf, preserve_index=False),
             os.path.join(d, f"{name}.parquet"),

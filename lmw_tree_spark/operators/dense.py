@@ -35,8 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DENSE_ASSIGN_SCHEMA = "vec_id long, cluster int, dist double"
-_PARTIAL_SCHEMA = "cluster int, n long, sums array<double>"
+_PARTIAL_SCHEMA = "cluster int, merge_key int, n long, sums array<double>"
+_MERGED_SCHEMA = "cluster int, n long, sums array<double>"
 
 
 def _to_matrix(col: pd.Series) -> np.ndarray:
@@ -75,6 +75,18 @@ def seed_centroids(
     return np.array([r["v"] for r in rows], dtype=np.float64)
 
 
+def _merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reduce one (cluster, merge_key) group of partial rows to a single row."""
+    s = np.array(list(pdf["sums"]), dtype=np.float64).sum(axis=0)
+    return pd.DataFrame(
+        {
+            "cluster": [int(pdf["cluster"].iloc[0])],
+            "n": [int(pdf["n"].sum())],
+            "sums": [list(s)],
+        }
+    )
+
+
 def kmeans_dense(
     df: DataFrame,
     k: int,
@@ -83,21 +95,35 @@ def kmeans_dense(
     vec_col: str = "embedding",
     init: str = "lowest_ids",
     seed: int = 42,
+    combine_threshold: int = 64,
+    combine_keys: int = 32,
 ) -> np.ndarray:
     """Lloyd's k-means over ``array<float>`` rows, fully distributed.
 
     Each iteration: broadcast centroids → per-partition assignment + per-cluster
     (count, vector-sum) partials (one mapInPandas, no shuffle of data rows) →
-    driver combines O(partitions × k) partial rows → new means. Returns the
-    final (k, d) centroid matrix; get labels with ``assign_dense``.
+    driver combines the partials → new means. Returns the final (k, d)
+    centroid matrix; get labels with ``assign_dense``.
+
+    Two-level combine (same shape as the bit pipeline's distributed
+    ``gatherAccumulators``, emtree._accumulate_pass / reference
+    StreamingEMTree.h:253-268): above ``combine_threshold`` input partitions an
+    intermediate ``groupBy(cluster, partition_id % combine_keys)`` stage merges
+    partial rows executor-side, so the driver gather is O(k × combine_keys)
+    rows at ANY partition count (10^5-10^6 partitions at 100 TB), never
+    O(partitions × k); each merge group holds ≤ partitions/combine_keys rows.
+    Below the threshold the direct gather skips the (tiny) extra shuffle.
     """
     spark = df.sparkSession
     cents = seed_centroids(df, k, init, seed, id_col, vec_col)
     data = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    n_parts = data.rdd.getNumPartitions()  # plan inspection, no job
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(cents)
 
         def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
             cmat = bc.value
             sums = np.zeros_like(cmat)
             counts = np.zeros(len(cmat), dtype=np.int64)
@@ -111,21 +137,32 @@ def kmeans_dense(
             touched = np.where(counts > 0)[0]
             if not len(touched):
                 return
+            ctx = TaskContext.get()
+            key = (ctx.partitionId() if ctx is not None else 0) % combine_keys
             yield pd.DataFrame(
                 {
                     "cluster": touched.astype(np.int32),
+                    "merge_key": np.full(len(touched), key, dtype=np.int32),
                     "n": counts[touched],
                     "sums": list(sums[touched]),
                 }
             )
 
-        pdf = data.mapInPandas(partial, _PARTIAL_SCHEMA).toPandas()
+        partials = data.mapInPandas(partial, _PARTIAL_SCHEMA)
+        if n_parts > combine_threshold:
+            partials = partials.groupBy("cluster", "merge_key").applyInPandas(
+                _merge_partials, _MERGED_SCHEMA
+            )
+            pdf = partials.toPandas()  # ≤ k × combine_keys rows
+        else:
+            pdf = partials.drop("merge_key").toPandas()  # ≤ n_parts × k rows
         bc.unpersist()
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents), dtype=np.int64)
-        for _, row in pdf.iterrows():
-            sums[int(row["cluster"])] += np.asarray(row["sums"], dtype=np.float64)
-            counts[int(row["cluster"])] += int(row["n"])
+        if len(pdf):
+            cl = pdf["cluster"].to_numpy(dtype=np.int64)
+            np.add.at(sums, cl, np.array(list(pdf["sums"]), dtype=np.float64))
+            np.add.at(counts, cl, pdf["n"].to_numpy(dtype=np.int64))
         nonempty = counts > 0
         new_cents = cents.copy()  # empty cluster keeps its previous centroid
         new_cents[nonempty] = sums[nonempty] / counts[nonempty, None]
@@ -140,7 +177,7 @@ def assign_dense(
     vec_col: str = "embedding",
     round_digits: int | None = None,
 ) -> DataFrame:
-    """Broadcast-argmin labeling pass: (vec_id, cluster, dist). Pure map."""
+    """Broadcast-argmin labeling pass: (id_col, cluster, dist). Pure map."""
     cmat = np.ascontiguousarray(centroids, dtype=np.float64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -153,10 +190,12 @@ def assign_dense(
                 d = np.round(d, round_digits)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     "cluster": a.astype(np.int32),
                     "dist": d,
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(run, DENSE_ASSIGN_SCHEMA)
+    return df.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, cluster int, dist double"
+    )

@@ -217,9 +217,6 @@ def ivf_cosine_topk(
     )
 
 
-CELL_DIST_SCHEMA = "vec_id long, cell int, cdist double"
-
-
 def _cells_with_dist(
     df: DataFrame,
     centroids: np.ndarray,
@@ -229,7 +226,8 @@ def _cells_with_dist(
 ) -> DataFrame:
     """Nearest-centroid assignment that also emits the L2 distance to the chosen
     centroid (needed for per-cell radii). ``normalize=True`` projects rows onto
-    the unit sphere first (the cosine-as-Euclidean trick)."""
+    the unit sphere first (the cosine-as-Euclidean trick). Output columns are
+    keyed by ``id_col`` so callers with non-default id columns compose."""
     cmat = np.ascontiguousarray(centroids, dtype=np.float64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -243,13 +241,15 @@ def _cells_with_dist(
             a = d.argmin(axis=1)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     "cell": a.astype(np.int32),
                     "cdist": np.sqrt(d[np.arange(len(a)), a]),
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(run, CELL_DIST_SCHEMA)
+    return df.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, cell int, cdist double"
+    )
 
 
 def cosine_neardup_pairs_bounded(
@@ -260,6 +260,7 @@ def cosine_neardup_pairs_bounded(
     vec_col: str = "embedding",
     round_digits: int = 4,
     seed: int = 42,
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """EXACT embedding-cosine near-dup pairs through a bounded ball-cover join —
     the scale path that replaces ``cosine_neardup_pairs``'s all-pairs cross join.
@@ -279,11 +280,21 @@ def cosine_neardup_pairs_bounded(
     (t ≈ 0.99 → radius 0.14) almost all of the n_cells² pairs drop; at loose
     thresholds the plan shape is unchanged and only degrades toward all cell
     pairs — never beyond O(n²/n_cells) candidate volume per admitted pair.
+
+    Row-size bound: a cell never packs to one row. Each cell is sub-split into
+    ``ceil(count / chunk_rows)`` fixed-size hash chunks keyed ``(cell, chunk)``,
+    and admitted cell pairs expand to chunk-pair equi-joins — so the largest
+    shuffled row is ~``chunk_rows × d × 8`` bytes (≈0.5 MB at the defaults) and
+    the largest scorer temp is the ``chunk_rows²`` sim block, BOTH independent
+    of data volume and skew. The plan shape (broadcast equi-join on the
+    admitted-pair list, no CartesianProduct) is unchanged.
     """
     dfe = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
-    norm = F.sqrt(_dot(vec_col, vec_col))
+    # zero-norm guard: an unguarded x/0 would make the whole cell's radius NaN
+    # and silently drop qualifying pairs of OTHER vectors in that cell
+    norm = F.greatest(F.sqrt(_dot(vec_col, vec_col)), F.lit(1e-30))
     df_norm = dfe.select(
         id_col, F.transform(vec_col, lambda x: x / norm).alias(vec_col)
     )
@@ -291,10 +302,16 @@ def cosine_neardup_pairs_bounded(
         df_norm, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
     )
     cells = _cells_with_dist(df_norm, cents, id_col, vec_col).persist()
-    radii_rows = cells.groupBy("cell").agg(F.max("cdist").alias("r")).collect()
+    stats = (
+        cells.groupBy("cell")
+        .agg(F.max("cdist").alias("r"), F.count("*").alias("cnt"))
+        .collect()
+    )
     radii = np.zeros(len(cents), dtype=np.float64)
-    for row in radii_rows:
+    n_chunks = np.ones(len(cents), dtype=np.int64)
+    for row in stats:
         radii[row["cell"]] = row["r"]
+        n_chunks[row["cell"]] = max(1, -(-int(row["cnt"]) // chunk_rows))
 
     t_eff = min_cosine - 0.5 * 10.0 ** (-round_digits)  # absorb output rounding
     thresh_d = float(np.sqrt(max(0.0, 2.0 - 2.0 * t_eff))) + 1e-9
@@ -302,27 +319,38 @@ def cosine_neardup_pairs_bounded(
         ((cents[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     )
     admit = cd <= radii[:, None] + radii[None, :] + thresh_d
-    # ordered pairs with ca <= cb (each unordered cell pair scored once)
+    # admitted unordered cell pairs (ca <= cb) expanded to chunk pairs; for the
+    # same (cell, chunk) on both sides the scorer takes the triangle, so each
+    # unordered row pair is scored exactly once
     pairs = [
-        (int(i), int(j))
+        (int(i), int(ci), int(j), int(cj))
         for i in range(len(cents))
         for j in range(i, len(cents))
         if admit[i, j]
+        for ci in range(n_chunks[i])
+        for cj in range(n_chunks[j])
+        if i < j or ci <= cj
     ]
     spark = df.sparkSession
-    cellpairs = spark.createDataFrame(pairs, "ca int, cb int")
+    cellpairs = spark.createDataFrame(pairs, "ca int, cha int, cb int, chb int")
 
-    # Score per admitted CELL PAIR with one NumPy GEMM over the two cells'
-    # matrices — never materialize candidate row pairs in the shuffle. Each
-    # cell packs to a single row (ids + flattened vectors; bounded by cell
-    # occupancy ≈ n/n_cells — sub-split hot cells by raising n_cells), so the
-    # join moves O(admitted_pairs × cell_bytes), and the scorer emits only
-    # qualifying pairs.
+    # Score per admitted CHUNK PAIR with one NumPy GEMM over the two chunks'
+    # matrices — never materialize candidate row pairs in the shuffle. The
+    # join moves O(admitted_chunk_pairs × chunk_bytes), and the scorer emits
+    # only qualifying pairs.
     # single collect of (id, vec) structs — two parallel collect_lists would
     # rely on undocumented cross-aggregate ordering alignment
+    chunk_map = spark.createDataFrame(
+        [(int(c), int(n)) for c, n in enumerate(n_chunks)], "cell int, nch int"
+    )
     packed = (
         dfe.join(cells.select(id_col, "cell"), id_col)
-        .groupBy("cell")
+        .join(F.broadcast(chunk_map), "cell")
+        .withColumn(
+            "chunk",
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("nch")).cast("int"),
+        )
+        .groupBy("cell", "chunk")
         .agg(
             F.collect_list(
                 F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -332,15 +360,19 @@ def cosine_neardup_pairs_bounded(
     cand = (
         cellpairs.join(
             packed.select(
-                F.col("cell").alias("ca"), F.col("members").alias("a_members")
+                F.col("cell").alias("ca"),
+                F.col("chunk").alias("cha"),
+                F.col("members").alias("a_members"),
             ),
-            "ca",
+            ["ca", "cha"],
         )
         .join(
             packed.select(
-                F.col("cell").alias("cb"), F.col("members").alias("b_members")
+                F.col("cell").alias("cb"),
+                F.col("chunk").alias("chb"),
+                F.col("members").alias("b_members"),
             ),
-            "cb",
+            ["cb", "chb"],
         )
     )
 
@@ -357,8 +389,8 @@ def cosine_neardup_pairs_bounded(
                 ii, jj = np.where(sim >= min_cosine)
                 if not len(ii):
                     continue
-                if row.ca == row.cb:
-                    tri = ii < jj  # same-cell: score each unordered pair once
+                if row.ca == row.cb and row.cha == row.chb:
+                    tri = ii < jj  # same chunk: score each unordered pair once
                     ii, jj = ii[tri], jj[tri]
                     if not len(ii):
                         continue
@@ -376,8 +408,8 @@ def cosine_neardup_pairs_bounded(
                 )
 
     scored = cand.mapInPandas(score, "src long, dst long, cosine_sim double")
-    # a pair can appear under (ca,cb) only once (each row has exactly one cell),
-    # except same-cell pairs which the src<dst filter already uniquifies
+    # a pair can appear under one (cell, chunk) pair only (each row has exactly
+    # one cell and one chunk), so no cross-bucket duplicates arise
     return scored
 
 

@@ -234,48 +234,6 @@ def _packed_pads(tree: CentroidTree) -> list:
     return pads
 
 
-def _descend_packed(
-    tree: CentroidTree, sigs: np.ndarray, block: int = 2048
-) -> tuple[np.ndarray, np.ndarray]:
-    """Packed-domain descent: XOR + LUT popcount against gathered padded kid
-    tensors, no unpacking, no float expansion. Identical results and first-wins
-    tie-breaking to the float32 kernel (both are exact Hamming argmin over the
-    children in level-array order; padding distances are +inf-like). Memory
-    traffic per row is the 512-byte signature + the (m, W) kid gather — 32×
-    less than the ±1 float32 expansion, which is what matters when many workers
-    share one memory bus."""
-    from lmw_tree_spark.functions.bitops import popcount_u64
-
-    n = sigs.shape[0]
-    depth = tree.depth
-    pads = _packed_pads(tree)
-    out_cur = np.empty(n, dtype=np.int64)
-    out_d = np.empty((n, depth), dtype=np.int64)
-    for lo in range(0, n, block):
-        s = sigs[lo : lo + block]
-        nb = len(s)
-        x0 = np.bitwise_xor(s[:, None, :], pads[0][None, :, :])
-        d0 = popcount_u64(x0).sum(axis=-1, dtype=np.int64)
-        cur = d0.argmin(axis=1)
-        out_d[lo : lo + nb, 0] = d0[np.arange(nb), cur]
-        for li in range(1, depth):
-            cent_pad, idx_pad, n_kids = pads[li]
-            safe_cur = np.where(cur >= 0, cur, 0)  # dead rows gather dummies
-            kids = cent_pad[safe_cur]  # (nb, m, W) gather
-            np.bitwise_xor(kids, s[:, None, :], out=kids)
-            d = popcount_u64(kids).sum(axis=-1, dtype=np.int64)  # (nb, m)
-            invalid = np.arange(d.shape[1])[None, :] >= n_kids[safe_cur][:, None]
-            d[invalid] = _HUGE
-            j = d.argmin(axis=1)
-            dj = d[np.arange(nb), j]
-            # childless parent (cannot happen post-prune) or already-dead row
-            dead = (dj >= _HUGE) | (cur < 0)
-            out_d[lo : lo + nb, li] = np.where(dead, np.iinfo(np.int64).max, dj)
-            cur = np.where(dead, np.int64(-1), idx_pad[safe_cur, j])
-        out_cur[lo : lo + nb] = cur
-    return out_cur, out_d
-
-
 def _descend_small(tree: CentroidTree, sigs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Packed-domain descent for small batches: per-parent LUT-popcount argmin
     directly on the packed uint64 centroids. Skips the ±1 float expansion AND the
@@ -667,17 +625,73 @@ def kmeans_bits(
             break
         assign = new_assign
     if enforce_num_clusters:
-        for _ in range(16):  # bounded: each round fills ≥1 empty cluster
+        # Quality rounds: re-seed each empty cluster from a data row DISTINCT
+        # from every current centroid (a row equal to one can never win the
+        # first-wins argmin, so it would leave the cluster empty again), then
+        # reassign + mean-update. The mean update can re-empty clusters, so
+        # this is best-effort; the repair step below is the guarantee.
+        for _ in range(8):
             occupied = np.unique(assign)
             if len(occupied) == k:
                 break
             empty = np.setdiff1d(np.arange(k), occupied)
-            reseed = rng.choice(n, size=len(empty), replace=False)
-            centroids[empty] = sigs[reseed]
+            picks = _distinct_unused_rows(sigs, centroids, len(empty), rng)
+            if not len(picks):
+                break  # fewer distinct rows than k: shortfall is inherent
+            centroids[empty[: len(picks)]] = sigs[picks]
             assign, _ = hamming_argmin(sigs, centroids)
             centroids = update(assign, centroids)
             assign, _ = hamming_argmin(sigs, centroids)
+        if len(np.unique(assign)) < k:
+            centroids, assign = _occupancy_repair(sigs, centroids, assign, k, rng)
     return centroids, assign
+
+
+def _distinct_unused_rows(
+    sigs: np.ndarray, centroids: np.ndarray, want: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Up to ``want`` row indices whose signatures differ from every current
+    centroid and from each other, in rng-permuted order."""
+    taken = {c.tobytes() for c in centroids}
+    picks: list[int] = []
+    for idx in rng.permutation(sigs.shape[0]):
+        key = sigs[idx].tobytes()
+        if key in taken:
+            continue
+        taken.add(key)
+        picks.append(int(idx))
+        if len(picks) == want:
+            break
+    return np.array(picks, dtype=np.int64)
+
+
+def _occupancy_repair(
+    sigs: np.ndarray,
+    centroids: np.ndarray,
+    assign: np.ndarray,
+    k: int,
+    rng: np.random.Generator,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Guaranteed k-occupancy finisher for ``enforce_num_clusters``: make every
+    centroid a DISTINCT data row, then one assignment pass (no mean update).
+
+    Rows assigned to different clusters are pairwise-distinct vectors (equal
+    rows always share a first-wins argmin), so taking each occupied cluster's
+    closest member as its centroid and distinct unused rows for the empties
+    yields k pairwise-distinct data-row centroids; each then uniquely wins its
+    own row at distance 0 — exactly k occupied clusters whenever the data has
+    ≥ k distinct rows (the only case a shortfall is possible at all)."""
+    occupied = np.unique(assign)
+    new_cents = centroids.copy()
+    for c in occupied:
+        members = np.where(assign == c)[0]
+        d = hamming_cdist(sigs[members], centroids[c][None]).ravel()
+        new_cents[c] = sigs[members[int(d.argmin())]]
+    empty = np.setdiff1d(np.arange(k), occupied)
+    picks = _distinct_unused_rows(sigs, new_cents[occupied], len(empty), rng)
+    new_cents[empty[: len(picks)]] = sigs[picks]
+    assign, _ = hamming_argmin(sigs, new_cents)
+    return new_cents, assign
 
 
 def tsvq_init(
