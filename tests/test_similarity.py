@@ -166,3 +166,66 @@ def test_token_jaccard_df_guard_matches_numpy(spark):
     ]
     # 'the' alone no longer connects docs: (0,2) etc. must be absent
     assert (0, 2) not in {(r.src, r.dst) for r in got.itertuples()}
+
+
+def test_bounded_neardup_chunked_cells_equal_brute_force(spark):
+    """Row-size bound: with chunk_rows far below cell occupancy every cell
+    splits into many (cell, chunk) slices, and the chunk-pair expansion must
+    still score each unordered row pair exactly once — equal to brute force on
+    a deliberately skewed dataset (all rows packed into one tight ball, so one
+    cell holds nearly everything)."""
+    from lmw_tree_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_bounded,
+    )
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal(12)
+    x = base[None, :] + 0.05 * rng.standard_normal((90, 12))  # one hot ball
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(len(x))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = cosine_neardup_pairs(emb, min_cosine=0.995).orderBy("src", "dst").toPandas()
+    chunked = (
+        cosine_neardup_pairs_bounded(emb, min_cosine=0.995, n_cells=3, chunk_rows=8)
+        .orderBy("src", "dst")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        brute.reset_index(drop=True), chunked.reset_index(drop=True)
+    )
+    assert len(brute) > 50  # non-vacuous: the hot ball produces many pairs
+
+
+def test_bounded_neardup_zero_norm_rows_do_not_poison_cells(spark):
+    """A zero vector must not NaN its cell's radius and silently drop OTHER
+    qualifying pairs (ADVICE r2): with a zero-norm row present, all nonzero
+    near-dup pairs must still come back."""
+    from lmw_tree_spark.operators.similarity import (
+        cosine_neardup_pairs_bounded,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((40, 8))
+    x[13] = x[12] + 0.001 * rng.standard_normal(8)  # planted near-dup
+    x[20] = 0.0  # poison row
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(len(x))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_neardup_pairs_bounded(emb, min_cosine=0.999, n_cells=2).toPandas()
+    assert (12, 13) in set(map(tuple, got[["src", "dst"]].to_numpy()))
+    assert not got["cosine_sim"].isna().any()
+
+
+def test_kmeans_dense_two_level_combine_matches_direct(spark):
+    """Forcing the two-level combine (combine_threshold below the partition
+    count) must be bit-identical to the direct driver gather — the merge is
+    pure reassociation of float sums in a fixed grouping."""
+    from lmw_tree_spark.operators.dense import kmeans_dense
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((150, 6))
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(12)
+    direct = kmeans_dense(df, k=5, iters=3, combine_threshold=1000)
+    merged = kmeans_dense(df, k=5, iters=3, combine_threshold=8, combine_keys=4)
+    assert np.allclose(direct, merged, atol=1e-12)
