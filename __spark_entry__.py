@@ -936,11 +936,357 @@ def q_dedup_images(spark, sf_dir):
     return connected_components(edges, vertices=sigs).orderBy("image_id")
 
 
+# --- multimodal / source / streaming exchange queries ------------------------
+#
+# Same exchange philosophy as the clustering family: the non-SQL step
+# (image decode, PCM windowing, winnowed SA build, tar/WARC framing, stateful
+# streaming) materializes its RAW inputs or builder manifest, and DuckDB
+# independently replays the downstream algebra (stats aggregation, NN-resize
+# index mapping, log-energy quantization + grouping, exact LCS by substring
+# containment, round-trip field equality, batch groupBy vs streamed state).
+
+
+_STATS_COLS = ("mean_luma", "std_luma", "mean_r", "mean_g", "mean_b")
+
+
+def _round_stats(df: DataFrame) -> DataFrame:
+    """Round the float stat columns to 4 digits on the Spark side (the oracle
+    rounds identically) so double-summation-order noise can't flip the driver's
+    6-digit value hash."""
+    return df.select(
+        "image_id", "w", "h", *[F.round(c, 4).alias(c) for c in _STATS_COLS]
+    ).orderBy("image_id")
+
+
+def _pixels_exchange(images: DataFrame) -> None:
+    """Materialize decoded pixels long-format (image_id, y, x, r, g, b) — the
+    raw-input side of the pixel-operator oracles. Decode correctness itself is
+    pinned by the codec round-trip pytests (tests/test_codecs.py); the oracle
+    replays everything AFTER decode."""
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.sources import codecs
+
+    def decode_long(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(bytes(r.bytes), r.fmt)
+                h, w, _ = px.shape
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": r.image_id,
+                            "y": yy.ravel().astype(np.int32),
+                            "x": xx.ravel().astype(np.int32),
+                            "r": px[..., 0].ravel(),
+                            "g": px[..., 1].ravel(),
+                            "b": px[..., 2].ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    pdf = (
+        images.select("image_id", "bytes", "fmt")
+        .mapInPandas(
+            decode_long,
+            "image_id string, y int, x int, r smallint, g smallint, b smallint",
+        )
+        .toPandas()
+    )
+    _write_exchange("pixels", pixels=pdf)
+
+
+def q_image_stats(spark, sf_dir):
+    """Per-image pixel statistics (decode + luma/channel aggregation,
+    operators/pixels.py:66). Decoded pixels are materialized long-format; the
+    oracle recomputes BT.601 luma mean/std and channel means from the raw
+    pixels — the whole post-decode algebra is replayed in SQL."""
+    from lmw_tree_spark.operators.pixels import image_stats
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120).persist()
+    _pixels_exchange(images)
+    return _round_stats(image_stats(images))
+
+
+def q_resize_images(spark, sf_dir):
+    """Resize (nearest-neighbor, codecs.resize_nn) → re-encode → stats. The
+    oracle replays the NN index mapping (sy = oi*h//16, sx = oj*w//24) over the
+    materialized source pixels and aggregates — verifying the resample kernel,
+    the 16x24 output geometry, and the lossless PNG re-encode round-trip."""
+    from lmw_tree_spark.operators.pixels import image_stats, resize_images
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120).persist()
+    _pixels_exchange(images)
+    return _round_stats(image_stats(resize_images(images, 16, 24)))
+
+
+def _synthetic_audio(spark, n: int = 240) -> DataFrame:
+    """Deterministic FAUD clips with planted near-dups: i%4==1 is a +1 dB
+    volume-shifted copy of the base (inside the 3 dB quantization tolerance),
+    i%4==2 an identical re-encode, i%4 in {0,3} independent clips. Envelope =
+    8 random-amplitude segments over 1-1.75 s, distinctive per base."""
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.sources.multimodal import encode_audio
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                base = i - (i % 4) if i % 4 in (1, 2) else i
+                rng = np.random.default_rng([77, base])
+                dur = 16000 + int(rng.integers(0, 4)) * 4000
+                n_seg = 8
+                amp = rng.uniform(0.05, 0.9, n_seg)
+                seg = np.repeat(amp, int(np.ceil(dur / n_seg)))[:dur]
+                t = np.arange(dur)
+                x = seg * np.sin(2 * np.pi * 440 * t / 16000.0)
+                if i % 4 == 1:
+                    x = x * 10 ** (1.0 / 20)
+                pcm = (x * 32767).clip(-32768, 32767).astype(np.int16)
+                rows.append((f"aud-{i:05d}", encode_audio(pcm), "faud"))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    return spark.range(0, n, 1, 8).mapInPandas(
+        gen, "audio_id string, bytes binary, fmt string"
+    )
+
+
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-dup groups via quantized RMS-envelope fingerprints
+    (sources/multimodal.py:161). The RAW per-window RMS envelope + global
+    RMS/duration are materialized; the oracle independently replays the
+    log-energy quantization, envelope serialization, and exact grouping with
+    min-id canonicals — everything downstream of PCM windowing (which the
+    multimodal pytests pin)."""
+    import pandas as pd
+
+    from lmw_tree_spark.sources.multimodal import audio_features, audio_neardup_groups
+
+    audio = _synthetic_audio(spark).persist()
+    fp = audio_features(audio).toPandas()
+    env = [
+        (r.audio_id, wi, float(wr))
+        for r in fp.itertuples()
+        for wi, wr in enumerate(r.window_rms)
+    ]
+    _write_exchange(
+        "audio",
+        env=pd.DataFrame(env, columns=["audio_id", "win_idx", "wr"]),
+        meta=fp[["audio_id", "rms", "duration_ms"]],
+    )
+    return audio_neardup_groups(audio).orderBy("audio_id")
+
+
+def q_suffix_lcs(spark, sf_dir):
+    """EXACT longest-common-substring lengths via the winnow → per-group
+    suffix-array + Kasai LCP path (operators/suffix.py:81 — the SA twin of the
+    detection-only grams path benched as suffix_pairs). The raw caption corpus
+    is materialized; the oracle independently finds every pair sharing a
+    20-gram and computes each pair's exact LCS length by substring containment
+    — a full re-derivation, no Spark state trusted."""
+    from lmw_tree_spark.operators.suffix import substring_pairs
+
+    docs = _caption_docs(spark, 500).persist()
+    _write_exchange("suffix_lcs", docs=docs.toPandas())
+    return (
+        substring_pairs(docs, min_len=20)
+        .select("src", "dst", F.col("lcs_len").cast("int").alias("lcs_len"))
+        .orderBy("src", "dst")
+    )
+
+
+def _build_tar_shards(tmp_dir: str):
+    """Write two deterministic webdataset-style shards (one gzipped) from
+    generate_batch rows; return the builder-side manifest. The manifest is
+    computed from the GENERATOR output, never from the parsed result, so
+    Spark's read path is checked as a true round trip."""
+    import gzip
+    import io
+    import os
+    import shutil
+    import tarfile
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.sources.images import generate_batch
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+    pdf = generate_batch(np.arange(80, dtype=np.int64))
+    manifest = []
+    for s in range(2):
+        part = pdf.iloc[s * 40 : (s + 1) * 40]
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for r in part.itertuples():
+                img = bytes(r.bytes)
+                ext = "png" if r.fmt == "png" else "jpg"
+                for name, data in (
+                    (f"{r.image_id}.{ext}", img),
+                    (f"{r.image_id}.txt", r.caption.encode()),
+                ):
+                    ti = tarfile.TarInfo(name)
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    tf.addfile(ti, io.BytesIO(data))
+        raw = buf.getvalue()
+        fname = f"shard-{s}.tar.gz" if s == 0 else f"shard-{s}.tar"
+        with open(os.path.join(tmp_dir, fname), "wb") as f:
+            f.write(gzip.compress(raw, 6) if s == 0 else raw)
+        for r in part.itertuples():
+            manifest.append(
+                (
+                    f"{fname}/{r.image_id}",
+                    "png" if r.fmt == "png" else "jpg",
+                    len(bytes(r.bytes)),
+                    r.caption,
+                )
+            )
+    return pd.DataFrame(manifest, columns=["image_id", "fmt", "n_bytes", "caption"])
+
+
+def q_tar_shard_images(spark, sf_dir):
+    """webdataset TAR-shard source (reference CompressedTARReader.h:33-135,
+    working here) → input-schema rows. The query builds two deterministic
+    shards (plain + gzip, image+caption members grouped by stem), reads them
+    through binaryFile + the tar parser, and projects (image_id, fmt, n_bytes,
+    caption); the oracle compares against the builder manifest — member
+    grouping, extension→fmt mapping, payload byte counts, and caption equality
+    are all round-trip-checked."""
+    from lmw_tree_spark.sources.archives import read_tar_shards, tar_samples_to_images
+
+    man = _build_tar_shards("/tmp/lmw_oracle_tar")
+    _write_exchange("tar_shards", manifest=man)
+    return (
+        tar_samples_to_images(read_tar_shards(spark, "/tmp/lmw_oracle_tar"))
+        .select(
+            "image_id", "fmt", F.length("bytes").alias("n_bytes"), "caption"
+        )
+        .orderBy("image_id")
+    )
+
+
+def q_warc_records(spark, sf_dir):
+    """WARC record source (reference CompressedWARCReader.h:27-81): version
+    line, tolerant key:value headers (a malformed colon-less line is planted in
+    every record, matching the reference's ClueWeb09 workaround), exact
+    Content-Length payload framing, gzip container. Round-trip-checked against
+    the builder manifest."""
+    import gzip
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.sources.archives import read_warc
+    from lmw_tree_spark.sources.images import generate_batch
+
+    wd = "/tmp/lmw_oracle_warc"
+    shutil.rmtree(wd, ignore_errors=True)
+    os.makedirs(wd)
+    pdf = generate_batch(np.arange(60, dtype=np.int64))
+    parts, recs = [], []
+    for r in pdf.itertuples():
+        body = r.caption.encode()
+        rid = f"<urn:uuid:{r.image_id}>"
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Record-ID: {rid}\r\n"
+            "this line is malformed without colon sep\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        parts.append(hdr + body + b"\r\n\r\n")
+        recs.append((rid, len(body), r.caption))
+    with open(os.path.join(wd, "shard.warc.gz"), "wb") as f:
+        f.write(gzip.compress(b"".join(parts), 6))
+    _write_exchange(
+        "warc", manifest=pd.DataFrame(recs, columns=["record_id", "n_bytes", "text"])
+    )
+    return (
+        read_warc(spark, wd)
+        .select(
+            "record_id",
+            F.length("content").alias("n_bytes"),
+            F.col("content").cast("string").alias("text"),
+            F.col("headers")["warc-type"].alias("warc_type"),
+        )
+        .orderBy("record_id")
+    )
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Stateful streaming exact-dedup (streaming/ingest.py:184,
+    applyInPandasWithState; reference mini-batch semantics,
+    StreamingEMTreeExperiments.h:143-189): 400 images land as 4 parquet files
+    consumed one file per micro-batch (availableNow), state carries
+    (min image_id, running count) per fingerprint across batches. The final
+    state table must equal a batch groupBy over the same input — which the
+    oracle computes independently from the materialized (image_id, phash)
+    table. 'Update' rows exceed distinct fingerprints in every run, proving
+    state genuinely crossed micro-batches."""
+    import shutil
+
+    from lmw_tree_spark.sources.images import IMAGES_SCHEMA, generate_images
+    from lmw_tree_spark.streaming.ingest import stream_dedup_groups
+
+    src, ck = "/tmp/lmw_oracle_sdd_src", "/tmp/lmw_oracle_sdd_ck"
+    for p in (src, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    images = generate_images(spark, 400)
+    images.repartition(4).write.parquet(src)
+    _write_exchange("stream_dedup", inp=images.select("image_id", "phash").toPandas())
+
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("image_id", "phash")
+    )
+    q = (
+        stream_dedup_groups(stream, "phash")
+        .writeStream.format("memory")
+        .queryName("lmw_stream_dedup")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n_updates = spark.table("lmw_stream_dedup").count()
+    final = spark.sql(
+        """SELECT fingerprint, canonical_id, n_seen FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY fingerprint ORDER BY n_seen DESC) AS rn
+               FROM lmw_stream_dedup) WHERE rn = 1"""
+    )
+    assert n_updates > final.count(), "state never crossed a micro-batch boundary"
+    return final.orderBy("fingerprint")
+
+
 def _exchange_oracles() -> dict[str, str]:
     """DuckDB oracles for the exchange-backed queries: each independently
     replays the operator's decision algebra (descent argmin / band buckets /
     probe top-k / transitive closure) from the materialized state."""
     x = _EXCHANGE_DIR
+    px = os.path.join(x, "pixels", "pixels.parquet")
+    au_env = os.path.join(x, "audio", "env.parquet")
+    au_meta = os.path.join(x, "audio", "meta.parquet")
+    lcs_docs = os.path.join(x, "suffix_lcs", "docs.parquet")
+    tar_man = os.path.join(x, "tar_shards", "manifest.parquet")
+    warc_man = os.path.join(x, "warc", "manifest.parquet")
+    sdd_inp = os.path.join(x, "stream_dedup", "inp.parquet")
     mh = os.path.join(x, "minhash", "minhash.parquet")
     sh = os.path.join(x, "simhash", "simhash.parquet")
     ivf_e = os.path.join(x, "ivf", "embeddings.parquet")
@@ -1035,6 +1381,101 @@ def _exchange_oracles() -> dict[str, str]:
             SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank
             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
         """,
+        "image_stats": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{px}')),
+            dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
+                     FROM pxt GROUP BY image_id),
+            lum AS (SELECT image_id, 0.299*r + 0.587*g + 0.114*b AS yv, r, g, b
+                    FROM pxt)
+            SELECT l.image_id, d.w::INT AS w, d.h::INT AS h,
+                   round(avg(yv), 4) AS mean_luma,
+                   round(stddev_pop(yv), 4) AS std_luma,
+                   round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+                   round(avg(b), 4) AS mean_b
+            FROM lum l JOIN dims d USING (image_id)
+            GROUP BY l.image_id, d.w, d.h ORDER BY l.image_id
+        """,
+        "resize_images": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{px}')),
+            dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
+                     FROM pxt GROUP BY image_id),
+            grid AS (
+                SELECT image_id, w, h,
+                       least((oi * h) // 16, h - 1)::INT AS sy,
+                       least((oj * w) // 24, w - 1)::INT AS sx
+                FROM dims, range(0, 16) a(oi), range(0, 24) b(oj)),
+            sel AS (
+                SELECT g.image_id, p.r, p.g AS gg, p.b,
+                       0.299*p.r + 0.587*p.g + 0.114*p.b AS yv
+                FROM grid g JOIN pxt p
+                  ON p.image_id = g.image_id AND p.y = g.sy AND p.x = g.sx)
+            SELECT image_id, 24 AS w, 16 AS h,
+                   round(avg(yv), 4) AS mean_luma,
+                   round(stddev_pop(yv), 4) AS std_luma,
+                   round(avg(r), 4) AS mean_r, round(avg(gg), 4) AS mean_g,
+                   round(avg(b), 4) AS mean_b
+            FROM sel GROUP BY image_id ORDER BY image_id
+        """,
+        "audio_neardup": f"""
+            WITH env AS (SELECT * FROM read_parquet('{au_env}')),
+            meta AS (SELECT * FROM read_parquet('{au_meta}')),
+            q AS (
+                SELECT e.audio_id, e.win_idx,
+                       round(log10((e.wr + 1e-9) / (m.rms + 1e-9))
+                             * (20.0 / 3.0))::INT AS qv
+                FROM env e JOIN meta m USING (audio_id)),
+            envs AS (
+                SELECT m.audio_id,
+                       coalesce((SELECT string_agg(qv, ',' ORDER BY win_idx)
+                                 FROM q WHERE q.audio_id = m.audio_id), '') AS e,
+                       m.duration_ms
+                FROM meta m),
+            grp AS (
+                SELECT e, duration_ms, min(audio_id) AS dup_group,
+                       count(*)::INT AS group_size
+                FROM envs GROUP BY e, duration_ms)
+            SELECT v.audio_id, g.dup_group, g.group_size
+            FROM envs v JOIN grp g
+              ON g.e = v.e AND g.duration_ms = v.duration_ms
+            ORDER BY v.audio_id
+        """,
+        "suffix_lcs": f"""
+            WITH docs AS (SELECT doc_id, lower(text) AS t
+                          FROM read_parquet('{lcs_docs}')),
+            grams AS (
+                SELECT DISTINCT doc_id, substr(t, i::INT, 20) AS g
+                FROM docs, range(1, 512) r(i)
+                WHERE i <= length(t) - 20 + 1),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id),
+            cand AS (
+                SELECT p.src, p.dst, a.t AS ta, b.t AS tb
+                FROM pairs p JOIN docs a ON a.doc_id = p.src
+                             JOIN docs b ON b.doc_id = p.dst),
+            lcs AS (
+                SELECT src, dst, max(L)::INT AS lcs_len
+                FROM cand, range(1, 512) r(i), range(20, 512) s(L)
+                WHERE i + L - 1 <= length(ta)
+                  AND contains(tb, substr(ta, i::INT, L::INT))
+                GROUP BY src, dst)
+            SELECT * FROM lcs ORDER BY src, dst
+        """,
+        "tar_shard_images": f"""
+            SELECT image_id, fmt, n_bytes::INT AS n_bytes, caption
+            FROM read_parquet('{tar_man}') ORDER BY image_id
+        """,
+        "warc_records": f"""
+            SELECT record_id, n_bytes::INT AS n_bytes, text,
+                   'resource' AS warc_type
+            FROM read_parquet('{warc_man}') ORDER BY record_id
+        """,
+        "stream_dedup": f"""
+            SELECT phash AS fingerprint, min(image_id) AS canonical_id,
+                   count(*)::BIGINT AS n_seen
+            FROM read_parquet('{sdd_inp}')
+            GROUP BY phash ORDER BY fingerprint
+        """,
         "dedup_images": f"""
             WITH RECURSIVE sym AS (
                 SELECT src AS u, dst AS v FROM read_parquet('{cc_e}')
@@ -1095,6 +1536,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emtree_rearranged": q_emtree_rearranged,
         "kmeans_enforced": q_kmeans_enforced,
         "dedup_images": q_dedup_images,
+        # multimodal / sources / streaming (raw-input or manifest exchange)
+        "image_stats": q_image_stats,
+        "resize_images": q_resize_images,
+        "audio_neardup": q_audio_neardup,
+        "suffix_lcs": q_suffix_lcs,
+        "tar_shard_images": q_tar_shard_images,
+        "warc_records": q_warc_records,
+        "stream_dedup": q_stream_dedup,
     }
 
 
