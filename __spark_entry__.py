@@ -1226,6 +1226,83 @@ def q_warc_records(spark, sf_dir):
     )
 
 
+def _synthetic_videos(spark, n: int = 48) -> DataFrame:
+    """Deterministic FVID clips: i%4==1 is a lossy re-encode of base i-1 (every
+    frame a near-dup), i%4 in {0,2,3} independent 8-frame clips."""
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.sources.multimodal import encode_video
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                base = i - 1 if i % 4 == 1 else i
+                rng = np.random.default_rng([55, base])
+                frames = rng.integers(0, 256, (8, 32, 32, 3)).astype(np.uint8)
+                # smooth blocks so near-dup verification has signal, not noise
+                frames = frames.repeat(1, axis=1)
+                frames[:, ::2] = frames[:, 1::2]
+                if i != base:
+                    noise = np.random.default_rng([55, i, 1]).integers(
+                        -1, 2, frames.shape
+                    )
+                    frames = (frames.astype(np.int16) + noise).clip(0, 255).astype(
+                        np.uint8
+                    )
+                rows.append((f"vid-{i:04d}", encode_video(frames, fps=10.0), "fvid"))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes", "fmt"])
+
+    return spark.range(0, n, 1, 8).mapInPandas(
+        gen, "video_id string, bytes binary, fmt string"
+    )
+
+
+def q_video_neardup(spark, sf_dir):
+    """Video near-dup groups by frame-level reduction
+    (sources/multimodal.py:202): sample frames → image signature pipeline →
+    verified frame edges → distinct-frame coverage rollup ≥ 50% of the smaller
+    video → connected components. The VERIFIED FRAME EDGES and per-video frame
+    counts are materialized (the frame-level kernels are the hash-checked
+    dedup_images family); the oracle independently replays edge orientation,
+    the countDistinct coverage algebra, the least(na,nb)/2 threshold, and the
+    recursive-CTE transitive closure."""
+    import pandas as pd
+
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators import lsh
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.multimodal import sample_frames, video_neardup_groups
+
+    videos = _synthetic_videos(spark).persist()
+    # mirror of the operator's frame sub-pipeline, materialized for the oracle
+    frames = sample_frames(videos, every_k=2)
+    images = frames.select(
+        F.concat_ws("#", "video_id", "frame_idx").alias("image_id"),
+        "bytes", "w", "h", "fmt",
+        F.lit("").alias("caption"),
+        F.lit(None).cast("long").alias("phash"),
+    )
+    sigs = extract_signatures(images, SMALL)
+    verified = (
+        lsh.verify_edges(lsh.candidate_edges(sigs, SMALL), sigs, SMALL)
+        .where("is_dup")
+        .select("src", "dst")
+        .persist()
+    )
+    counts = frames.groupBy("video_id").agg(F.count("*").alias("nf")).persist()
+    _write_exchange(
+        "video",
+        frame_edges=verified.toPandas(),
+        frame_counts=counts.toPandas(),
+    )
+    return video_neardup_groups(
+        videos, SMALL, every_k=2, frame_edges=verified, frame_counts=counts
+    ).orderBy("video_id")
+
+
 def q_stream_dedup(spark, sf_dir):
     """Stateful streaming exact-dedup (streaming/ingest.py:184,
     applyInPandasWithState; reference mini-batch semantics,
@@ -1287,6 +1364,8 @@ def _exchange_oracles() -> dict[str, str]:
     tar_man = os.path.join(x, "tar_shards", "manifest.parquet")
     warc_man = os.path.join(x, "warc", "manifest.parquet")
     sdd_inp = os.path.join(x, "stream_dedup", "inp.parquet")
+    vid_e = os.path.join(x, "video", "frame_edges.parquet")
+    vid_n = os.path.join(x, "video", "frame_counts.parquet")
     mh = os.path.join(x, "minhash", "minhash.parquet")
     sh = os.path.join(x, "simhash", "simhash.parquet")
     ivf_e = os.path.join(x, "ivf", "embeddings.parquet")
@@ -1476,6 +1555,38 @@ def _exchange_oracles() -> dict[str, str]:
             FROM read_parquet('{sdd_inp}')
             GROUP BY phash ORDER BY fingerprint
         """,
+        "video_neardup": f"""
+            WITH RECURSIVE fe AS (
+                SELECT string_split(src, '#')[1] AS vs,
+                       string_split(src, '#')[2] AS fs,
+                       string_split(dst, '#')[1] AS vd,
+                       string_split(dst, '#')[2] AS fd
+                FROM read_parquet('{vid_e}')),
+            oriented AS (
+                SELECT CASE WHEN vs <= vd THEN vs ELSE vd END AS a,
+                       CASE WHEN vs <= vd THEN fs ELSE fd END AS fa,
+                       CASE WHEN vs <= vd THEN vd ELSE vs END AS b,
+                       CASE WHEN vs <= vd THEN fd ELSE fs END AS fb
+                FROM fe WHERE vs != vd),
+            cov AS (
+                SELECT a, b, count(DISTINCT fa) AS cov_a,
+                       count(DISTINCT fb) AS cov_b
+                FROM oriented GROUP BY a, b),
+            nf AS (SELECT video_id, nf FROM read_parquet('{vid_n}')),
+            vedges AS (
+                SELECT c.a AS u, c.b AS v
+                FROM cov c JOIN nf na ON na.video_id = c.a
+                           JOIN nf nb ON nb.video_id = c.b
+                WHERE (CASE WHEN na.nf <= nb.nf THEN c.cov_a ELSE c.cov_b END)
+                      >= least(na.nf, nb.nf) * 0.5),
+            sym AS (SELECT u, v FROM vedges UNION SELECT v, u FROM vedges),
+            reach(u, v) AS (
+                SELECT video_id, video_id FROM nf
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v)
+            SELECT u AS video_id, min(v) AS dup_group
+            FROM reach GROUP BY u ORDER BY video_id
+        """,
         "dedup_images": f"""
             WITH RECURSIVE sym AS (
                 SELECT src AS u, dst AS v FROM read_parquet('{cc_e}')
@@ -1543,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_lcs": q_suffix_lcs,
         "tar_shard_images": q_tar_shard_images,
         "warc_records": q_warc_records,
+        "video_neardup": q_video_neardup,
         "stream_dedup": q_stream_dedup,
     }
 

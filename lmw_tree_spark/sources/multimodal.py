@@ -205,6 +205,8 @@ def video_neardup_groups(
     every_k: int = 2,
     min_frame_frac: float = 0.5,
     id_col: str = "video_id",
+    frame_edges: DataFrame | None = None,
+    frame_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Video near-duplicate groups via frame-level reduction.
 
@@ -223,6 +225,12 @@ def video_neardup_groups(
     not raw pairs: repeated frames (black/intro frames duplicated k times in each
     of two unrelated videos) produce k² verified pairs but still cover only ONE
     distinct frame, so they cannot falsely merge the videos.
+
+    ``frame_edges`` / ``frame_counts`` accept a precomputed verified-edge list
+    (src, dst as ``video#frame``) and per-video frame counts (video_id, nf) —
+    a caller that already materialized the frame sub-pipeline (e.g. for an
+    external audit) skips recomputing it; the rollup/threshold/CC stages are
+    unchanged.
     """
     from pyspark.sql import functions as F
 
@@ -230,21 +238,25 @@ def video_neardup_groups(
     from lmw_tree_spark.operators.ccomp import connected_components
     from lmw_tree_spark.operators.signature_stage import extract_signatures
 
-    frames = sample_frames(videos, every_k, id_col=id_col)
-    images = frames.select(
-        F.concat_ws("#", id_col, "frame_idx").alias("image_id"),
-        "bytes",
-        "w",
-        "h",
-        "fmt",
-        F.lit("").alias("caption"),
-        F.lit(None).cast("long").alias("phash"),
-    )
-    sigs = extract_signatures(images, cfg)
-    verified = (
-        lsh.verify_edges(lsh.candidate_edges(sigs, cfg), sigs, cfg)
-        .where("is_dup")
-    )
+    if frame_edges is None or frame_counts is None:
+        frames = sample_frames(videos, every_k, id_col=id_col)
+        images = frames.select(
+            F.concat_ws("#", id_col, "frame_idx").alias("image_id"),
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            F.lit("").alias("caption"),
+            F.lit(None).cast("long").alias("phash"),
+        )
+        sigs = extract_signatures(images, cfg)
+        verified = (
+            lsh.verify_edges(lsh.candidate_edges(sigs, cfg), sigs, cfg)
+            .where("is_dup")
+        )
+        frame_counts = frames.groupBy(id_col).agg(F.count("*").alias("nf"))
+    else:
+        verified = frame_edges
     vsrc, fsrc = F.substring_index("src", "#", 1), F.substring_index("src", "#", -1)
     vdst, fdst = F.substring_index("dst", "#", 1), F.substring_index("dst", "#", -1)
     fwd = vsrc <= vdst  # orient each frame edge so a <= b at the video level
@@ -262,7 +274,7 @@ def video_neardup_groups(
             F.countDistinct("fb").alias("cov_b"),
         )
     )
-    n_frames = frames.groupBy(id_col).agg(F.count("*").alias("nf"))
+    n_frames = frame_counts
     covered_small = F.when(F.col("na") <= F.col("nb"), F.col("cov_a")).otherwise(
         F.col("cov_b")
     )
