@@ -138,9 +138,20 @@ def lgram_buckets(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def edges_from_buckets(
-    buckets: DataFrame, pair_cap: int, chain_salts: int = 4096
+    buckets: DataFrame, pair_cap: int, chain_salts: int = 4096,
+    cache_buckets: bool = True,
 ) -> DataFrame:
     """(bucket, image_id) → candidate edges (src < dst), JVM-only.
+
+    The plan fans out over ``buckets`` FOUR ways (level-1 chains, per-salt
+    reps, bucket counts, clique join) — without materialization every consumer
+    re-runs the upstream bucket generators (four Arrow mapInPandas passes over
+    the signature table in the image pipeline: measured 4-8x the warm cost of
+    the stage at bench scale). ``cache_buckets`` persists the narrow
+    (bucket, id) rows MEMORY_AND_DISK before the fan-out: one materialization,
+    spill-backed so a 100 TB run (~tens of keys per row) degrades to local-disk
+    reads instead of OOM; pass False to trade recompute for zero cache
+    footprint when the upstream is itself a cheap scan.
 
     Chain edges give O(n)-per-bucket connectivity regardless of skew; clique edges
     (bucket size ≤ pair_cap) add direct pairs for verification recall.
@@ -166,6 +177,10 @@ def edges_from_buckets(
 
     Producers guarantee (bucket, image_id) uniqueness; the final
     ``dropDuplicates`` dedups across the three edge sources."""
+    if cache_buckets:
+        from pyspark import StorageLevel
+
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     salted = buckets.withColumn(
         "salt", F.pmod(F.xxhash64("image_id"), F.lit(chain_salts))
     )
