@@ -253,9 +253,16 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["minhash_lsh_dedup"] = _minhash_production
     out = {}
     for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        out[name] = round(time.time() - t0, 3)
+        # min-of-2: the first run pays Python-worker spin-up / first-import /
+        # page-fault warmup for that query's kernel path (measured 2-7x at this
+        # scale: minhash production config 12.8 s cold vs 1.8 s warm in the
+        # same session); the second run times the plan.
+        secs = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            secs.append(round(time.time() - t0, 3))
+        out[name] = min(secs)
     return out
 
 
@@ -266,9 +273,14 @@ def main():
     # EM-iteration throughput vs reference single-node, at two levels — runs
     # FIRST, before any other session churns the page cache (this VM's
     # fresh-page faults cost ~100 MB/s; measured order effects of 10-20%).
-    # min-of-5 at the headline level: the VM's 2-5x wall-clock noise means the
-    # best iteration is the engine signal, the worst is the machine's.
-    em32 = run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=5)
+    # Best-of-2 sessions at the headline level, min-of-iters within each: the
+    # VM's 2-5x wall-clock noise is session-correlated (a whole session can
+    # land in a slow window — observed 84k vs 150k sigs/s for identical code
+    # minutes apart), so two independent sessions are two draws; the best
+    # iteration is the engine signal, the worst is the machine's.
+    em32_runs = [run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=4) for _ in range(2)]
+    em32 = max(em32_runs, key=lambda r: r["sigs_per_sec"])
+    em32["session_best_iters"] = [min(r["iter_secs"]) for r in em32_runs]
     em8 = run_em_iters("local[8]", 8, EM_ROWS, iters=4)
 
     # flagship e2e at full parallelism — min-of-2 fresh sessions: identical
