@@ -278,7 +278,7 @@ def main():
     # land in a slow window — observed 84k vs 150k sigs/s for identical code
     # minutes apart), so two independent sessions are two draws; the best
     # iteration is the engine signal, the worst is the machine's.
-    em32_runs = [run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=4) for _ in range(2)]
+    em32_runs = [run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=6) for _ in range(2)]
     em32 = max(em32_runs, key=lambda r: r["sigs_per_sec"])
     em32["session_best_iters"] = [min(r["iter_secs"]) for r in em32_runs]
     em8 = run_em_iters("local[8]", 8, EM_ROWS, iters=4)

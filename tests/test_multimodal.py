@@ -176,3 +176,32 @@ def test_audio_features_match_numpy(spark):
     assert len(got["window_rms"]) == 4  # 4 x 250ms windows
     # a pure tone has uniform energy per window
     assert np.allclose(got["window_rms"], got["rms"], rtol=1e-2)
+
+
+def test_synthetic_fixtures_deterministic_with_planted_dups(spark):
+    """The exchange-backed audio/video queries rely on the driver fixtures
+    being byte-deterministic (oracle artifacts are committed) and carrying the
+    documented near-dup structure (i%4==1 variants of the base)."""
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from lmw_tree_spark.sources.multimodal import decode_audio_pcm, decode_video_frames
+
+    a1 = entry._synthetic_audio(spark, 16).toPandas().sort_values("audio_id")
+    a2 = entry._synthetic_audio(spark, 16).toPandas().sort_values("audio_id")
+    assert all(bytes(x) == bytes(y) for x, y in zip(a1["bytes"], a2["bytes"]))
+    # i%4==1 is a +1 dB copy of the base: same length, samplewise proportional
+    pcm0, _ = decode_audio_pcm(bytes(a1.iloc[0]["bytes"]), "faud")
+    pcm1, _ = decode_audio_pcm(bytes(a1.iloc[1]["bytes"]), "faud")
+    assert len(pcm0) == len(pcm1)
+    scale = 10 ** (1.0 / 20)
+    # int16 truncation of x*32767 vs (x*scale)*32767 differ by up to ~scale
+    assert np.abs(pcm1.astype(np.float64) - pcm0.astype(np.float64) * scale).max() <= 1.5
+
+    v1 = entry._synthetic_videos(spark, 8).toPandas().sort_values("video_id")
+    v2 = entry._synthetic_videos(spark, 8).toPandas().sort_values("video_id")
+    assert all(bytes(x) == bytes(y) for x, y in zip(v1["bytes"], v2["bytes"]))
+    # i%4==1 re-encodes the base frames with +-1 noise: same geometry
+    b0, i0, w0, h0, _ = decode_video_frames(bytes(v1.iloc[0]["bytes"]), "fvid")
+    b1, i1, w1, h1, _ = decode_video_frames(bytes(v1.iloc[1]["bytes"]), "fvid")
+    assert (len(b0), w0, h0) == (len(b1), w1, h1) == (8, 32, 32)

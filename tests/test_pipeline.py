@@ -41,8 +41,9 @@ def test_end_to_end_recall(spark, tmpdir_ck):
     assert set(stats["cluster_id"]) == set(a["cluster_id"])
     assert (stats["rmse"] >= 0).all()
 
-    # resume: wipe the last stage; earlier stages must be reused, output identical
-    os.remove(os.path.join(tmpdir_ck, "assignments", "_SUCCESS"))
+    # resume: invalidate the last stage; earlier stages must be reused, output
+    # identical (invalidate drops the _latest pointer; snapshots retained)
+    Checkpointer(spark, tmpdir_ck).invalidate("assignments")
     res2 = run_pipeline(spark, images.drop("dup_group"), SMALL, checkpoint_dir=tmpdir_ck)
     a2 = res2.assignments.toPandas()
     merged = a.merge(a2, on="image_id", suffixes=("_1", "_2"))
@@ -73,6 +74,42 @@ def test_checkpoint_stage_skips_rebuild(spark, tmpdir_ck):
     ck.stage("s1", build)
     ck.stage("s1", build)
     assert len(calls) == 1
+
+
+def test_checkpoint_snapshots_time_travel_and_atomic_commit(spark, tmpdir_ck):
+    """Snapshot semantics (Iceberg-style on parquet): a new commit never
+    disturbs the previous one, old versions stay time-travel-readable, a
+    half-written version (no pointer flip) is invisible, and invalidate()
+    forces a rebuild while retaining snapshots."""
+    ck = Checkpointer(spark, tmpdir_ck)
+    ck.write("s", generate_images(spark, 10))
+    ck.write("s", generate_images(spark, 25))
+    assert ck.current_version("s") == 2
+    assert ck.read("s").count() == 25
+    assert ck.read("s", version=1).count() == 10  # time travel
+    assert [s["version"] for s in ck.snapshots("s")] == [1, 2]
+    assert ck.metrics("s", version=1)["rows"] == 10
+
+    # crash simulation: a version dir without the pointer flip is invisible
+    import shutil
+
+    shutil.copytree(
+        os.path.join(tmpdir_ck, "s", "v00002"),
+        os.path.join(tmpdir_ck, "s", "v00003"),
+    )
+    os.remove(os.path.join(tmpdir_ck, "s", "v00003", "_metrics.json"))
+    assert ck.current_version("s") == 2
+    assert ck.read("s").count() == 25
+
+    # invalidate: next stage() rebuilds into a FRESH version (numbering comes
+    # from existing dirs, never the pointer), old snapshots stay readable
+    ck.invalidate("s")
+    assert not ck.exists("s")
+    out = ck.stage("s", lambda: generate_images(spark, 7))
+    assert out.count() == 7
+    assert ck.current_version("s") == 4  # v3 was the crashed dir
+    assert ck.read("s", version=1).count() == 10
+    assert ck.read("s", version=2).count() == 25
 
 
 @pytest.mark.slow
