@@ -916,6 +916,37 @@ def q_kmeans_enforced(spark, sf_dir):
     return assign(sigs, tree).orderBy("image_id")
 
 
+def q_kmeans_dsquared(spark, sf_dir):
+    """k-means seeded with the D² (k-means++) seeder — the reference's
+    DSquaredSeeder path (Seeder.h, numLocalTries=1 structure; our ∝d² weight
+    divergence from the reference's k-means++ is documented at
+    tree.py:583-598). The fit runs driver-side on a deterministic sample, then
+    the distributed flat-argmin labeling pass; the descent oracle verifies the
+    assignment independently of how the seeds were chosen."""
+    import numpy as np
+
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign, sample_signatures
+    from lmw_tree_spark.operators.tree import CentroidTree, Level, kmeans_bits
+
+    sigs = _fixed_signatures(spark)
+    sample = sample_signatures(sigs, 500, SMALL.seed)
+    cents, _ = kmeans_bits(
+        sample, k=24, max_iters=5, rng=np.random.default_rng(SMALL.seed),
+        seeder="dsquared",
+    )
+    tree = CentroidTree(order=24)
+    tree.levels = [
+        Level(
+            np.arange(len(cents), dtype=np.int64),
+            np.full(len(cents), -1, dtype=np.int64),
+            cents,
+        )
+    ]
+    _write_exchange("kmeans_dsquared", sigs=_sig_long(sigs), tree=_tree_long(tree))
+    return assign(sigs, tree).orderBy("image_id")
+
+
 def q_dedup_images(spark, sf_dir):
     """Image dedup: LSH candidates → verified edges → connected components.
     The verified edge list + vertex universe are materialized; the oracle
@@ -1382,6 +1413,7 @@ def _exchange_oracles() -> dict[str, str]:
         "ktree_images": _descend_oracle("ktree", 4, leaf_assign.format(d=4)),
         "emtree_rearranged": _descend_oracle("rearranged", 4, leaf_assign.format(d=4)),
         "kmeans_enforced": _descend_oracle("kmeans_enforced", 1, leaf_assign.format(d=1)),
+        "kmeans_dsquared": _descend_oracle("kmeans_dsquared", 1, leaf_assign.format(d=1)),
         "minibatch_emtree": _descend_oracle("minibatch", 2, leaf_assign.format(d=2)),
         "emtree_per_level": _descend_oracle(
             "emtree", 2,
@@ -1646,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktree_images": q_ktree_images,
         "emtree_rearranged": q_emtree_rearranged,
         "kmeans_enforced": q_kmeans_enforced,
+        "kmeans_dsquared": q_kmeans_dsquared,
         "dedup_images": q_dedup_images,
         # multimodal / sources / streaming (raw-input or manifest exchange)
         "image_stats": q_image_stats,
