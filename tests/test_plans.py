@@ -180,3 +180,50 @@ def test_dense_assign_is_pure_map(spark):
     plan = simple_plan(assign_dense(df, np.zeros((4, 2))))
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_candidate_buckets_cached_before_fanout(spark):
+    """edges_from_buckets fans out over its input four ways (chains, reps,
+    counts, clique join); the bucket table must come from cache so the four
+    branches don't re-run the four bucket-generator mapInPandas stages
+    (measured 4-8x the warm stage cost at bench scale)."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators import lsh
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images
+
+    sigs = extract_signatures(generate_images(spark, 48), SMALL)
+    plan = simple_plan(lsh.candidate_edges(sigs, SMALL))
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_multimodal_feature_stages_are_pure_maps(spark):
+    """Frame sampling, audio features, and pixel stats are single mapInPandas
+    stages: zero Exchange nodes — the property that makes the multimodal layer
+    embarrassingly parallel at any scale."""
+    import numpy as np
+
+    from lmw_tree_spark.operators.pixels import image_stats
+    from lmw_tree_spark.sources.images import generate_images
+    from lmw_tree_spark.sources.multimodal import (
+        audio_features,
+        encode_audio,
+        encode_video,
+        sample_frames,
+    )
+
+    videos = spark.createDataFrame(
+        [("v0", encode_video(np.zeros((2, 8, 8, 3), dtype=np.uint8)), "fvid")],
+        "video_id string, bytes binary, fmt string",
+    )
+    audio = spark.createDataFrame(
+        [("a0", encode_audio(np.zeros(1600, dtype=np.int16)), "faud")],
+        "audio_id string, bytes binary, fmt string",
+    )
+    for df in (
+        sample_frames(videos),
+        audio_features(audio),
+        image_stats(generate_images(spark, 8)),
+    ):
+        plan = simple_plan(df)
+        assert "Exchange" not in plan, plan
