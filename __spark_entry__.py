@@ -777,6 +777,149 @@ def q_ivf_ann(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ADC top-k (Jégou et al. PAMI 2011) — compressed-
+    domain ANN, the float-vector analogue of the reference's compact-signature
+    scans (SVector.h:297-364). The per-subspace codebook is trained on a
+    deterministic hash-ordered sample (trusted state, like the IVF centroids);
+    embeddings + codebook are materialized long-format and the oracle replays
+    the ENTIRE decision algebra in SQL: per-subspace encode argmin (first-wins
+    ties → lowest code), per-query LUT of exact squared subspace distances,
+    ADC sum over codes, and the top-3 rank."""
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pq import pq_adc_topk, train_pq
+
+    emb = _synthetic_embeddings(spark, _X_N).persist()
+    cb = train_pq(emb, m=8, ksub=16, seed=42)
+    emb_pdf = emb.toPandas()
+    import numpy as np
+
+    ids = emb_pdf["vec_id"].to_numpy()
+    mat = np.array(list(emb_pdf["embedding"]), dtype=np.float64)
+    n, d = mat.shape
+    m, ksub, dsub = cb.shape
+    _write_exchange(
+        "pq",
+        emb_long=pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, d),
+                "j": np.tile(np.arange(d, dtype=np.int64), n),
+                "val": mat.ravel(),
+            }
+        ),
+        codebook=pd.DataFrame(
+            {
+                "m": np.repeat(np.arange(m, dtype=np.int64), ksub * dsub),
+                "code": np.tile(np.repeat(np.arange(ksub, dtype=np.int64), dsub), m),
+                "jl": np.tile(np.arange(dsub, dtype=np.int64), m * ksub),
+                "val": cb.ravel(),
+            }
+        ),
+    )
+    return pq_adc_topk(
+        emb, cb, k=3, query_pred=F.col("vec_id") % 50 == 0
+    ).orderBy("query_id", "rank")
+
+
+def q_srp_neardup(spark, sf_dir):
+    """Sign-random-projection (hyperplane) LSH near-dup over embeddings
+    (Charikar STOC 2002) — the LSH-bucketed scale path for embedding-cosine
+    dedup, complementing the exact ball-cover (embedding_neardup) and SemDeDup
+    (semantic_dedup) paths. Hyperplanes + embeddings are materialized; the
+    oracle replays dot-sign bits → 16-bit band keys → bucket pairs → exact
+    cosine verify in SQL. pair_cap above any bucket size makes candidates
+    exactly "pairs sharing ≥ 1 band"."""
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.srp import srp_hyperplanes, srp_neardup_pairs
+
+    emb = _synthetic_embeddings(spark, _X_N).persist()
+    d = 32
+    planes = srp_hyperplanes(d, seed=7)
+    emb_pdf = emb.toPandas()
+    ids = emb_pdf["vec_id"].to_numpy()
+    mat = np.array(list(emb_pdf["embedding"]), dtype=np.float64)
+    _write_exchange(
+        "srp",
+        embeddings=pd.DataFrame(
+            {"vec_id": ids, "v": [list(map(float, v)) for v in mat]}
+        ),
+        emb_long=pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, d),
+                "j": np.tile(np.arange(d, dtype=np.int64), len(ids)),
+                "val": mat.ravel(),
+            }
+        ),
+        planes=pd.DataFrame(
+            {
+                "r": np.repeat(np.arange(64, dtype=np.int64), d),
+                "j": np.tile(np.arange(d, dtype=np.int64), 64),
+                "val": planes.ravel(),
+            }
+        ),
+    )
+    return srp_neardup_pairs(
+        emb, min_cosine=0.8, pair_cap=100_000, planes=planes
+    ).orderBy("src", "dst")
+
+
+def q_bitops_sig(spark, sf_dir):
+    """Bit-algebra kernel cross-check (§2.6 invert/exclusiveor/get-set —
+    reference SVector.h:125-371): per signature, popcount, popcount of the
+    inverse, popcount after XOR with the alternating 0xAAAA… mask, bit 170
+    (word 2 bit 42 under the engine's little-endian j%64-of-word-j//64
+    convention), and popcount after SETTING bit 170 via the unpack→set→pack
+    round trip. The oracle recomputes all five from the materialized words with
+    DuckDB's independent bit_count/xor/shift algebra."""
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.functions.bitops import (
+        longs_to_u64,
+        pack_bits,
+        popcount_u64,
+        u64_to_longs,
+        unpack_bits,
+    )
+
+    sigs = _fixed_signatures(spark)
+    _write_exchange("bitops", sigs=_sig_long(sigs))
+    mask = np.uint64(0xAAAAAAAAAAAAAAAA)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = longs_to_u64(pdf["sig"])
+            pc = popcount_u64(u).sum(axis=1)
+            pc_inv = popcount_u64(np.bitwise_not(u)).sum(axis=1)
+            pc_xor = popcount_u64(np.bitwise_xor(u, mask)).sum(axis=1)
+            bits = unpack_bits(u)
+            bit170 = bits[:, 170].astype(np.int64)
+            bits_set = bits.copy()
+            bits_set[:, 170] = 1
+            pc_set = popcount_u64(pack_bits(bits_set)).sum(axis=1)
+            assert u64_to_longs(pack_bits(bits)).tolist() == pdf["sig"].map(list).tolist()
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "pc": pc,
+                    "pc_inv": pc_inv,
+                    "pc_xor": pc_xor,
+                    "bit170": bit170,
+                    "pc_set": pc_set,
+                }
+            )
+
+    return sigs.select("image_id", "sig").mapInPandas(
+        run,
+        "image_id string, pc long, pc_inv long, pc_xor long, bit170 long, pc_set long",
+    ).orderBy("image_id")
+
+
 def q_emtree_images(spark, sf_dir):
     """EM-tree fit + leaf assignment (reference flagship, entry point A). The
     fitted centroid tree and the signatures are materialized long-format; the
@@ -1401,6 +1544,12 @@ def _exchange_oracles() -> dict[str, str]:
     sh = os.path.join(x, "simhash", "simhash.parquet")
     ivf_e = os.path.join(x, "ivf", "embeddings.parquet")
     ivf_c = os.path.join(x, "ivf", "centroids.parquet")
+    pq_e = os.path.join(x, "pq", "emb_long.parquet")
+    pq_cb = os.path.join(x, "pq", "codebook.parquet")
+    srp_e = os.path.join(x, "srp", "embeddings.parquet")
+    srp_el = os.path.join(x, "srp", "emb_long.parquet")
+    srp_p = os.path.join(x, "srp", "planes.parquet")
+    bit_s = os.path.join(x, "bitops", "sigs.parquet")
     cc_e = os.path.join(x, "dedup_cc", "edges.parquet")
     cc_v = os.path.join(x, "dedup_cc", "vertices.parquet")
     leaf_assign = (
@@ -1491,6 +1640,70 @@ def _exchange_oracles() -> dict[str, str]:
                 FROM scored)
             SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank
             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "pq_ann": f"""
+            WITH e AS (SELECT vec_id, j, val FROM read_parquet('{pq_e}')),
+            cb AS (SELECT m, code, jl, val FROM read_parquet('{pq_cb}')),
+            dist AS (
+                SELECT e.vec_id, cb.m, cb.code,
+                       sum((e.val - cb.val) * (e.val - cb.val)) AS d
+                FROM e JOIN cb ON cb.m = e.j // 4 AND cb.jl = e.j % 4
+                GROUP BY e.vec_id, cb.m, cb.code),
+            codes AS (
+                SELECT vec_id, m, code FROM (
+                    SELECT vec_id, m, code,
+                           row_number() OVER (PARTITION BY vec_id, m
+                               ORDER BY d ASC, code ASC) AS rn
+                    FROM dist) WHERE rn = 1),
+            adc AS (
+                SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(sum(l.d), 6) AS adc_dist
+                FROM codes c JOIN dist l ON l.m = c.m AND l.code = c.code
+                WHERE l.vec_id % 50 = 0 AND c.vec_id != l.vec_id
+                GROUP BY l.vec_id, c.vec_id),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+                FROM adc)
+            SELECT query_id, neighbor_id, adc_dist, rank::INT AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "srp_neardup": f"""
+            WITH el AS (SELECT vec_id, j, val FROM read_parquet('{srp_el}')),
+            hp AS (SELECT r, j, val FROM read_parquet('{srp_p}')),
+            ev AS (SELECT vec_id, v FROM read_parquet('{srp_e}')),
+            dots AS (
+                SELECT el.vec_id, hp.r, sum(el.val * hp.val) AS dp
+                FROM el JOIN hp ON hp.j = el.j GROUP BY el.vec_id, hp.r),
+            bands AS (
+                SELECT vec_id, r // 16 AS band,
+                       sum(CASE WHEN dp >= 0 THEN 1::BIGINT << (r % 16)
+                           ELSE 0 END) AS key
+                FROM dots GROUP BY vec_id, r // 16),
+            pairs AS (
+                SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+                FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                WHERE a.vec_id < b.vec_id)
+            SELECT p.src, p.dst,
+                   round(list_cosine_similarity(va.v, vb.v), 4) AS cosine_sim
+            FROM pairs p JOIN ev va ON va.vec_id = p.src
+                         JOIN ev vb ON vb.vec_id = p.dst
+            WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.8
+            ORDER BY src, dst
+        """,
+        "bitops_sig": f"""
+            WITH s AS (SELECT image_id, word_idx, word FROM read_parquet('{bit_s}')),
+            agg AS (
+                SELECT image_id,
+                       sum(bit_count(word))::BIGINT AS pc,
+                       sum(bit_count(xor(word, -1)))::BIGINT AS pc_inv,
+                       sum(bit_count(xor(word, -6148914691236517206)))::BIGINT AS pc_xor,
+                       max(CASE WHEN word_idx = 2
+                           THEN (word >> 42) & 1 ELSE 0 END)::BIGINT AS bit170
+                FROM s GROUP BY image_id)
+            SELECT image_id, pc, pc_inv, pc_xor, bit170,
+                   (pc + 1 - bit170)::BIGINT AS pc_set
+            FROM agg ORDER BY image_id
         """,
         "image_stats": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{px}')),
@@ -1670,6 +1883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ivf_ann": q_ivf_ann,
+        "pq_ann": q_pq_ann,
+        "srp_neardup": q_srp_neardup,
+        "bitops_sig": q_bitops_sig,
         "emtree_images": q_emtree_images,
         "kmeans_images": q_kmeans_images,
         "emtree_per_level": q_emtree_per_level,

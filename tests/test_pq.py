@@ -1,0 +1,78 @@
+"""PQ (product quantization) ANN tests — NumPy reference oracle for encode and
+ADC scoring, determinism across partitionings, and a recall sanity check
+against exact L2 neighbors."""
+
+import numpy as np
+import pytest
+
+from lmw_tree_spark.operators.pq import (
+    _subspace_views,
+    pq_adc_topk,
+    pq_encode,
+    train_pq,
+)
+
+
+def _emb_df(spark, n=300, d=32, parts=4, seed=5):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d))
+    # planted near-dups: every 10th row is a lightly perturbed copy of row i-1
+    for i in range(1, n, 10):
+        x[i] = x[i - 1] + 0.03 * rng.standard_normal(d)
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(x)})
+    return spark.createDataFrame(pdf).repartition(parts), x
+
+
+def _np_encode(x, cb):
+    m = cb.shape[0]
+    subs = _subspace_views(np.asarray(x, dtype=np.float64), m)
+    return np.stack(
+        [((subs[mm][:, None, :] - cb[mm][None, :, :]) ** 2).sum(2).argmin(1) for mm in range(m)],
+        axis=1,
+    )
+
+
+def test_encode_matches_numpy_reference(spark):
+    df, x = _emb_df(spark)
+    cb = train_pq(df, m=8, ksub=16, seed=1)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, cb).collect()}
+    want = _np_encode(x, cb)
+    for i in range(len(x)):
+        assert got[i] == list(want[i])
+
+
+def test_codebook_deterministic_across_partitionings(spark):
+    df4, _ = _emb_df(spark, parts=4)
+    df1, _ = _emb_df(spark, parts=1)
+    cb4 = train_pq(df4, m=8, ksub=16, seed=1)
+    cb1 = train_pq(df1, m=8, ksub=16, seed=1)
+    assert np.array_equal(cb4, cb1)
+
+
+def test_adc_matches_numpy_and_finds_planted_dups(spark):
+    df, x = _emb_df(spark)
+    cb = train_pq(df, m=8, ksub=16, seed=1)
+    out = pq_adc_topk(df, cb, k=3, query_pred="vec_id % 10 = 1").collect()
+    # NumPy ADC reference
+    codes = _np_encode(x, cb)
+    m, ksub, dsub = cb.shape
+    top1 = {}
+    for q in range(1, len(x), 10):
+        qsubs = x[q].reshape(m, dsub)
+        lut = ((qsubs[:, None, :] - cb) ** 2).sum(2)  # (m, ksub)
+        adc = lut[np.arange(m)[None, :], codes].sum(1).round(6)
+        adc[q] = np.inf
+        best = np.lexsort((np.arange(len(x)), adc))[0]
+        top1[q] = best
+    got_top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert got_top1 == top1
+    # planted dup i-1 should be the ADC nearest neighbor for nearly all queries
+    hits = sum(1 for q, nb in got_top1.items() if nb == q - 1)
+    assert hits >= 0.9 * len(got_top1)
+
+
+def test_subspace_view_rejects_indivisible_dim():
+    with pytest.raises(ValueError):
+        _subspace_views(np.zeros((4, 30)), 8)
