@@ -238,6 +238,31 @@ def _minhash_production(spark, sf_dir):
     return minhash_lsh_dedup(docs, min_sim=0.5, pair_cap=64)
 
 
+def _pq_production(spark, sf_dir):
+    """Production-config PQ ADC top-k (no oracle-exchange materialization):
+    train on the hash-ordered sample, encode, ADC-scan — the compressed-domain
+    path as a user runs it."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.operators.pq import pq_adc_topk, train_pq
+
+    emb = entry._synthetic_embeddings(spark, 1000).persist()
+    cb = train_pq(emb, m=8, ksub=16, seed=42)
+    return pq_adc_topk(emb, cb, k=3, query_pred=F.col("vec_id") % 50 == 0)
+
+
+def _srp_production(spark, sf_dir):
+    """Production-config SRP-LSH near-dup (pair_cap=256 chain+clique bound,
+    no oracle-exchange materialization)."""
+    import __spark_entry__ as entry
+
+    from lmw_tree_spark.operators.srp import srp_neardup_pairs
+
+    emb = entry._synthetic_embeddings(spark, 1000).persist()
+    return srp_neardup_pairs(emb, min_cosine=0.8, pair_cap=256)
+
+
 def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry
 
@@ -246,11 +271,14 @@ def run_queries(spark, sf_dir: str) -> dict:
         "lang_id", "exact_dedup", "token_jaccard", "simhash32", "minhash_sql",
         "suffix_pairs", "cosine_topk", "centroid_assign", "dense_kmeans",
         "embedding_neardup", "minhash_lsh_dedup",
-        "simhash_dedup", "ivf_ann", "user_sessions", "events_hourly",
+        "simhash_dedup", "ivf_ann", "pq_ann", "srp_neardup",
+        "user_sessions", "events_hourly",
         "semantic_dedup", "vocab_stats", "group_size_histogram", "reduce_dims",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
+    qs["pq_ann"] = _pq_production
+    qs["srp_neardup"] = _srp_production
     out = {}
     for name in names:
         # min-of-2: the first run pays Python-worker spin-up / first-import /
