@@ -1526,6 +1526,65 @@ def q_stream_dedup(spark, sf_dir):
     return final.orderBy("fingerprint")
 
 
+def q_stream_em(spark, sf_dir):
+    """Streaming EM-tree fit (reference mini-batch mode,
+    StreamingEMTreeExperiments.h:143-189, as foreachBatch micro-batch updates
+    with durable idempotent per-batch tree commits, streaming/ingest.py:57):
+    the 1000 fixed signatures land as 4 parquet files consumed one per
+    micro-batch (distinct mtimes force FileStreamSource's batch order, so the
+    fitted tree is deterministic); each batch runs the distributed accumulate
+    pass against the current tree and commits the update. The FINAL committed
+    tree + signatures are materialized and the oracle replays the 2-level
+    descent assignment in SQL — the same independent check as the batch
+    EM-tree, now over state that provably crossed micro-batch boundaries."""
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from lmw_tree_spark.functions.bitops import longs_to_u64
+    from lmw_tree_spark.operators.emtree import assign
+    from lmw_tree_spark.operators.tree import tsvq_init
+    from lmw_tree_spark.streaming.ingest import latest_tree, stream_em_updates
+
+    src = "/tmp/lmw_oracle_sem_src"
+    trees = "/tmp/lmw_oracle_sem_trees"
+    ck = "/tmp/lmw_oracle_sem_ck"
+    for p in (src, trees, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    sigs = _fixed_signatures(spark)
+    pdf = (
+        sigs.select("image_id", "sig").toPandas()
+        .sort_values("image_id").reset_index(drop=True)
+    )
+    os.makedirs(src)
+    n = len(pdf)
+    base = time.time() - 3600
+    for i in range(4):
+        part = pdf.iloc[i * n // 4 : (i + 1) * n // 4]
+        fp = os.path.join(src, f"part-{i}.parquet")
+        papq.write_table(pa.Table.from_pandas(part, preserve_index=False), fp)
+        os.utime(fp, (base + 10 * i, base + 10 * i))
+
+    seed_tree = tsvq_init(longs_to_u64(pdf["sig"].iloc[:200]), 4, 2, 0, 11)
+    stream = (
+        spark.readStream.schema("image_id string, sig array<long>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_em_updates(
+        spark, stream, seed_tree, trees, ck, trigger={"availableNow": True}
+    )
+    q.awaitTermination(180)
+    final = latest_tree(spark, trees)
+    n_batches = len([d for d in os.listdir(trees) if d.startswith("batch=")])
+    assert n_batches >= 4, f"expected >=4 micro-batch commits, got {n_batches}"
+    assert final.depth == 2, f"oracle SQL assumes depth 2, got {final.depth}"
+    _write_exchange("stream_em", sigs=_sig_long(sigs), tree=_tree_long(final))
+    return assign(sigs, final).orderBy("image_id")
+
+
 def _exchange_oracles() -> dict[str, str]:
     """DuckDB oracles for the exchange-backed queries: each independently
     replays the operator's decision algebra (descent argmin / band buckets /
@@ -1564,6 +1623,7 @@ def _exchange_oracles() -> dict[str, str]:
         "kmeans_enforced": _descend_oracle("kmeans_enforced", 1, leaf_assign.format(d=1)),
         "kmeans_dsquared": _descend_oracle("kmeans_dsquared", 1, leaf_assign.format(d=1)),
         "minibatch_emtree": _descend_oracle("minibatch", 2, leaf_assign.format(d=2)),
+        "stream_em": _descend_oracle("stream_em", 2, leaf_assign.format(d=2)),
         "emtree_per_level": _descend_oracle(
             "emtree", 2,
             "SELECT image_id, 1::INT AS level, node_id AS cluster_id, "
@@ -1905,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": q_warc_records,
         "video_neardup": q_video_neardup,
         "stream_dedup": q_stream_dedup,
+        "stream_em": q_stream_em,
     }
 
 
