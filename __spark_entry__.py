@@ -822,6 +822,56 @@ def q_pq_ann(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ivfadc_ann(spark, sf_dir):
+    """IVFADC (Jégou PAMI 2011 §V, by_residual=False): coarse quantizer trained
+    DISTRIBUTED (dense.kmeans_dense, hash-seeded) restricts the compressed ADC
+    scan to each query's 3 nearest cells. Embeddings, coarse centroids, and the
+    PQ codebook are materialized; the oracle replays cell assignment, probe
+    selection, per-subspace encode argmin, ADC sum, and the top-3 rank — the
+    full composed decision algebra — in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.dense import kmeans_dense
+    from lmw_tree_spark.operators.pq import ivfadc_topk, train_pq
+
+    emb = _synthetic_embeddings(spark, _X_N).persist()
+    coarse = kmeans_dense(emb, k=8, iters=3, init="hash", seed=42)
+    cb = train_pq(emb, m=8, ksub=16, seed=42)
+    emb_pdf = emb.toPandas()
+    ids = emb_pdf["vec_id"].to_numpy()
+    mat = np.array(list(emb_pdf["embedding"]), dtype=np.float64)
+    n, d = mat.shape
+    m, ksub, dsub = cb.shape
+    _write_exchange(
+        "ivfadc",
+        embeddings=pd.DataFrame(
+            {"vec_id": ids, "v": [list(map(float, v)) for v in mat]}
+        ),
+        emb_long=pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, d),
+                "j": np.tile(np.arange(d, dtype=np.int64), n),
+                "val": mat.ravel(),
+            }
+        ),
+        centroids=pd.DataFrame(
+            {"cell": range(len(coarse)), "v": [list(map(float, c)) for c in coarse]}
+        ),
+        codebook=pd.DataFrame(
+            {
+                "m": np.repeat(np.arange(m, dtype=np.int64), ksub * dsub),
+                "code": np.tile(np.repeat(np.arange(ksub, dtype=np.int64), dsub), m),
+                "jl": np.tile(np.arange(dsub, dtype=np.int64), m * ksub),
+                "val": cb.ravel(),
+            }
+        ),
+    )
+    return ivfadc_topk(
+        emb, coarse, cb, k=3, n_probe=3, query_pred=F.col("vec_id") % 50 == 0
+    ).orderBy("query_id", "rank")
+
+
 def q_srp_neardup(spark, sf_dir):
     """Sign-random-projection (hyperplane) LSH near-dup over embeddings
     (Charikar STOC 2002) — the LSH-bucketed scale path for embedding-cosine
@@ -1605,6 +1655,10 @@ def _exchange_oracles() -> dict[str, str]:
     ivf_c = os.path.join(x, "ivf", "centroids.parquet")
     pq_e = os.path.join(x, "pq", "emb_long.parquet")
     pq_cb = os.path.join(x, "pq", "codebook.parquet")
+    ia_ev = os.path.join(x, "ivfadc", "embeddings.parquet")
+    ia_el = os.path.join(x, "ivfadc", "emb_long.parquet")
+    ia_c = os.path.join(x, "ivfadc", "centroids.parquet")
+    ia_cb = os.path.join(x, "ivfadc", "codebook.parquet")
     srp_e = os.path.join(x, "srp", "embeddings.parquet")
     srp_el = os.path.join(x, "srp", "emb_long.parquet")
     srp_p = os.path.join(x, "srp", "planes.parquet")
@@ -1721,6 +1775,53 @@ def _exchange_oracles() -> dict[str, str]:
                 FROM codes c JOIN dist l ON l.m = c.m AND l.code = c.code
                 WHERE l.vec_id % 50 = 0 AND c.vec_id != l.vec_id
                 GROUP BY l.vec_id, c.vec_id),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+                FROM adc)
+            SELECT query_id, neighbor_id, adc_dist, rank::INT AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "ivfadc_ann": f"""
+            WITH ev AS (SELECT vec_id, v FROM read_parquet('{ia_ev}')),
+            cents AS (SELECT cell, v FROM read_parquet('{ia_c}')),
+            e AS (SELECT vec_id, j, val FROM read_parquet('{ia_el}')),
+            cb AS (SELECT m, code, jl, val FROM read_parquet('{ia_cb}')),
+            cell_of AS (
+                SELECT vec_id, cell FROM (
+                    SELECT ev.vec_id, c.cell,
+                           row_number() OVER (PARTITION BY ev.vec_id
+                               ORDER BY list_distance(ev.v, c.v) ASC, c.cell ASC) AS rn
+                    FROM ev CROSS JOIN cents c) WHERE rn = 1),
+            probes AS (
+                SELECT vec_id AS query_id, cell FROM (
+                    SELECT ev.vec_id, c.cell,
+                           row_number() OVER (PARTITION BY ev.vec_id
+                               ORDER BY list_distance(ev.v, c.v) ASC, c.cell ASC) AS rn
+                    FROM ev CROSS JOIN cents c WHERE ev.vec_id % 50 = 0)
+                WHERE rn <= 3),
+            dist AS (
+                SELECT e.vec_id, cb.m, cb.code,
+                       sum((e.val - cb.val) * (e.val - cb.val)) AS d
+                FROM e JOIN cb ON cb.m = e.j // 4 AND cb.jl = e.j % 4
+                GROUP BY e.vec_id, cb.m, cb.code),
+            codes AS (
+                SELECT vec_id, m, code FROM (
+                    SELECT vec_id, m, code,
+                           row_number() OVER (PARTITION BY vec_id, m
+                               ORDER BY d ASC, code ASC) AS rn
+                    FROM dist) WHERE rn = 1),
+            cand AS (
+                SELECT p.query_id, co.vec_id AS neighbor_id
+                FROM probes p JOIN cell_of co ON co.cell = p.cell
+                WHERE co.vec_id != p.query_id),
+            adc AS (
+                SELECT a.query_id, a.neighbor_id, round(sum(l.d), 6) AS adc_dist
+                FROM cand a
+                JOIN codes c ON c.vec_id = a.neighbor_id
+                JOIN dist l ON l.vec_id = a.query_id AND l.m = c.m
+                           AND l.code = c.code
+                GROUP BY a.query_id, a.neighbor_id),
             ranked AS (
                 SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
@@ -1944,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
+        "ivfadc_ann": q_ivfadc_ann,
         "srp_neardup": q_srp_neardup,
         "bitops_sig": q_bitops_sig,
         "emtree_images": q_emtree_images,

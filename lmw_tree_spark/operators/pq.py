@@ -147,12 +147,8 @@ def pq_adc_topk(
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qx = np.array([r[vec_col] for r in qrows], dtype=np.float64)
-    qsubs = _subspace_views(qx, m)  # (m, Q, dsub)
     # LUT[q, m, code] = ||query_sub - centroid||²  — exact, float64
-    lut = np.ascontiguousarray(
-        ((qsubs[:, :, None, :] - cb[:, None, :, :]) ** 2).sum(axis=3).transpose(1, 0, 2)
-    )
-    lut2 = lut.reshape(len(qids), m * ksub)
+    lut2 = _build_lut(qx, cb)
     offs = (np.arange(m, dtype=np.int64) * ksub)[None, :]
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -178,6 +174,99 @@ def pq_adc_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("adc_dist", F.round("adc_dist", round_digits))
     )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int"))
+    )
+
+
+def _build_lut(qx: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(Q, D) queries × (m, ksub, dsub) codebook → (Q, m*ksub) flat LUT of
+    exact squared subspace distances."""
+    m, ksub, _ = cb.shape
+    qsubs = _subspace_views(qx, m)
+    return np.ascontiguousarray(
+        ((qsubs[:, :, None, :] - cb[:, None, :, :]) ** 2).sum(axis=3).transpose(1, 0, 2)
+    ).reshape(len(qx), m * ksub)
+
+
+def ivfadc_topk(
+    df: DataFrame,
+    coarse: np.ndarray,
+    codebook: np.ndarray,
+    k: int = 3,
+    n_probe: int = 4,
+    query_pred=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF + ADC: the compressed scan restricted to each query's ``n_probe``
+    nearest coarse cells (Jégou et al. PAMI 2011 §V — the ``by_residual=False``
+    variant: codes quantize the raw vectors, not cell residuals, so the ADC
+    algebra is identical to ``pq_adc_topk`` and fully SQL-replayable).
+
+    Plan shape: cell assignment and encoding are pure maps; the scan is a
+    cell-equi-join (probes × candidate codes — no cross join) followed by an
+    Arrow-batched LUT gather and the top-k window. At 10^12 rows the per-query
+    work is ~n/n_cells·n_probe code lookups of M bytes each.
+    """
+    from lmw_tree_spark.operators.similarity import ivf_cells
+
+    cb = np.ascontiguousarray(codebook, dtype=np.float64)
+    m, ksub, _ = cb.shape
+    cmat = np.ascontiguousarray(coarse, dtype=np.float64)
+    cells = ivf_cells(df, cmat, id_col, vec_col)
+    codes = pq_encode(df, cb, id_col, vec_col)
+    base = codes.join(cells, "vec_id")
+
+    queries = df if query_pred is None else df.where(query_pred)
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qx = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    lut2 = _build_lut(qx, cb)
+    qidx = {int(q): i for i, q in enumerate(qids)}
+    offs = (np.arange(m, dtype=np.int64) * ksub)[None, :]
+
+    # query → its n_probe nearest cells (stable sort = cell-asc ties, matching
+    # the oracle's ORDER BY dist ASC, cell ASC)
+    qd = ((qx[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    top = np.argsort(qd, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+    q_cells = df.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {"query_id": np.repeat(qids, n_probe), "cell": top.ravel()}
+        ),
+        "query_id long, cell int",
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf["codes"]), dtype=np.int64)
+            rows = np.fromiter(
+                (qidx[int(q)] for q in pdf["query_id"]), dtype=np.int64, count=len(pdf)
+            )
+            adc = np.take_along_axis(lut2[rows], c + offs, axis=1).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "adc_dist": adc,
+                }
+            )
+
+    cand = (
+        F.broadcast(q_cells)
+        .join(base, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "codes")
+    )
+    scored = cand.mapInPandas(
+        score, "query_id long, neighbor_id long, adc_dist double"
+    ).withColumn("adc_dist", F.round("adc_dist", round_digits))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -76,3 +76,33 @@ def test_adc_matches_numpy_and_finds_planted_dups(spark):
 def test_subspace_view_rejects_indivisible_dim():
     with pytest.raises(ValueError):
         _subspace_views(np.zeros((4, 30)), 8)
+
+
+def test_ivfadc_matches_restricted_numpy_reference(spark):
+    from lmw_tree_spark.operators.pq import ivfadc_topk
+
+    df, x = _emb_df(spark)
+    cb = train_pq(df, m=8, ksub=16, seed=1)
+    rng = np.random.default_rng(2)
+    coarse = x[rng.permutation(len(x))[:6]].copy()
+    out = ivfadc_topk(df, coarse, cb, k=3, n_probe=2, query_pred="vec_id % 25 = 0")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    rows = out.collect()
+
+    codes = _np_encode(x, cb)
+    m, ksub, dsub = cb.shape
+    cell_of = ((x[:, None, :] - coarse[None, :, :]) ** 2).sum(2).argmin(1)
+    for q in range(0, len(x), 25):
+        qd = ((x[q][None, :] - coarse) ** 2).sum(1)
+        probe = np.argsort(qd, kind="stable")[:2]
+        cand = [i for i in range(len(x)) if cell_of[i] in probe and i != q]
+        lut = ((x[q].reshape(m, dsub)[:, None, :] - cb) ** 2).sum(2)
+        adc = {i: round(float(lut[np.arange(m), codes[i]].sum()), 6) for i in cand}
+        want = sorted(cand, key=lambda i: (adc[i], i))[:3]
+        got = [r["neighbor_id"] for r in sorted(
+            (r for r in rows if r["query_id"] == q), key=lambda r: r["rank"])]
+        assert got == want, (q, got, want)
+        for r in rows:
+            if r["query_id"] == q:
+                assert abs(r["adc_dist"] - adc[r["neighbor_id"]]) < 1e-9
