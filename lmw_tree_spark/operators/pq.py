@@ -157,28 +157,45 @@ def pq_adc_topk(
                 continue
             c = np.array(list(pdf["codes"]), dtype=np.int64)  # (B, m)
             idx = c + offs  # (B, m) flat LUT indices
-            adc = lut2[:, idx].sum(axis=2)  # (Q, B)
+            adc = np.round(lut2[:, idx].sum(axis=2), round_digits)  # (Q, B)
             nids = pdf["vec_id"].to_numpy()
-            q = len(qids)
-            b = len(nids)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, b),
-                    "neighbor_id": np.tile(nids, q),
-                    "adc_dist": adc.ravel(),
-                }
-            )
+            # partial top-k per batch: any global top-k element is in its
+            # batch's top-k under the same (adc, neighbor_id) order, so the
+            # downstream window sees Q×batches×k rows, not Q×N — the map-side
+            # combine that keeps the scan's shuffle O(queries), not O(rows)
+            yield _batch_topk(qids, nids, adc, k)
 
-    scored = (
-        codes.mapInPandas(scan, "query_id long, neighbor_id long, adc_dist double")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adc_dist", F.round("adc_dist", round_digits))
-    )
+    scored = codes.mapInPandas(
+        scan, "query_id long, neighbor_id long, adc_dist double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int"))
+    )
+
+
+def _batch_topk(qids: np.ndarray, nids: np.ndarray, adc: np.ndarray, k: int) -> pd.DataFrame:
+    """Per-query top-(k+1) rows of one scored batch under (adc, neighbor_id)
+    ascending — k+1 so the self-match a query may contain is survivable; the
+    global window applies the exact same order, so this is a lossless map-side
+    combine."""
+    q, b = adc.shape
+    kk = min(k + 1, b)
+    # full (adc, neighbor_id) lexsort, NOT an adc-only argpartition: under mass
+    # ties (identical vectors → identical codes → equal adc, routine in dedup
+    # corpora) a partition on adc alone could shortlist a higher-id tie while
+    # dropping a lower-id one, silently breaking the id-ascending tie rule
+    order = np.lexsort((np.broadcast_to(nids, (q, b)), adc), axis=1)[:, :kk]
+    padc = np.take_along_axis(adc, order, axis=1)
+    pnid = nids[order]
+    return pd.DataFrame(
+        {
+            "query_id": np.repeat(qids, kk),
+            "neighbor_id": pnid.ravel(),
+            "adc_dist": padc.ravel(),
+        }
     )
 
 
@@ -249,13 +266,26 @@ def ivfadc_topk(
             rows = np.fromiter(
                 (qidx[int(q)] for q in pdf["query_id"]), dtype=np.int64, count=len(pdf)
             )
-            adc = np.take_along_axis(lut2[rows], c + offs, axis=1).sum(axis=1)
-            yield pd.DataFrame(
+            adc = np.round(
+                np.take_along_axis(lut2[rows], c + offs, axis=1).sum(axis=1),
+                round_digits,
+            )
+            out = pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy(),
                     "neighbor_id": pdf["vec_id"].to_numpy(),
                     "adc_dist": adc,
                 }
+            )
+            # map-side combine (see _batch_topk rationale): per-query top-k
+            # within the batch under the exact global (adc, id) order, so the
+            # window shuffle is O(queries × batches × k), not O(candidates)
+            yield (
+                out.sort_values(
+                    ["query_id", "adc_dist", "neighbor_id"], kind="mergesort"
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
             )
 
     cand = (
@@ -264,9 +294,7 @@ def ivfadc_topk(
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id", "codes")
     )
-    scored = cand.mapInPandas(
-        score, "query_id long, neighbor_id long, adc_dist double"
-    ).withColumn("adc_dist", F.round("adc_dist", round_digits))
+    scored = cand.mapInPandas(score, "query_id long, neighbor_id long, adc_dist double")
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
