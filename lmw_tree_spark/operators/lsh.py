@@ -48,30 +48,45 @@ from lmw_tree_spark.functions.signatures import (
 BUCKET_SCHEMA = "bucket long, image_id string"
 
 
+def _minhash_bucket_frame(pdf: pd.DataFrame, n_bands: int) -> pd.DataFrame:
+    """NumPy core of MinHash banding over one Arrow batch."""
+    mh = np.array(list(pdf["minhash"]), dtype=np.int64).view(np.uint64)
+    # captions too short to shingle yield the all-sentinel signature —
+    # no caption evidence; banding them would bucket every captionless
+    # row together
+    nonempty = ~(mh == np.uint64(0xFFFFFFFFFFFFFFFF)).all(axis=1)
+    if not nonempty.any():
+        return pd.DataFrame({"bucket": [], "image_id": []})
+    mh = mh[nonempty]
+    bands = band_hashes(mh, n_bands)  # (N, b) int64
+    ids = pdf["image_id"].to_numpy()[nonempty]
+    return pd.DataFrame(
+        {"bucket": bands.ravel(), "image_id": np.repeat(ids, n_bands)}
+    )
+
+
+def _hamming64_bucket_frame(
+    pdf: pd.DataFrame, col: str, n_bands: int, namespace: int
+) -> pd.DataFrame:
+    """NumPy core of pigeonhole bit-slice banding over one Arrow batch."""
+    vals = pdf[col].to_numpy(dtype=np.int64).view(np.uint64)
+    keys = hamming_band_keys(vals, n_bands).view(np.uint64)
+    ns = np.uint64((namespace * 0x9E3779B97F4A7C15) % (1 << 64))
+    keys = (keys ^ ns).view(np.int64)
+    ids = pdf["image_id"].to_numpy()
+    return pd.DataFrame(
+        {"bucket": keys.ravel(), "image_id": np.repeat(ids, n_bands)}
+    )
+
+
 def minhash_buckets(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(image_id, minhash) → exploded (bucket, image_id) band keys."""
     n_bands = cfg.lsh_bands
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not len(pdf):
-                continue
-            mh = np.array(list(pdf["minhash"]), dtype=np.int64).view(np.uint64)
-            # captions too short to shingle yield the all-sentinel signature —
-            # no caption evidence; banding them would bucket every captionless
-            # row together
-            nonempty = ~(mh == np.uint64(0xFFFFFFFFFFFFFFFF)).all(axis=1)
-            if not nonempty.any():
-                continue
-            mh = mh[nonempty]
-            bands = band_hashes(mh, n_bands)  # (N, b) int64
-            ids = pdf["image_id"].to_numpy()[nonempty]
-            yield pd.DataFrame(
-                {
-                    "bucket": bands.ravel(),
-                    "image_id": np.repeat(ids, n_bands),
-                }
-            )
+            if len(pdf):
+                yield _minhash_bucket_frame(pdf, n_bands)
 
     return sigs.select("image_id", "minhash").mapInPandas(run, BUCKET_SCHEMA)
 
@@ -83,16 +98,8 @@ def hamming64_buckets(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not len(pdf):
-                continue
-            vals = pdf[col].to_numpy(dtype=np.int64).view(np.uint64)
-            keys = hamming_band_keys(vals, n_bands).view(np.uint64)
-            ns = np.uint64((namespace * 0x9E3779B97F4A7C15) % (1 << 64))
-            keys = (keys ^ ns).view(np.int64)
-            ids = pdf["image_id"].to_numpy()
-            yield pd.DataFrame(
-                {"bucket": keys.ravel(), "image_id": np.repeat(ids, n_bands)}
-            )
+            if len(pdf):
+                yield _hamming64_bucket_frame(pdf, col, n_bands, namespace)
 
     return sigs.select("image_id", col).mapInPandas(run, BUCKET_SCHEMA)
 
@@ -115,26 +122,24 @@ def lgram_buckets(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not len(pdf):
-                continue
-            norm = pd.Series(
-                [str(t).lower().encode("utf-8") for t in pdf["caption"]]
-            )
-            hashes, mask = char_shingle_hashes(norm, k)
-            selected = winnow_select(hashes, mask, window)
-            ids = pdf["image_id"].to_numpy()
-            counts = [len(s) for s in selected]
-            keys = (
-                np.concatenate(selected)
-                if selected
-                else np.empty(0, dtype=np.uint64)
-            )
-            keys = (keys ^ np.uint64((5 * 0x9E3779B97F4A7C15) % (1 << 64))).view(np.int64)
-            yield pd.DataFrame(
-                {"bucket": keys, "image_id": np.repeat(ids, counts)}
-            )
+            if len(pdf):
+                yield _lgram_bucket_frame(pdf, k, window)
 
     return sigs.select("image_id", "caption").mapInPandas(run, BUCKET_SCHEMA)
+
+
+def _lgram_bucket_frame(pdf: pd.DataFrame, k: int, window: int) -> pd.DataFrame:
+    """NumPy core of winnowed-substring bucketing over one Arrow batch."""
+    from lmw_tree_spark.functions.suffix import winnow_select
+
+    norm = pd.Series([str(t).lower().encode("utf-8") for t in pdf["caption"]])
+    hashes, mask = char_shingle_hashes(norm, k)
+    selected = winnow_select(hashes, mask, window)
+    ids = pdf["image_id"].to_numpy()
+    counts = [len(s) for s in selected]
+    keys = np.concatenate(selected) if selected else np.empty(0, dtype=np.uint64)
+    keys = (keys ^ np.uint64((5 * 0x9E3779B97F4A7C15) % (1 << 64))).view(np.int64)
+    return pd.DataFrame({"bucket": keys, "image_id": np.repeat(ids, counts)})
 
 
 def edges_from_buckets(
@@ -223,15 +228,42 @@ def edges_from_buckets(
     )
 
 
-def candidate_edges(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """All candidate-generation modalities unioned → deduped (src, dst) edges."""
-    buckets = (
-        minhash_buckets(sigs, cfg)
-        .unionByName(hamming64_buckets(sigs, "phash", cfg.phash_bands, namespace=1))
-        .unionByName(hamming64_buckets(sigs, "simhash", cfg.phash_bands, namespace=2))
-        .unionByName(lgram_buckets(sigs, cfg))
+def candidate_buckets(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """All four candidate-generation modalities (MinHash bands ∪ phash
+    pigeonhole ∪ simhash pigeonhole ∪ winnowed substring) in ONE fused Arrow
+    pass over the signature table — same row multiset as unioning the four
+    standalone generators (namespaced keys keep families disjoint), but one
+    table scan and one Python stage instead of four of each. At 100 TB the
+    signature table is TBs wide even at ~2% of input width, so the 4×-fewer
+    scans matter as much locally (Python-worker spin-up) as at scale (I/O)."""
+    n_bands, ph_bands = cfg.lsh_bands, cfg.phash_bands
+    k = cfg.shingle_k
+    window = cfg.substring_len - k + 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames = [
+                _minhash_bucket_frame(pdf, n_bands),
+                _hamming64_bucket_frame(pdf, "phash", ph_bands, namespace=1),
+                _hamming64_bucket_frame(pdf, "simhash", ph_bands, namespace=2),
+                _lgram_bucket_frame(pdf, k, window),
+            ]
+            frames = [f for f in frames if len(f)]
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return sigs.select("image_id", "minhash", "phash", "simhash", "caption").mapInPandas(
+        run, BUCKET_SCHEMA
     )
-    return edges_from_buckets(buckets, cfg.bucket_pair_cap, cfg.chain_salts)
+
+
+def candidate_edges(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """All candidate-generation modalities → deduped (src, dst) edges."""
+    return edges_from_buckets(
+        candidate_buckets(sigs, cfg), cfg.bucket_pair_cap, cfg.chain_salts
+    )
 
 
 def minhash_agreement_col() -> F.Column:
