@@ -735,6 +735,61 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup (the daily-ingest shape): MinHash band buckets of an
+    incoming shard (odd doc_ids) joined against the persisted bucket index of
+    the existing corpus (even doc_ids) — new×corpus candidates only, verified
+    by signature agreement. The 64-perm matrix for all 1200 docs is
+    materialized once; the oracle replays the cross-side band algebra and the
+    agreement verify in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.dedup import (
+        doc_minhash,
+        minhash_dedup_against_corpus,
+    )
+
+    docs = _caption_docs(spark, 1200)
+    mh = doc_minhash(docs, k=5, n_perm=64).persist()
+    pdf = mh.toPandas()
+    m = np.array(list(pdf["minhash"]), dtype=np.int64)
+    n, p = m.shape
+    _write_exchange(
+        "incdedup",
+        minhash=pd.DataFrame(
+            {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), p),
+                "perm_idx": np.tile(np.arange(p, dtype=np.int64), n),
+                "val": m.ravel(),
+            }
+        ),
+    )
+    new = mh.where(F.col("doc_id") % 2 == 1)
+    corpus = mh.where(F.col("doc_id") % 2 == 0)
+    return minhash_dedup_against_corpus(
+        docs, docs, n_bands=16, min_sim=0.5, mh_new=new, mh_corpus=corpus
+    ).orderBy("new_id", "corpus_id")
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (n-gram containment, Brown et al. 2020 App C /
+    Dodge et al. 2021): every 20th document plays the eval set; pairs where a
+    training doc shares ≥ 5% of the eval doc's distinct word 3-grams
+    (true contamination scores ~1.0; the low bar keeps the weak-overlap tail
+    in the hashed result surface)
+    (training-df guard 400 drops boilerplate phrases before the join). Pure
+    JVM inverted-index equi-join; the oracle recomputes grams, guard, overlap
+    and containment in SQL."""
+    from lmw_tree_spark.operators.dedup import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.where(F.col("doc_id") % 20 == 0)
+    return contamination_pairs(
+        docs, evals, ngram=3, min_containment=0.05, max_gram_df=400
+    ).orderBy("eval_id", "train_id")
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs over the synthetic caption corpus: 64-bit token
     SimHash materialized per doc; the oracle replays the 16-bit pigeonhole band
@@ -1650,6 +1705,7 @@ def _exchange_oracles() -> dict[str, str]:
     vid_e = os.path.join(x, "video", "frame_edges.parquet")
     vid_n = os.path.join(x, "video", "frame_counts.parquet")
     mh = os.path.join(x, "minhash", "minhash.parquet")
+    inc_mh = os.path.join(x, "incdedup", "minhash.parquet")
     sh = os.path.join(x, "simhash", "simhash.parquet")
     ivf_e = os.path.join(x, "ivf", "embeddings.parquet")
     ivf_c = os.path.join(x, "ivf", "centroids.parquet")
@@ -1709,6 +1765,25 @@ def _exchange_oracles() -> dict[str, str]:
                 GROUP BY p.src, p.dst)
             SELECT src, dst, n / 64.0 AS est_jaccard
             FROM agree WHERE n / 64.0 >= 0.5 ORDER BY src, dst
+        """,
+        "incremental_dedup": f"""
+            WITH mh AS (SELECT doc_id, perm_idx, val FROM read_parquet('{inc_mh}')),
+            cand AS (
+                SELECT n.doc_id AS new_id, c.doc_id AS corpus_id
+                FROM mh n JOIN mh c ON n.perm_idx = c.perm_idx AND n.val = c.val
+                WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+                GROUP BY n.doc_id, c.doc_id, n.perm_idx // 4
+                HAVING count(*) = 4),
+            pairs AS (SELECT DISTINCT new_id, corpus_id FROM cand),
+            agree AS (
+                SELECT p.new_id, p.corpus_id, count(*) AS n
+                FROM pairs p
+                JOIN mh a ON a.doc_id = p.new_id
+                JOIN mh b ON b.doc_id = p.corpus_id AND b.perm_idx = a.perm_idx
+                             AND b.val = a.val
+                GROUP BY p.new_id, p.corpus_id)
+            SELECT new_id, corpus_id, n / 64.0 AS est_jaccard
+            FROM agree WHERE n / 64.0 >= 0.5 ORDER BY new_id, corpus_id
         """,
         "simhash_dedup": f"""
             WITH sh AS (SELECT doc_id, simhash FROM read_parquet('{sh}')),
@@ -2043,6 +2118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # algebra from materialized state — see _exchange_oracles)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "incremental_dedup": q_incremental_dedup,
+        "contamination": q_contamination,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
         "ivfadc_ann": q_ivfadc_ann,
@@ -2207,6 +2284,29 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.id = src JOIN sizes sb ON sb.id = dst
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.62
             ORDER BY src, dst
+        """,
+        "contamination": """
+            WITH arr AS (
+                SELECT doc_id AS id, string_split(lower(text), ' ') AS a
+                FROM documents),
+            toks0 AS (
+                SELECT DISTINCT id, array_to_string(a[i:i+2], ' ') AS tok
+                FROM arr, LATERAL (SELECT unnest(range(1, len(a) - 3 + 2)) AS i) r
+                WHERE len(a) >= 3),
+            dfs AS (SELECT tok, count(*) AS df FROM toks0 GROUP BY tok),
+            keep AS (SELECT tok FROM dfs WHERE df <= 400),
+            tg AS (SELECT id, t.tok FROM toks0 t JOIN keep USING (tok)),
+            eg AS (SELECT id, tok FROM tg WHERE id % 20 = 0),
+            esz AS (SELECT id, count(*) AS esz FROM eg GROUP BY id),
+            inter AS (
+                SELECT e.id AS eval_id, t.id AS train_id, count(*) AS overlap
+                FROM eg e JOIN tg t USING (tok)
+                WHERE e.id != t.id GROUP BY e.id, t.id)
+            SELECT eval_id, train_id, overlap,
+                   round(overlap::DOUBLE / esz.esz, 4) AS containment
+            FROM inter JOIN esz ON esz.id = eval_id
+            WHERE round(overlap::DOUBLE / esz.esz, 4) >= 0.05
+            ORDER BY eval_id, train_id
         """,
         "ngram_jaccard": """
             WITH arr AS (

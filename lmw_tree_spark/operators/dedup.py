@@ -42,6 +42,28 @@ def exact_dedup_groups(df: DataFrame, text: str = "text", id_col: str = "doc_id"
     )
 
 
+def _word_gram_tokens(
+    df: DataFrame, ngram: int, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id, token) rows: lowercase word unigrams, or word n-gram
+    shingles for ``ngram > 1``. All JVM (split → transform/slice → explode)."""
+    if ngram == 1:
+        tok_col = F.explode(F.split(F.lower(text), " "))
+    else:
+        n = int(ngram)
+        grams = (
+            f"transform(sequence(1, size(_arr) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(_arr, i, {n})))"
+        )
+        # short docs yield an empty (typed) array — sequence() must not see a
+        # descending range, and array() alone would type as array<void>
+        tok_col = F.explode(
+            F.expr(f"IF(size(_arr) >= {n}, {grams}, slice(_arr, 1, 0))")
+        )
+        df = df.withColumn("_arr", F.split(F.lower(text), " "))
+    return df.select(F.col(id_col).alias("id"), tok_col.alias("tok")).distinct()
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     min_jaccard: float = 0.5,
@@ -72,21 +94,7 @@ def token_jaccard_pairs(
     intersect), which changes nothing about the result but halves join volume on
     long-tail vocabulary.
     """
-    if ngram == 1:
-        tok_col = F.explode(F.split(F.lower(text), " "))
-    else:
-        n = int(ngram)
-        grams = (
-            f"transform(sequence(1, size(_arr) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(_arr, i, {n})))"
-        )
-        # short docs yield an empty (typed) array — sequence() must not see a
-        # descending range, and array() alone would type as array<void>
-        tok_col = F.explode(
-            F.expr(f"IF(size(_arr) >= {n}, {grams}, slice(_arr, 1, 0))")
-        )
-        df = df.withColumn("_arr", F.split(F.lower(text), " "))
-    toks = df.select(F.col(id_col).alias("id"), tok_col.alias("tok")).distinct()
+    toks = _word_gram_tokens(df, ngram, text, id_col)
     if max_token_df is not None:
         keep = (
             toks.groupBy("tok")
@@ -261,6 +269,149 @@ def simhash_dedup(
             F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("long").alias("dist"),
         )
         .where(F.col("dist") <= max_dist)
+    )
+
+
+def _band_buckets_long(mh: DataFrame, n_bands: int) -> DataFrame:
+    """(doc_id, minhash) → exploded (bucket, doc_id) band keys, long ids."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["minhash"]), dtype=np.int64).view(np.uint64)
+            bands = band_hashes(m, n_bands)
+            yield pd.DataFrame(
+                {
+                    "bucket": bands.ravel(),
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_bands),
+                }
+            )
+
+    return mh.mapInPandas(run, "bucket long, doc_id long")
+
+
+def minhash_dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    n_bands: int = 16,
+    k: int = 5,
+    n_perm: int = 64,
+    min_sim: float = 0.6,
+    max_bucket_df: int | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+    mh_new: DataFrame | None = None,
+    mh_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs between an INCOMING shard and an
+    EXISTING corpus — the daily-ingest shape of a training-data pipeline
+    (dedupe the new crawl against everything already kept, without re-running
+    corpus-vs-corpus).
+
+    Band buckets on both sides meet in a bucket equi-join that only produces
+    new×corpus candidates; verification is the MinHash agreement fraction. The
+    corpus-side signatures/buckets are exactly what a production run persists
+    (``mh_corpus`` injects them precomputed — the incremental index). Candidate
+    volume per band bucket is |new ∩ bucket| × |corpus ∩ bucket|;
+    ``max_bucket_df`` drops corpus-hot buckets (boilerplate bands) before the
+    join — the same df-guard scale bound as ``token_jaccard_pairs``, since a
+    band shared by b corpus rows otherwise multiplies every colliding new row
+    by b. Output (new_id, corpus_id, est_jaccard).
+    """
+    if mh_new is None:
+        mh_new = doc_minhash(new_df, k, n_perm, text=text, id_col=id_col)
+    if mh_corpus is None:
+        mh_corpus = doc_minhash(corpus_df, k, n_perm, text=text, id_col=id_col)
+    mh_new = mh_new.persist()
+    mh_corpus = mh_corpus.persist()
+    nb = _band_buckets_long(mh_new, n_bands)
+    cb = _band_buckets_long(mh_corpus, n_bands)
+    if max_bucket_df is not None:
+        keep = (
+            cb.groupBy("bucket")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_bucket_df)
+            .select("bucket")
+        )
+        cb = cb.join(keep, "bucket")
+    cand = (
+        nb.select("bucket", F.col("doc_id").alias("new_id"))
+        .join(cb.select("bucket", F.col("doc_id").alias("corpus_id")), "bucket")
+        .select("new_id", "corpus_id")
+        .dropDuplicates()
+    )
+    a = mh_new.select(F.col("doc_id").alias("new_id"), F.col("minhash").alias("a_mh"))
+    b = mh_corpus.select(
+        F.col("doc_id").alias("corpus_id"), F.col("minhash").alias("b_mh")
+    )
+    sim = (
+        F.aggregate(
+            F.zip_with("a_mh", "b_mh", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("a_mh")
+    ).cast("double")
+    return (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select("new_id", "corpus_id", sim.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= min_sim)
+    )
+
+
+def contamination_pairs(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    ngram: int = 3,
+    min_containment: float = 0.5,
+    max_gram_df: int | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: eval documents whose word n-grams appear in
+    training documents (n-gram-overlap contamination checks: Brown et al. 2020
+    appendix C; Dodge et al. 2021 on C4). For each (eval, train) pair sharing
+    ≥1 distinct n-gram, ``containment`` = |grams(eval) ∩ grams(train)| /
+    |grams(eval)| — the asymmetric measure: a short eval item fully quoted
+    inside a long train doc scores 1.0.
+
+    Inverted-index equi-join on grams, all JVM; ``max_gram_df`` drops
+    training-hot grams (boilerplate phrases) before the join — without it a
+    gram in b train docs multiplies every eval doc containing it by b. Output
+    (eval_id, train_id, overlap, containment), containment ≥ threshold.
+    """
+    tg = _word_gram_tokens(train_df, ngram, text, id_col)
+    eg = _word_gram_tokens(eval_df, ngram, text, id_col)
+    if max_gram_df is not None:
+        keep = (
+            tg.groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_gram_df)
+            .select("tok")
+        )
+        tg = tg.join(keep, "tok")
+        eg = eg.join(keep, "tok")
+    esz = eg.groupBy("id").agg(F.count("*").alias("esz"))
+    inter = (
+        eg.select(F.col("id").alias("eval_id"), "tok")
+        .join(tg.select(F.col("id").alias("train_id"), "tok"), "tok")
+        .where(F.col("eval_id") != F.col("train_id"))
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    return (
+        inter.join(esz.withColumnRenamed("id", "eval_id"), "eval_id")
+        .select(
+            "eval_id",
+            "train_id",
+            "overlap",
+            F.round(F.col("overlap").cast("double") / F.col("esz"), 4).alias(
+                "containment"
+            ),
+        )
+        .where(F.col("containment") >= min_containment)
     )
 
 
