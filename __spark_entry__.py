@@ -361,6 +361,25 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fingerprint_col("text").alias("fingerprint")).orderBy("doc_id")
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition/quality filter over the documents table
+    (operators/quality.py): within-document duplicate-3-gram fraction and
+    token-mode fraction plus a composite keep decision. Thresholds are set to
+    split this corpus (~55% keep) so the hash check exercises both branches.
+    dup_gram_frac/mean_tok_len are shuffle-free array ops; top_tok_frac is the
+    two-level combine-bounded groupBy — the DuckDB oracle replays all of it
+    from raw text."""
+    from lmw_tree_spark.operators.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(
+        docs,
+        max_top_tok_frac=0.1,
+        max_dup_gram_frac=0.0,
+        min_tokens=20,
+    ).orderBy("doc_id")
+
+
 def q_exact_dedup(spark, sf_dir):
     from lmw_tree_spark.operators.dedup import exact_dedup_groups
 
@@ -1215,6 +1234,60 @@ def q_dedup_images(spark, sf_dir):
     return connected_components(edges, vertices=sigs).orderBy("image_id")
 
 
+def q_dedup_eval(spark, sf_dir):
+    """North-rule evidence as a hash-checked row: dup-pair recall/precision of
+    the candidate→verify→CC image pipeline against the generator's planted
+    truth. Only the verified edge set is trusted state — the oracle re-derives
+    the components (recursive-CTE closure), re-derives the TRUTH independently
+    from image_id arithmetic (sources/images.py base_index: groups are
+    {7k, 7k+1, 7k+2}), and replays the pair/metric algebra in SQL."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.lsh import candidate_edges, verify_edges
+
+    sigs = _fixed_signatures(spark)
+    verified = verify_edges(candidate_edges(sigs, SMALL), sigs, SMALL).where("is_dup")
+    edges = verified.select("src", "dst").persist()
+    _write_exchange(
+        "dedup_eval",
+        edges=edges.toPandas(),
+        vertices=sigs.select("image_id").toPandas(),
+    )
+    comp = connected_components(edges, vertices=sigs)
+    pred = (
+        comp.alias("a")
+        .join(comp.alias("b"), "dup_group")
+        .where(F.col("a.image_id") < F.col("b.image_id"))
+        .select(
+            F.col("a.image_id").alias("src"), F.col("b.image_id").alias("dst")
+        )
+    )
+    i = F.substring("image_id", 4, 10).cast("long")
+    based = comp.select(
+        "image_id",
+        F.when((i % 7).isin(1, 2), i - i % 7).otherwise(i).alias("base"),
+    )
+    truth = (
+        based.alias("ta")
+        .join(based.alias("tb"), "base")
+        .where(F.col("ta.image_id") < F.col("tb.image_id"))
+        .select(
+            F.col("ta.image_id").alias("src"), F.col("tb.image_id").alias("dst")
+        )
+    )
+    joined = pred.withColumn("p", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["src", "dst"], "full_outer"
+    )
+    hit = F.sum(F.coalesce("p", F.lit(0)) * F.coalesce("t", F.lit(0)))
+    return joined.agg(
+        F.sum("t").cast("long").alias("n_true"),
+        F.sum("p").cast("long").alias("n_pred"),
+        hit.cast("long").alias("n_hit"),
+        F.round(hit / F.sum("t"), 4).alias("recall"),
+        F.round(hit / F.sum("p"), 4).alias("precision"),
+    )
+
+
 # --- multimodal / source / streaming exchange queries ------------------------
 #
 # Same exchange philosophy as the clustering family: the non-SQL step
@@ -1721,6 +1794,8 @@ def _exchange_oracles() -> dict[str, str]:
     bit_s = os.path.join(x, "bitops", "sigs.parquet")
     cc_e = os.path.join(x, "dedup_cc", "edges.parquet")
     cc_v = os.path.join(x, "dedup_cc", "vertices.parquet")
+    de_e = os.path.join(x, "dedup_eval", "edges.parquet")
+    de_v = os.path.join(x, "dedup_eval", "vertices.parquet")
     leaf_assign = (
         "SELECT image_id, node_id AS cluster_id, d::DOUBLE AS distance "
         "FROM a{d} ORDER BY image_id"
@@ -2081,6 +2156,40 @@ def _exchange_oracles() -> dict[str, str]:
             SELECT u AS image_id, min(v) AS dup_group
             FROM reach GROUP BY u ORDER BY image_id
         """,
+        "dedup_eval": f"""
+            WITH RECURSIVE sym AS (
+                SELECT src AS u, dst AS v FROM read_parquet('{de_e}')
+                UNION
+                SELECT dst, src FROM read_parquet('{de_e}')),
+            verts AS (SELECT image_id FROM read_parquet('{de_v}')),
+            reach(u, v) AS (
+                SELECT image_id, image_id FROM verts
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
+            comp AS (SELECT u AS image_id, min(v) AS dup_group FROM reach GROUP BY u),
+            pred AS (
+                SELECT a.image_id AS src, b.image_id AS dst
+                FROM comp a JOIN comp b
+                  ON a.dup_group = b.dup_group AND a.image_id < b.image_id),
+            based AS (
+                SELECT image_id,
+                       CASE WHEN (i % 7) IN (1, 2) THEN i - (i % 7) ELSE i END AS base
+                FROM (SELECT image_id,
+                             CAST(substr(image_id, 4, 10) AS BIGINT) AS i FROM verts)),
+            truth AS (
+                SELECT ta.image_id AS src, tb.image_id AS dst
+                FROM based ta JOIN based tb
+                  ON ta.base = tb.base AND ta.image_id < tb.image_id),
+            j AS (
+                SELECT (p.src IS NOT NULL)::INT AS p, (t.src IS NOT NULL)::INT AS t
+                FROM pred p FULL OUTER JOIN truth t
+                  ON p.src = t.src AND p.dst = t.dst)
+            SELECT sum(t)::BIGINT AS n_true, sum(p)::BIGINT AS n_pred,
+                   sum(p * t)::BIGINT AS n_hit,
+                   round(sum(p * t)::DOUBLE / sum(t), 4) AS recall,
+                   round(sum(p * t)::DOUBLE / sum(p), 4) AS precision
+            FROM j
+        """,
     }
 
 
@@ -2096,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
+        "repetition_filter": q_repetition_filter,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -2135,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_enforced": q_kmeans_enforced,
         "kmeans_dsquared": q_kmeans_dsquared,
         "dedup_images": q_dedup_images,
+        "dedup_eval": q_dedup_eval,
         # multimodal / sources / streaming (raw-input or manifest exchange)
         "image_stats": q_image_stats,
         "resize_images": q_resize_images,
@@ -2246,6 +2357,41 @@ def oracle_sql() -> dict[str, str]:
                          + (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.0 END) * 0.25
                          + least(n / 20.0, 1.0) * 0.25, 4) AS quality
             FROM q ORDER BY doc_id
+        """,
+        "repetition_filter": """
+            WITH arrs AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+                FROM documents),
+            toks AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       unnest(range(1, len(toks) + 1)) AS ord
+                FROM arrs),
+            counts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            uni AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_tokens
+                    FROM counts GROUP BY 1),
+            lens AS (SELECT doc_id, sum(length(tok))::DOUBLE / count(*) AS mtl
+                     FROM toks GROUP BY 1),
+            grams AS (
+                SELECT doc_id,
+                       tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+            gstats AS (SELECT doc_id, count(g) AS n_g, count(DISTINCT g) AS d_g
+                       FROM grams WHERE g IS NOT NULL GROUP BY 1),
+            m AS (
+                SELECT u.doc_id, u.n_tokens,
+                       u.top_c::DOUBLE / u.n_tokens AS tf,
+                       coalesce((g.n_g - g.d_g)::DOUBLE / nullif(g.n_g, 0), 0.0) AS df,
+                       l.mtl
+                FROM uni u JOIN lens l USING (doc_id)
+                LEFT JOIN gstats g USING (doc_id))
+            SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+                   round(tf, 4) AS top_tok_frac,
+                   round(df, 4) AS dup_gram_frac,
+                   round(mtl, 4) AS mean_tok_len,
+                   (tf <= 0.1 AND df <= 0.0 AND n_tokens >= 20
+                    AND mtl >= 3.0 AND mtl <= 10.0)::INT AS keep
+            FROM m ORDER BY doc_id
         """,
         "lang_id": f"""
             SELECT doc_id, {', '.join(f'score_{c}' for c in sorted(stop))},

@@ -1,0 +1,106 @@
+"""Gopher-style document quality / repetition filters.
+
+Per-document repetition metrics and a composite keep/drop decision, the
+standard pre-training corpus filter family (Rae et al. 2021, "Scaling Language
+Models: Methods, Analysis & Insights from Training Gopher", appendix A1.1).
+The reference engine has no equivalent — this is part of the training-data
+pipeline surface layered on top of its dedup/clustering core (the reference's
+text handling stops at signature extraction, cf.
+/root/reference/src/lmw/StdIncludes.h string utils).
+
+Scale notes (100 TB design):
+  * ``dup_gram_frac`` and ``mean_tok_len`` are computed entirely map-side with
+    array higher-order functions — zero shuffle, whole-stage codegen.
+  * ``top_tok_frac`` needs the per-document token mode, which arrays can't
+    express without O(n·d) rescans, so it uses explode → two-level groupBy.
+    Both aggregations partial-combine map-side; shuffle keys are
+    (doc_id, token) then doc_id — per-document cardinality, never
+    corpus-global, so no hot keys regardless of corpus skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _clean_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens with empties dropped (parity contract with
+    the DuckDB oracle: string_split + ``tok <> ''``)."""
+    return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+
+
+def repetition_stats(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    max_top_tok_frac: float = 0.18,
+    max_dup_gram_frac: float = 0.05,
+    min_tokens: int = 8,
+    mean_tok_len_bounds: tuple[float, float] = (3.0, 10.0),
+) -> DataFrame:
+    """Per-document repetition/shape metrics + composite ``keep`` decision.
+
+    Output columns: (id_col, n_tokens long, top_tok_frac double,
+    dup_gram_frac double, mean_tok_len double, keep int). Fractions are
+    rounded to 4 digits so the driver's value hash is float-noise-proof.
+
+    ``top_tok_frac``  — count of the most frequent token / n_tokens
+                        (boilerplate / keyword-stuffing detector).
+    ``dup_gram_frac`` — fraction of word-``ngram``-grams that are repeats of
+                        an earlier gram in the same document (within-document
+                        repetition, the Gopher "duplicate n-gram" rule).
+    ``keep``          — 1 iff all thresholds pass.
+    """
+    toks = df.select(F.col(id_col), _clean_tokens(F.col(text)).alias("toks"))
+
+    # map-side metrics: no shuffle, pure whole-stage-codegen array ops
+    n = F.size("toks")
+    n_grams = n - ngram + 1
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {ngram} + 1, 0)),"
+        f" k -> array_join(slice(toks, k, {ngram}), ' '))"
+    )
+    char_sum = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mapside = toks.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.when(
+            n_grams > 0,
+            (n_grams - F.size(F.array_distinct(grams))).cast("double") / n_grams,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_frac"),
+        (char_sum.cast("double") / n).alias("mean_tok_len"),
+    )
+
+    # token mode: explode → (doc, token) counts → per-doc max; both stages
+    # partial-aggregate map-side, keys bounded by per-document vocabulary
+    top = (
+        toks.select(id_col, F.explode("toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("top_c"))
+    )
+
+    lo, hi = mean_tok_len_bounds
+    out = mapside.join(top, id_col)
+    keep = (
+        (F.col("top_c") / F.col("n_tokens") <= max_top_tok_frac)
+        & (F.col("dup_gram_frac") <= max_dup_gram_frac)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("mean_tok_len") >= lo)
+        & (F.col("mean_tok_len") <= hi)
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("top_c") / F.col("n_tokens"), 4).alias("top_tok_frac"),
+        F.round("dup_gram_frac", 4).alias("dup_gram_frac"),
+        F.round("mean_tok_len", 4).alias("mean_tok_len"),
+        keep.cast("int").alias("keep"),
+    )

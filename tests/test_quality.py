@@ -1,0 +1,78 @@
+"""Gopher-style repetition filter (operators/quality.py) vs hand-computed
+metrics on constructed documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmw_tree_spark.operators.quality import repetition_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # clean: 24 distinct-ish tokens, no repeated 3-gram
+        (0, "the quick brown fox jumps over a lazy dog while birds sing "
+            "songs about distant hills and rivers flowing gently toward "
+            "the open sea"),
+        # stuffed: one token dominates
+        (1, "spam spam spam spam spam spam spam eggs spam spam spam spam "
+            "spam spam spam spam spam spam spam spam"),
+        # looping boilerplate: a repeated 5-gram phrase
+        (2, "click here to buy now click here to buy now click here to "
+            "buy now click here to buy now"),
+        # too short
+        (3, "a tiny document with six tokens"),
+        # double spaces collapse to the same token stream as single spaces
+        (4, "alpha  beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_metrics_match_hand_computation(docs):
+    out = _by_id(repetition_stats(docs))
+
+    clean = out[0]
+    assert clean["n_tokens"] == 24
+    assert clean["dup_gram_frac"] == 0.0
+    # "the" appears twice -> 2/24
+    assert clean["top_tok_frac"] == round(2 / 24, 4)
+
+    stuffed = out[1]
+    assert stuffed["n_tokens"] == 20
+    assert stuffed["top_tok_frac"] == round(19 / 20, 4)
+
+    looped = out[2]
+    # 20 tokens -> 18 3-grams, phrase of 5 repeated 4x -> few distinct grams
+    assert looped["n_tokens"] == 20
+    assert looped["dup_gram_frac"] > 0.5
+
+    short = out[3]
+    assert short["n_tokens"] == 6
+
+    spaced = out[4]
+    assert spaced["n_tokens"] == 20  # empty tokens from "  " dropped
+    assert spaced["top_tok_frac"] == round(1 / 20, 4)
+
+
+def test_keep_decision(docs):
+    out = _by_id(
+        repetition_stats(
+            docs, max_top_tok_frac=0.15, max_dup_gram_frac=0.0, min_tokens=8
+        )
+    )
+    assert out[0]["keep"] == 1
+    assert out[1]["keep"] == 0  # token mode
+    assert out[2]["keep"] == 0  # duplicate 3-grams
+    assert out[3]["keep"] == 0  # too short
+    assert out[4]["keep"] == 1
+
+
+def test_no_python_udf_in_plan(docs):
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
