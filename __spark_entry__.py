@@ -823,6 +823,45 @@ def q_simhash_dedup(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+def q_phash_dedup(spark, sf_dir):
+    """Near-dup pairs directly on the STORED phash column of the input-contract
+    table (image_id, bytes, w, h, fmt, caption, phash) — the pigeonhole
+    band-bucket + exact-Hamming algebra applied to the table's own int64
+    column with no recompute (the consumer-side fast path when signatures ship
+    with the data). The oracle replays band membership and bit_count(xor)
+    from the materialized (id, phash) table."""
+    from lmw_tree_spark.operators.dedup import simhash_dedup
+    from lmw_tree_spark.sources.images import generate_images
+
+    sh = (
+        generate_images(spark, _X_N)
+        .select(
+            F.substring("image_id", 4, 10).cast("long").alias("doc_id"),
+            F.col("phash").alias("simhash"),
+        )
+        .persist()
+    )
+    _write_exchange("phash", simhash=sh.toPandas())
+    return simhash_dedup(sh, max_dist=10, pair_cap=100_000, sh=sh).orderBy(
+        "src", "dst"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sampling over documents
+    (operators/sampling.py): hash-threshold Bernoulli, reproducible across
+    partitioning/retries/cluster size. The oracle applies the identical md5
+    predicate — exact row-set equality, not statistical agreement."""
+    from lmw_tree_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", _SAMPLE_FRACTIONS, salt=7)
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+_SAMPLE_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.1}
+
+
 def q_ivf_ann(spark, sf_dir):
     """IVF ANN with the coarse quantizer trained DISTRIBUTED on all rows
     (dense.kmeans_dense, hash-seeded). Embeddings + fitted centroids are
@@ -1780,6 +1819,7 @@ def _exchange_oracles() -> dict[str, str]:
     mh = os.path.join(x, "minhash", "minhash.parquet")
     inc_mh = os.path.join(x, "incdedup", "minhash.parquet")
     sh = os.path.join(x, "simhash", "simhash.parquet")
+    ph = os.path.join(x, "phash", "simhash.parquet")
     ivf_e = os.path.join(x, "ivf", "embeddings.parquet")
     ivf_c = os.path.join(x, "ivf", "centroids.parquet")
     pq_e = os.path.join(x, "pq", "emb_long.parquet")
@@ -1862,6 +1902,19 @@ def _exchange_oracles() -> dict[str, str]:
         """,
         "simhash_dedup": f"""
             WITH sh AS (SELECT doc_id, simhash FROM read_parquet('{sh}')),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM sh a, sh b, range(4) r(b_idx)
+                WHERE a.doc_id < b.doc_id
+                  AND ((a.simhash >> (b_idx * 16)) & 65535)
+                    = ((b.simhash >> (b_idx * 16)) & 65535))
+            SELECT src, dst, bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
+            FROM pairs JOIN sh a ON a.doc_id = src JOIN sh b ON b.doc_id = dst
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+            ORDER BY src, dst
+        """,
+        "phash_dedup": f"""
+            WITH sh AS (SELECT doc_id, simhash FROM read_parquet('{ph}')),
             pairs AS (
                 SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
                 FROM sh a, sh b, range(4) r(b_idx)
@@ -2206,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "repetition_filter": q_repetition_filter,
+        "stratified_sample": q_stratified_sample,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -2246,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_dsquared": q_kmeans_dsquared,
         "dedup_images": q_dedup_images,
         "dedup_eval": q_dedup_eval,
+        "phash_dedup": q_phash_dedup,
         # multimodal / sources / streaming (raw-input or manifest exchange)
         "image_stats": q_image_stats,
         "resize_images": q_resize_images,
@@ -2393,6 +2448,13 @@ def oracle_sql() -> dict[str, str]:
                     AND mtl >= 3.0 AND mtl <= 10.0)::INT AS keep
             FROM m ORDER BY doc_id
         """,
+        "stratified_sample": (
+            "SELECT doc_id, lang, source FROM ("
+            + __import__(
+                "lmw_tree_spark.operators.sampling", fromlist=["stratified_sample_sql"]
+            ).stratified_sample_sql("documents", "lang", _SAMPLE_FRACTIONS, salt=7)
+            + ") ORDER BY doc_id"
+        ),
         "lang_id": f"""
             SELECT doc_id, {', '.join(f'score_{c}' for c in sorted(stop))},
                    {pred} AS pred_lang

@@ -1,0 +1,79 @@
+"""Deterministic stratified sampling — corpus shaping by per-stratum quota.
+
+The standard step between dedup and training-set assembly: downsample each
+source/language/quality stratum to a target fraction. Unlike ``df.sample`` /
+``df.sampleBy`` (partition-RNG-based: results change with partitioning, task
+retries, and cluster size), selection here is a pure function of
+``(id, salt)`` — a cryptographic-hash threshold test. That determinism is what
+makes a 100-TB corpus build reproducible and lets resumable/incremental shards
+(operators/dedup.minhash_dedup_against_corpus) sample consistently with the
+base corpus.
+
+Mechanism: keep a row iff the first 8 hex digits of ``md5(id:salt)`` compare
+below the stratum's threshold ``hex(floor(fraction * 16^8))``. Fixed-width
+lowercase-hex string comparison equals the numeric comparison, and both Spark
+and any SQL engine with ``md5`` reproduce it bit-for-bit — no float rounding,
+no RNG. Pure map stage: no shuffle, predicate-pushdown-friendly, scales
+embarrassingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8
+
+
+def _thresholds(fractions: dict[str, float]) -> dict[str, str]:
+    """Per-stratum 8-hex-digit keep thresholds (clamped to [0, 1])."""
+    out = {}
+    for k, frac in fractions.items():
+        n = int(max(0.0, min(1.0, frac)) * _HEX_SPACE)
+        out[k] = format(min(n, _HEX_SPACE - 1), "08x") if n < _HEX_SPACE else "g"
+        # "g" > "f..." lexicographically -> fraction 1.0 keeps everything
+    return out
+
+
+def sample_hash_col(id_col: Column, salt: int = 0) -> Column:
+    """The 8-hex-digit deterministic sampling key for a row id."""
+    return F.substring(
+        F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(str(salt)))), 1, 8
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Keep each row of stratum ``s`` with probability ``fractions[s]``,
+    deterministically in ``(id, salt)``. Strata absent from ``fractions``
+    are dropped (quota 0)."""
+    thr = _thresholds(fractions)
+    mapping = F.create_map(
+        *[lit for k, v in sorted(thr.items()) for lit in (F.lit(k), F.lit(v))]
+    )
+    keep = sample_hash_col(F.col(id_col), salt) < mapping[F.col(strata_col)]
+    return df.where(F.coalesce(keep, F.lit(False)))
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> str:
+    """The equivalent ANSI-SQL predicate (DuckDB oracle parity helper)."""
+    thr = _thresholds(fractions)
+    cases = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN '{v}'" for k, v in sorted(thr.items())
+    )
+    return (
+        f"SELECT * FROM {table} WHERE "
+        f"substr(md5({id_col}::VARCHAR || ':{salt}'), 1, 8) "
+        f"< (CASE {cases} ELSE '' END)"
+    )

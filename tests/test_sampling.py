@@ -1,0 +1,70 @@
+"""Deterministic stratified sampling (operators/sampling.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmw_tree_spark.operators.sampling import (
+    _thresholds,
+    stratified_sample,
+    stratified_sample_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id long, stratum string")
+
+
+def _ref_keep(doc_id: int, salt: int, frac: float) -> bool:
+    h = hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:8]
+    thr = _thresholds({"s": frac})["s"]
+    return h < thr
+
+
+def test_matches_reference_membership(corpus):
+    out = stratified_sample(
+        corpus, "stratum", {"a": 0.3, "b": 0.7}, salt=5
+    ).toPandas()
+    got = set(out["doc_id"])
+    for i in range(2000):
+        frac = 0.3 if i % 2 == 0 else 0.7
+        assert (i in got) == _ref_keep(i, 5, frac), i
+
+
+def test_partitioning_invariance(corpus):
+    frac = {"a": 0.5, "b": 0.5}
+    one = set(
+        r["doc_id"]
+        for r in stratified_sample(corpus.coalesce(1), "stratum", frac).collect()
+    )
+    many = set(
+        r["doc_id"]
+        for r in stratified_sample(
+            corpus.repartition(16, "stratum"), "stratum", frac
+        ).collect()
+    )
+    assert one == many
+
+
+def test_fraction_accuracy_and_edge_quotas(corpus):
+    out = stratified_sample(
+        corpus, "stratum", {"a": 1.0, "b": 0.25}
+    ).groupBy("stratum").count().collect()
+    counts = {r["stratum"]: r["count"] for r in out}
+    assert counts["a"] == 1000  # fraction 1.0 keeps everything
+    assert abs(counts.get("b", 0) / 1000 - 0.25) < 0.05
+    # stratum absent from fractions -> dropped entirely
+    none = stratified_sample(corpus, "stratum", {"a": 0.5}).where(
+        F.col("stratum") == "b"
+    )
+    assert none.count() == 0
+
+
+def test_sql_parity_predicate(corpus):
+    sql = stratified_sample_sql("t", "stratum", {"a": 0.3, "b": 0.7}, salt=5)
+    assert "md5" in sql and "WHEN stratum = 'a'" in sql
+    thr = _thresholds({"x": 0.3})["x"]
+    assert thr == format(int(0.3 * 16**8), "08x")
