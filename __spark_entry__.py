@@ -1098,6 +1098,43 @@ def q_emtree_images(spark, sf_dir):
     return assign(sigs, fit.tree).orderBy("image_id")
 
 
+def q_cluster_coassign(spark, sf_dir):
+    """Clustering-quality metric row (north star: matching the reference's
+    cluster assignments): co-assignment of planted dup groups under the
+    EM-tree leaf assignment — a dup group is INTACT when every member lands
+    in the same leaf. (Classic purity is the wrong shape here: hundreds of
+    size-≤3 truth groups against 16 coarse leaves.) The leaf assignment is
+    trusted state (its descent is hash-replayed by emtree_images); the oracle
+    re-derives the TRUTH independently from image_id arithmetic and replays
+    the intactness rollup in SQL."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign, em_tree_fit
+
+    sigs = _fixed_signatures(spark)
+    fit = em_tree_fit(sigs, SMALL)
+    a = assign(sigs, fit.tree).select("image_id", "cluster_id")
+    _write_exchange("coassign", assign=a.toPandas())
+    i = F.substring("image_id", 4, 10).cast("long")
+    based = a.select(
+        "cluster_id",
+        F.when((i % 7).isin(1, 2), i - i % 7).otherwise(i).alias("base"),
+    )
+    groups = (
+        based.groupBy("base")
+        .agg(
+            F.count("*").alias("sz"),
+            F.countDistinct("cluster_id").alias("n_cl"),
+        )
+        .where(F.col("sz") >= 2)
+    )
+    intact = (F.col("n_cl") == 1).cast("int")
+    return groups.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(intact).cast("long").alias("n_intact"),
+        F.round(F.sum(intact) / F.count("*"), 4).alias("intact_rate"),
+    )
+
+
 def q_ktree_images(spark, sf_dir):
     """K-tree hybrid (reference ClueWeb recipe, JournalPaperExperiments.h:548-614):
     online K-tree build seeds the distributed assignment. The grown tree (depth 4
@@ -1271,6 +1308,43 @@ def q_dedup_images(spark, sf_dir):
         vertices=sigs.select("image_id").toPandas(),
     )
     return connected_components(edges, vertices=sigs).orderBy("image_id")
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """The decision step after near-dup detection: MinHash-LSH pairs at the
+    PRODUCTION config (pair_cap=64 chains — the edge set is trusted state
+    here, so no clique-exhaustive config is needed) → connected components →
+    keep the highest-quality doc per component (tie: lowest doc_id). The
+    oracle re-derives the components (recursive CTE), the quality scores
+    (from raw text), and the survivor argmax from the edge list alone."""
+    from pyspark.sql import Window
+
+    from lmw_tree_spark.functions.text import quality_score_col
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents").persist()
+    pairs = minhash_lsh_dedup(docs, min_sim=0.6, pair_cap=64)
+    edges = pairs.select("src", "dst").persist()
+    _write_exchange("survivors", edges=edges.toPandas())
+    comp = connected_components(
+        edges, vertices=docs, id_col="doc_id", label_col="group_id"
+    )
+    q = docs.select("doc_id", quality_score_col("text").alias("q"))
+    w = Window.partitionBy("group_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = comp.join(q, "doc_id").withColumn("rn", F.row_number().over(w))
+    surv = ranked.where(F.col("rn") == 1).select(
+        "group_id", F.col("doc_id").alias("survivor_id")
+    )
+    return (
+        ranked.join(surv, "group_id")
+        .select(
+            "doc_id",
+            "survivor_id",
+            (F.col("rn") == 1).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def q_dedup_eval(spark, sf_dir):
@@ -1836,6 +1910,8 @@ def _exchange_oracles() -> dict[str, str]:
     cc_v = os.path.join(x, "dedup_cc", "vertices.parquet")
     de_e = os.path.join(x, "dedup_eval", "edges.parquet")
     de_v = os.path.join(x, "dedup_eval", "vertices.parquet")
+    sv_e = os.path.join(x, "survivors", "edges.parquet")
+    pu_a = os.path.join(x, "coassign", "assign.parquet")
     leaf_assign = (
         "SELECT image_id, node_id AS cluster_id, d::DOUBLE AS distance "
         "FROM a{d} ORDER BY image_id"
@@ -2209,6 +2285,53 @@ def _exchange_oracles() -> dict[str, str]:
             SELECT u AS image_id, min(v) AS dup_group
             FROM reach GROUP BY u ORDER BY image_id
         """,
+        "cluster_coassign": f"""
+            WITH a AS (SELECT image_id, cluster_id FROM read_parquet('{pu_a}')),
+            based AS (
+                SELECT cluster_id,
+                       CASE WHEN (i % 7) IN (1, 2) THEN i - (i % 7) ELSE i END AS base
+                FROM (SELECT cluster_id,
+                             CAST(substr(image_id, 4, 10) AS BIGINT) AS i FROM a)),
+            groups AS (
+                SELECT base, count(*) AS sz,
+                       count(DISTINCT cluster_id) AS n_cl
+                FROM based GROUP BY base HAVING count(*) >= 2)
+            SELECT count(*)::BIGINT AS n_groups,
+                   sum((n_cl = 1)::INT)::BIGINT AS n_intact,
+                   round(sum((n_cl = 1)::INT)::DOUBLE / count(*), 4) AS intact_rate
+            FROM groups
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE sym AS (
+                SELECT src AS u, dst AS v FROM read_parquet('{sv_e}')
+                UNION
+                SELECT dst, src FROM read_parquet('{sv_e}')),
+            verts AS (SELECT doc_id FROM documents),
+            reach(u, v) AS (
+                SELECT doc_id, doc_id FROM verts
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
+            comp AS (SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY u),
+            q AS (
+                SELECT doc_id,
+                       length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE
+                           / length(text) * 0.5
+                       + (CASE WHEN (length(text) - (len(string_split(lower(text), ' ')) - 1))::DOUBLE
+                                    / len(string_split(lower(text), ' ')) BETWEEN 3 AND 10
+                               THEN 1.0 ELSE 0.0 END) * 0.25
+                       + least(len(string_split(lower(text), ' ')) / 20.0, 1.0) * 0.25
+                           AS quality
+                FROM documents),
+            ranked AS (
+                SELECT c.doc_id, c.group_id,
+                       row_number() OVER (PARTITION BY c.group_id
+                           ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+                FROM comp c JOIN q USING (doc_id)),
+            surv AS (SELECT group_id, doc_id AS survivor_id FROM ranked WHERE rn = 1)
+            SELECT r.doc_id, s.survivor_id, (r.rn = 1)::INT AS kept
+            FROM ranked r JOIN surv s USING (group_id)
+            ORDER BY r.doc_id
+        """,
         "dedup_eval": f"""
             WITH RECURSIVE sym AS (
                 SELECT src AS u, dst AS v FROM read_parquet('{de_e}')
@@ -2300,6 +2423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_dsquared": q_kmeans_dsquared,
         "dedup_images": q_dedup_images,
         "dedup_eval": q_dedup_eval,
+        "dedup_survivors": q_dedup_survivors,
+        "cluster_coassign": q_cluster_coassign,
         "phash_dedup": q_phash_dedup,
         # multimodal / sources / streaming (raw-input or manifest exchange)
         "image_stats": q_image_stats,
