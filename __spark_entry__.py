@@ -1493,6 +1493,127 @@ def q_resize_images(spark, sf_dir):
     return _round_stats(image_stats(resize_images(images, 16, 24)))
 
 
+def q_psnr_fidelity(spark, sf_dir):
+    """Per-row decoded-pixel fidelity (the target spec's PSNR>=40dB invariant)
+    plus caption/bytes equality through a checkpoint storage round trip.
+
+    Spark decodes each image, transcodes it through the lossy codec, and
+    reports sse/psnr/pass (operators/pixels.py:transcode_fidelity); captions
+    and byte digests are compared against a Checkpointer snapshot re-read. The
+    oracle independently REPLAYS THE ENTIRE LOSSY CODEC in SQL from the
+    materialized source pixels — quantize q = clip((c+3)//6, 0, 42), dequantize
+    rt = q*6, sse/psnr/threshold — and compares captions/digests between the
+    exchanged source and round-trip metadata tables. Lossless (png) sources
+    measure the real ~43 dB quantization PSNR; already-lossy sources assert
+    quantization idempotency (sse = 0, psnr NULL)."""
+    import tempfile
+
+    from lmw_tree_spark.operators.pixels import transcode_fidelity
+    from lmw_tree_spark.plans.checkpoint import Checkpointer
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120).persist()
+    _pixels_exchange(images)
+    cp = Checkpointer(spark, tempfile.mkdtemp(prefix="fidelity_ckpt_"))
+    rt = cp.stage("images", lambda: images)
+    src_meta = images.select(
+        "image_id", "fmt", "caption", F.md5("bytes").alias("digest")
+    )
+    rt_meta = rt.select(
+        F.col("image_id").alias("rt_id"),
+        F.col("caption").alias("rt_caption"),
+        F.md5("bytes").alias("rt_digest"),
+    )
+    _write_exchange(
+        "fidelity", src=src_meta.toPandas(), rt=rt_meta.toPandas()
+    )
+    fid = transcode_fidelity(images, min_psnr_db=40.0)
+    return (
+        fid.join(src_meta.select("image_id", "caption", "digest"), "image_id")
+        .join(rt_meta, F.col("image_id") == F.col("rt_id"))
+        .select(
+            "image_id",
+            "fmt",
+            "npx",
+            F.round("sse", 4).alias("sse"),
+            F.round("psnr_db", 4).alias("psnr_db"),
+            "fidelity_pass",
+            (F.col("caption") == F.col("rt_caption")).alias("caption_ok"),
+            (F.col("digest") == F.col("rt_digest")).alias("bytes_ok"),
+        )
+        .orderBy("image_id")
+    )
+
+
+def q_checkpoint_lineage(spark, sf_dir):
+    """Per-shard lineage metrics + snapshot versioning (the target spec's
+    'checkpoints with per-partition lineage and row-count/signature-distribution
+    metrics for resumable restarts').
+
+    Exercises the Checkpointer end-to-end: stage() commits v1, a second stage()
+    call RESUMES from the snapshot (its build callable raising proves no
+    rebuild), an explicit write() commits v2, and time travel re-reads v1. The
+    query output is computed from the LATEST SNAPSHOT READ-BACK: rows and
+    signature popcount min/avg/max grouped by a deterministic md5 shard key,
+    plus the version counters. The oracle recomputes the popcount distribution
+    from the exchanged signature words (bit_count + md5 shard in SQL) and pins
+    the version algebra to exactly two snapshots."""
+    import tempfile
+
+    from lmw_tree_spark.plans.checkpoint import Checkpointer
+
+    sigs = _fixed_signatures(spark)
+    _write_exchange("lineage", sigs=_sig_long(sigs))
+    cp = Checkpointer(spark, tempfile.mkdtemp(prefix="lineage_ckpt_"))
+    first = cp.stage("sigs", lambda: sigs, sig_col="sig")
+
+    def _must_not_rebuild():
+        raise AssertionError("resume path rebuilt a committed stage")
+
+    resumed = cp.stage("sigs", _must_not_rebuild, sig_col="sig")
+    cp.write("sigs", resumed, sig_col="sig")  # v2 — exercises versioning
+    v1_rows = cp.read("sigs", version=1).count()
+    latest = cp.read("sigs")
+    assert v1_rows == latest.count() == first.count()
+    meta = cp.metrics("sigs")
+    assert sum(p["rows"] for p in meta["partitions"]) == v1_rows
+    pop = F.aggregate(
+        F.transform("sig", lambda w: F.bit_count(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        latest.select(
+            F.substring(F.md5("image_id"), 1, 1).alias("shard"), pop.alias("pop")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("pop").alias("pop_min"),
+            F.round(F.avg("pop"), 4).alias("pop_avg"),
+            F.max("pop").alias("pop_max"),
+        )
+        .withColumn("latest_version", F.lit(cp.current_version("sigs")))
+        .withColumn("n_versions", F.lit(len(cp.snapshots("sigs"))))
+        .orderBy("shard")
+    )
+
+
+def q_editdist_verify(spark, sf_dir):
+    """Candidate-then-verify fuzzy dedup: word-5-gram candidates (df-capped)
+    verified by full-text Levenshtein similarity (operators/dedup.py:
+    editdist_pairs). Fully SQL-expressible — the oracle rebuilds the same
+    shingle candidates and runs DuckDB's independent levenshtein
+    implementation, cross-checking Spark's JVM edit-distance kernel."""
+    from lmw_tree_spark.operators.dedup import editdist_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        editdist_pairs(docs, min_sim=0.4, ngram=5, max_gram_df=200)
+        .orderBy("src", "dst")
+    )
+
+
 def _synthetic_audio(spark, n: int = 240) -> DataFrame:
     """Deterministic FAUD clips with planted near-dups: i%4==1 is a +1 dB
     volume-shifted copy of the base (inside the 3 dB quantization tolerance),
@@ -1888,6 +2009,9 @@ def _exchange_oracles() -> dict[str, str]:
     tar_man = os.path.join(x, "tar_shards", "manifest.parquet")
     warc_man = os.path.join(x, "warc", "manifest.parquet")
     sdd_inp = os.path.join(x, "stream_dedup", "inp.parquet")
+    fid_src = os.path.join(x, "fidelity", "src.parquet")
+    fid_rt = os.path.join(x, "fidelity", "rt.parquet")
+    lin_sigs = os.path.join(x, "lineage", "sigs.parquet")
     vid_e = os.path.join(x, "video", "frame_edges.parquet")
     vid_n = os.path.join(x, "video", "frame_counts.parquet")
     mh = os.path.join(x, "minhash", "minhash.parquet")
@@ -2180,6 +2304,42 @@ def _exchange_oracles() -> dict[str, str]:
                    round(avg(b), 4) AS mean_b
             FROM sel GROUP BY image_id ORDER BY image_id
         """,
+        "psnr_fidelity": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{px}')),
+            src AS (SELECT * FROM read_parquet('{fid_src}')),
+            rt AS (SELECT * FROM read_parquet('{fid_rt}')),
+            chan AS (
+                SELECT image_id, unnest([r, g, b])::BIGINT AS c FROM pxt),
+            qz AS (
+                SELECT image_id, c, least((c + 3) // 6, 42) * 6 AS rtv
+                FROM chan),
+            agg AS (
+                SELECT image_id, count(*)::BIGINT AS npx,
+                       sum((c - rtv) * (c - rtv))::DOUBLE AS sse
+                FROM qz GROUP BY image_id),
+            pdb AS (
+                SELECT image_id, npx, sse,
+                       20*log10(255) - 10*log10(nullif(sse, 0) / npx) AS psnr
+                FROM agg)
+            SELECT s.image_id, s.fmt, a.npx, round(a.sse, 4) AS sse,
+                   round(a.psnr, 4) AS psnr_db,
+                   coalesce(a.psnr >= 40.0, TRUE) AS fidelity_pass,
+                   (s.caption = r.rt_caption) AS caption_ok,
+                   (s.digest = r.rt_digest) AS bytes_ok
+            FROM src s JOIN pdb a USING (image_id)
+                       JOIN rt r ON r.rt_id = s.image_id
+            ORDER BY s.image_id
+        """,
+        "checkpoint_lineage": f"""
+            WITH s AS (SELECT * FROM read_parquet('{lin_sigs}')),
+            pops AS (SELECT image_id, sum(bit_count(word))::BIGINT AS pop
+                     FROM s GROUP BY image_id),
+            sh AS (SELECT substr(md5(image_id), 1, 1) AS shard, pop FROM pops)
+            SELECT shard, count(*)::BIGINT AS n_rows, min(pop)::BIGINT AS pop_min,
+                   round(avg(pop), 4) AS pop_avg, max(pop)::BIGINT AS pop_max,
+                   2 AS latest_version, 2 AS n_versions
+            FROM sh GROUP BY shard ORDER BY shard
+        """,
         "audio_neardup": f"""
             WITH env AS (SELECT * FROM read_parquet('{au_env}')),
             meta AS (SELECT * FROM read_parquet('{au_meta}')),
@@ -2388,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "token_jaccard": q_token_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
+        "editdist_verify": q_editdist_verify,
         "simhash32": q_simhash32,
         "minhash_sql": q_minhash_sql,
         "sig_dim_histogram": q_sig_dim_histogram,
@@ -2429,6 +2590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal / sources / streaming (raw-input or manifest exchange)
         "image_stats": q_image_stats,
         "resize_images": q_resize_images,
+        "psnr_fidelity": q_psnr_fidelity,
+        "checkpoint_lineage": q_checkpoint_lineage,
         "audio_neardup": q_audio_neardup,
         "suffix_lcs": q_suffix_lcs,
         "tar_shard_images": q_tar_shard_images,
@@ -2664,6 +2827,30 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.id = src JOIN sizes sb ON sb.id = dst
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1
             ORDER BY src, dst
+        """,
+        "editdist_verify": """
+            WITH arr AS (
+                SELECT doc_id AS id, lower(text) AS t,
+                       string_split(lower(text), ' ') AS a
+                FROM documents),
+            grams0 AS (
+                SELECT DISTINCT id, array_to_string(a[i:i+4], ' ') AS tok
+                FROM arr, LATERAL (SELECT unnest(range(1, len(a) - 5 + 2)) AS i) r
+                WHERE len(a) >= 5),
+            dfs AS (SELECT tok, count(*) AS df FROM grams0 GROUP BY tok),
+            grams AS (
+                SELECT id, g.tok FROM grams0 g JOIN dfs USING (tok)
+                WHERE dfs.df BETWEEN 2 AND 200),
+            cand AS (
+                SELECT DISTINCT a.id AS src, b.id AS dst
+                FROM grams a JOIN grams b USING (tok) WHERE a.id < b.id),
+            verify AS (
+                SELECT src, dst,
+                       levenshtein(sa.t, sb.t)::INT AS lev,
+                       round(1.0 - levenshtein(sa.t, sb.t)::DOUBLE
+                             / greatest(length(sa.t), length(sb.t)), 4) AS edit_sim
+                FROM cand JOIN arr sa ON sa.id = src JOIN arr sb ON sb.id = dst)
+            SELECT * FROM verify WHERE edit_sim >= 0.4 ORDER BY src, dst
         """,
         "simhash32": """
             WITH toks AS (

@@ -97,3 +97,49 @@ def image_stats(images: DataFrame) -> DataFrame:
             )
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, STATS_SCHEMA)
+
+FIDELITY_SCHEMA = (
+    "image_id string, fmt string, npx bigint, sse double, psnr_db double, "
+    "fidelity_pass boolean"
+)
+
+
+def transcode_fidelity(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
+    """Per-row decoded-pixel fidelity of a transcode to the lossy codec — the
+    target spec's per-row invariant (decoded-pixel allclose, PSNR >= 40 dB for
+    lossy formats) as a pure map stage.
+
+    Each image is decoded, re-encoded through the lossy codec, decoded again,
+    and compared pixel-for-pixel against the original decode: ``sse`` is the
+    summed squared error over all ``npx`` channel values, ``psnr_db`` the
+    peak-signal-to-noise ratio (NULL when the round trip is bit-exact — PSNR is
+    infinite), and ``fidelity_pass`` requires exactness OR psnr >= min_psnr_db.
+    Already-lossy sources round-trip exactly (quantization is idempotent:
+    requantizing q*step yields q), so they assert the exactness branch while
+    lossless sources measure the real quantization PSNR (~43 dB at step 6)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(bytes(r.bytes), r.fmt)
+                rt = codecs.decode_lossy(codecs.encode_lossy(px))
+                diff = px.astype(np.float64) - rt.astype(np.float64)
+                sse = float(np.sum(diff * diff))
+                npx = int(px.size)
+                if sse == 0.0:
+                    psnr_db, ok = None, True
+                else:
+                    psnr_db = float(
+                        20.0 * np.log10(255.0) - 10.0 * np.log10(sse / npx)
+                    )
+                    ok = psnr_db >= min_psnr_db
+                rows.append((r.image_id, r.fmt, npx, sse, psnr_db, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "fmt", "npx", "sse", "psnr_db", "fidelity_pass"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, FIDELITY_SCHEMA)

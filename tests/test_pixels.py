@@ -56,3 +56,28 @@ def test_image_stats_match_numpy(spark):
         assert abs(got.loc[iid, "std_luma"] - lum.std()) < 1e-9
         assert abs(got.loc[iid, "mean_g"] - px[..., 1].mean()) < 1e-9
         assert got.loc[iid, "w"] == px.shape[1] and got.loc[iid, "h"] == px.shape[0]
+
+
+def test_transcode_fidelity_psnr_invariant(spark):
+    """Lossless sources measure the real quantization PSNR (~43 dB, above the
+    40 dB target-spec floor); already-lossy sources round-trip bit-exactly
+    (idempotent quantization → sse 0, psnr NULL). Spark rows must match a
+    NumPy recomputation per image."""
+    from lmw_tree_spark.operators.pixels import transcode_fidelity
+
+    images = generate_images(spark, 60).persist()
+    rows = {r["image_id"]: r for r in transcode_fidelity(images).collect()}
+    src = {r["image_id"]: r for r in images.collect()}
+    assert len(rows) == 60
+    for iid, r in rows.items():
+        assert r["fidelity_pass"], iid
+        px = codecs.decode_image(bytes(src[iid]["bytes"]), src[iid]["fmt"])
+        rt = codecs.decode_lossy(codecs.encode_lossy(px))
+        sse = float(((px.astype(np.float64) - rt.astype(np.float64)) ** 2).sum())
+        assert r["sse"] == sse and r["npx"] == px.size
+        if src[iid]["fmt"] == "jpeg":
+            assert sse == 0.0 and r["psnr_db"] is None
+        else:
+            assert sse > 0.0 and 40.0 <= r["psnr_db"] <= 50.0
+    assert any(v["fmt"] == "png" for v in src.values())
+    assert any(v["fmt"] == "jpeg" for v in src.values())

@@ -76,3 +76,30 @@ def test_no_python_udf_in_plan(docs):
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_editdist_pairs_candidate_then_verify(spark):
+    """One-word edits clear the 5-gram candidate stage and score high edit_sim;
+    unrelated docs never pair; a boilerplate shingle above the df cap cannot
+    create pairs on its own."""
+    from lmw_tree_spark.operators.dedup import editdist_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    edited = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    boiler = "terms of service apply here"  # shared 5-gram across many docs
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited), (2, "totally different words entirely now here maybe")]
+        + [(10 + i, f"{boiler} unique{i} filler{i} pad{i} x{i} y{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["src"], r["dst"]): r
+        for r in editdist_pairs(docs, min_sim=0.5, ngram=5, max_gram_df=3).collect()
+    }
+    assert (0, 1) in got
+    r = got[(0, 1)]
+    assert r["lev"] == 4  # kappa -> lambda
+    assert abs(r["edit_sim"] - round(1 - 4 / max(len(base), len(edited)), 4)) < 1e-9
+    # doc 2 shares no shingle with anything; boilerplate docs exceed the df cap
+    assert all(s not in (2,) and d not in (2,) for s, d in got)
+    assert not any(s >= 10 or d >= 10 for s, d in got)
