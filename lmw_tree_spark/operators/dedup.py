@@ -445,7 +445,9 @@ def editdist_pairs(
     /root/reference/src/lmw/Distance.h); this follows the MinHash-then-verify
     pattern of web dedup literature (Broder 1997).
     """
-    grams = _word_gram_tokens(df, ngram, text, id_col)
+    # persisted: the exploded grams feed the df aggregate AND both self-join
+    # sides — without it the shingle explode runs three times
+    grams = _word_gram_tokens(df, ngram, text, id_col).persist()
     if max_gram_df is not None:
         keep = (
             grams.groupBy("tok")
