@@ -1599,6 +1599,34 @@ def q_checkpoint_lineage(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level dedup (operators/quality.py:line_dedup): drop
+    lines occurring in >=2 distinct documents, keep the rest in order. Input:
+    multi-line documents composed from captions with stride-250 doc keys, so
+    the generator's planted verbatim caption copies (variant 1 of each dup
+    group) land in DIFFERENT documents and become removable cross-document
+    boilerplate, while one-token-edited variants survive. The oracle replays
+    the whole decision algebra (split → distinct-doc frequency → filter →
+    ordered reassembly) from the exchanged composed docs."""
+    from lmw_tree_spark.operators.quality import line_dedup
+    from lmw_tree_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, _X_N).select(
+        F.substring("image_id", 4, 10).cast("long").alias("idx"), "caption"
+    )
+    docs = imgs.groupBy((F.col("idx") % 250).alias("doc_id")).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "caption"))),
+                lambda s: s["caption"],
+            ),
+        ).alias("text")
+    )
+    _write_exchange("line_dedup", docs=docs.toPandas())
+    return line_dedup(docs, min_doc_freq=2).orderBy("doc_id")
+
+
 def q_editdist_verify(spark, sf_dir):
     """Candidate-then-verify fuzzy dedup: word-5-gram candidates (df-capped)
     verified by full-text Levenshtein similarity (operators/dedup.py:
@@ -2012,6 +2040,7 @@ def _exchange_oracles() -> dict[str, str]:
     fid_src = os.path.join(x, "fidelity", "src.parquet")
     fid_rt = os.path.join(x, "fidelity", "rt.parquet")
     lin_sigs = os.path.join(x, "lineage", "sigs.parquet")
+    ld_docs = os.path.join(x, "line_dedup", "docs.parquet")
     vid_e = os.path.join(x, "video", "frame_edges.parquet")
     vid_n = os.path.join(x, "video", "frame_counts.parquet")
     mh = os.path.join(x, "minhash", "minhash.parquet")
@@ -2330,6 +2359,26 @@ def _exchange_oracles() -> dict[str, str]:
                        JOIN rt r ON r.rt_id = s.image_id
             ORDER BY s.image_id
         """,
+        "line_dedup": f"""
+            WITH docs AS (SELECT * FROM read_parquet('{ld_docs}')),
+            arr AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM docs),
+            parts AS (
+                SELECT doc_id, i::INT AS pos, a[i::INT] AS line
+                FROM arr, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i) r),
+            freq AS (SELECT line, count(DISTINCT doc_id) AS docf
+                     FROM parts GROUP BY line),
+            kept AS (SELECT p.* FROM parts p JOIN freq USING (line)
+                     WHERE docf < 2),
+            agg AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY pos) AS kept_text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_lines FROM parts GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(a.kept_text, '') AS kept_text,
+                   t.n_lines::BIGINT AS n_lines,
+                   (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+            FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+        """,
         "checkpoint_lineage": f"""
             WITH s AS (SELECT * FROM read_parquet('{lin_sigs}')),
             pops AS (SELECT image_id, sum(bit_count(word))::BIGINT AS pop
@@ -2549,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard": q_token_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
         "editdist_verify": q_editdist_verify,
+        "line_dedup": q_line_dedup,
         "simhash32": q_simhash32,
         "minhash_sql": q_minhash_sql,
         "sig_dim_histogram": q_sig_dim_histogram,

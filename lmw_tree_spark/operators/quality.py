@@ -104,3 +104,52 @@ def repetition_stats(
         F.round("mean_tok_len", 4).alias("mean_tok_len"),
         keep.cast("int").alias("keep"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_doc_freq: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level (sentence-level) deduplication: drop every line that occurs
+    in ``min_doc_freq`` or more distinct documents, keep the rest in original
+    order — the CCNet / RefinedWeb boilerplate-removal pass (Wenzek et al.
+    2020 dedup paragraphs by hash across shards; headers/footers/navigation
+    chrome repeat across pages while real content does not).
+
+    Returns (id, kept_text, n_lines, n_removed) with ``kept_text`` the
+    surviving lines re-joined by ``sep`` in their original positions.
+
+    Scale shape: posexplode → line-keyed count-distinct → semi-join back →
+    per-document re-aggregation. Shuffle keys are the line value then the
+    document id; partial aggregation bounds the count-distinct, and a hot
+    (boilerplate) line costs one reduce key, not a pair explosion. At corpus
+    scale the line key would be ``xxhash64(line)`` (64-bit, collision-safe at
+    10^12 lines) to cut shuffle width — kept as the raw string here so the
+    decision algebra stays engine-independent for the oracle.
+    """
+    parts = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text), sep, -1)).alias("pos", "line"),
+    )
+    freq = parts.groupBy("line").agg(F.count_distinct("id").alias("docf"))
+    kept = parts.join(freq.where(F.col("docf") < min_doc_freq).select("line"), "line")
+    agg = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("kept_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = parts.groupBy("id").agg(F.count("*").alias("n_lines"))
+    return totals.join(agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

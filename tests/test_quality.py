@@ -103,3 +103,28 @@ def test_editdist_pairs_candidate_then_verify(spark):
     # doc 2 shares no shingle with anything; boilerplate docs exceed the df cap
     assert all(s not in (2,) and d not in (2,) for s, d in got)
     assert not any(s >= 10 or d >= 10 for s, d in got)
+
+
+def test_line_dedup_removes_cross_doc_lines_keeps_order(spark):
+    from lmw_tree_spark.operators.quality import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "unique a\nshared header\nunique b"),
+            (1, "shared header\nonly here"),
+            (2, "solo one\nsolo two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_doc_freq=2).collect()}
+    assert out[0]["kept_text"] == "unique a\nunique b"
+    assert out[0]["n_lines"] == 3 and out[0]["n_removed"] == 1
+    assert out[1]["kept_text"] == "only here" and out[1]["n_removed"] == 1
+    assert out[2]["kept_text"] == "solo one\nsolo two" and out[2]["n_removed"] == 0
+    # a doc whose every line is boilerplate keeps an empty text, not a dropped row
+    docs2 = spark.createDataFrame(
+        [(0, "x\ny"), (1, "x\ny")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r for r in line_dedup(docs2, min_doc_freq=2).collect()}
+    assert out2[0]["kept_text"] == "" and out2[0]["n_removed"] == 2
+    assert len(out2) == 2
