@@ -1599,6 +1599,36 @@ def q_checkpoint_lineage(spark, sf_dir):
     )
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction pass (functions/text.py:scrub_pii): emails → <EMAIL>,
+    URLs → <URL>, plus removal counts — C4/RefinedWeb-style cleaning. PII is
+    INJECTED deterministically into every third document (the corpus has none),
+    so the oracle composes the identical injected text in SQL and replays the
+    scrub with DuckDB's independent RE2 engine — a Java-regex vs RE2
+    cross-check over the portable pattern subset."""
+    from lmw_tree_spark.functions.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), did,
+                F.lit("@mail.example see https://site"), did,
+                F.lit(".test/page"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return (
+        scrub_pii(injected)
+        .select("doc_id", "scrubbed", "n_emails", "n_urls")
+        .orderBy("doc_id")
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style line-level dedup (operators/quality.py:line_dedup): drop
     lines occurring in >=2 distinct documents, keep the rest in order. Input:
@@ -2599,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "editdist_verify": q_editdist_verify,
         "line_dedup": q_line_dedup,
+        "scrub_pii": q_scrub_pii,
         "simhash32": q_simhash32,
         "minhash_sql": q_minhash_sql,
         "sig_dim_histogram": q_sig_dim_histogram,
@@ -2877,6 +2908,28 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.id = src JOIN sizes sb ON sb.id = dst
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1
             ORDER BY src, dst
+        """,
+        "scrub_pii": """
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN text || ' contact user' || doc_id
+                                 || '@mail.example see https://site' || doc_id
+                                 || '.test/page'
+                            ELSE text END AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       'https?://[^ ]+', '<URL>', 'g') AS scrubbed,
+                   len(regexp_extract_all(text,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))::BIGINT
+                       AS n_emails,
+                   len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT
+                       AS n_urls
+            FROM inj ORDER BY doc_id
         """,
         "editdist_verify": """
             WITH arr AS (

@@ -128,3 +128,23 @@ def test_line_dedup_removes_cross_doc_lines_keeps_order(spark):
     out2 = {r["doc_id"]: r for r in line_dedup(docs2, min_doc_freq=2).collect()}
     assert out2[0]["kept_text"] == "" and out2[0]["n_removed"] == 2
     assert len(out2) == 2
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from lmw_tree_spark.functions.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at jo.doe+x@site.org or see https://a.b/c?d=1 now"),
+            (1, "no pii here at all"),
+            (2, "two mails a@b.co c@d.io and http://plain.url"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[0]["scrubbed"] == "mail me at <EMAIL> or see <URL> now"
+    assert out[0]["n_emails"] == 1 and out[0]["n_urls"] == 1
+    assert out[1]["scrubbed"] == "no pii here at all"
+    assert out[1]["n_emails"] == 0 and out[1]["n_urls"] == 0
+    assert out[2]["scrubbed"] == "two mails <EMAIL> <EMAIL> and <URL>"
+    assert out[2]["n_emails"] == 2 and out[2]["n_urls"] == 1
