@@ -336,6 +336,18 @@ def q_token_count(spark, sf_dir):
     return docs.select("doc_id", token_count_col("text").alias("n_tokens")).orderBy("doc_id")
 
 
+def q_regex_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (functions/text.py:bpe_token_counts):
+    letter runs / digit runs / punctuation marks — the token-budget estimator
+    of a training pipeline. Oracle recounts with DuckDB's RE2."""
+    from lmw_tree_spark.functions.text import bpe_token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_counts(docs).select(
+        "doc_id", "n_words", "n_nums", "n_punct", "n_bpe_tokens"
+    ).orderBy("doc_id")
+
+
 def q_quality_score(spark, sf_dir):
     from lmw_tree_spark.functions.text import alpha_ratio_col, quality_score_col
 
@@ -2630,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editdist_verify": q_editdist_verify,
         "line_dedup": q_line_dedup,
         "scrub_pii": q_scrub_pii,
+        "regex_tokens": q_regex_tokens,
         "simhash32": q_simhash32,
         "minhash_sql": q_minhash_sql,
         "sig_dim_histogram": q_sig_dim_histogram,
@@ -2908,6 +2921,17 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.id = src JOIN sizes sb ON sb.id = dst
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1
             ORDER BY src, dst
+        """,
+        "regex_tokens": """
+            WITH c AS (SELECT doc_id, lower(text) AS t FROM documents),
+            n AS (SELECT doc_id,
+                         len(regexp_extract_all(t, '[a-z]+'))::BIGINT AS n_words,
+                         len(regexp_extract_all(t, '[0-9]+'))::BIGINT AS n_nums,
+                         len(regexp_extract_all(t, '[^a-z0-9 ]'))::BIGINT AS n_punct
+                  FROM c)
+            SELECT doc_id, n_words, n_nums, n_punct,
+                   (n_words + n_nums + n_punct)::BIGINT AS n_bpe_tokens
+            FROM n ORDER BY doc_id
         """,
         "scrub_pii": """
             WITH inj AS (

@@ -134,3 +134,29 @@ def scrub_pii(
             ),
         )
     )
+
+
+# BPE-ish pre-tokenization: the GPT-2-style pre-tokenizer splits words /
+# numbers / punctuation runs before byte-pair merges. The full GPT-2 pattern
+# needs lookahead (unsupported in RE2), so this uses the portable core —
+# letter runs, digit runs, single non-alnum-non-space marks — which gives the
+# same token-budget estimate the pipeline needs for length filtering and
+# cost accounting.
+BPE_WORD_RE = "[a-z]+"
+BPE_NUM_RE = "[0-9]+"
+BPE_PUNCT_RE = "[^a-z0-9 ]"
+
+
+def bpe_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """Add n_words / n_nums / n_punct / n_bpe_tokens columns (lowercased
+    input). Pure JVM regexp_count — map-only, codegen, shuffle-free."""
+    c = F.lower(F.col(text))
+    words = F.regexp_count(c, F.lit(BPE_WORD_RE)).cast("long")
+    nums = F.regexp_count(c, F.lit(BPE_NUM_RE)).cast("long")
+    punct = F.regexp_count(c, F.lit(BPE_PUNCT_RE)).cast("long")
+    return (
+        df.withColumn("n_words", words)
+        .withColumn("n_nums", nums)
+        .withColumn("n_punct", punct)
+        .withColumn("n_bpe_tokens", words + nums + punct)
+    )

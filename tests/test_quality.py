@@ -148,3 +148,16 @@ def test_scrub_pii_masks_and_counts(spark):
     assert out[1]["n_emails"] == 0 and out[1]["n_urls"] == 0
     assert out[2]["scrubbed"] == "two mails <EMAIL> <EMAIL> and <URL>"
     assert out[2]["n_emails"] == 2 and out[2]["n_urls"] == 1
+
+
+def test_bpe_token_counts(spark):
+    from lmw_tree_spark.functions.text import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(0, "Hello, world 42 times!"), (1, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bpe_token_counts(docs).collect()}
+    # hello , world 42 times !  -> 3 words, 1 num, 2 punct
+    assert out[0]["n_words"] == 3 and out[0]["n_nums"] == 1
+    assert out[0]["n_punct"] == 2 and out[0]["n_bpe_tokens"] == 6
+    assert out[1]["n_bpe_tokens"] == 0
