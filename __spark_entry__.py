@@ -1718,6 +1718,28 @@ def _synthetic_audio(spark, n: int = 240) -> DataFrame:
     )
 
 
+def q_dhash_dedup(spark, sf_dir):
+    """dHash perceptual near-dup (operators/pixels.py:dhash_images): the ONLY
+    hash family whose derivation is replayed END-TO-END FROM RAW PIXELS — the
+    oracle recomputes the 8x9 NN downsample, BT.601 luma, gradient-sign bit
+    pack (HUGEINT two's-complement assembly for bit 63), THEN the pigeonhole
+    band buckets and bit_count(xor) verify, all in SQL. Spark's only trusted
+    state is the decode (pinned by codec pytests + the PSNR row)."""
+    from lmw_tree_spark.operators.dedup import simhash_dedup
+    from lmw_tree_spark.operators.pixels import dhash_images
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120).persist()
+    _pixels_exchange(images)
+    dh = dhash_images(images).select(
+        F.substring("image_id", 4, 10).cast("long").alias("doc_id"),
+        F.col("dhash").alias("simhash"),
+    )
+    return simhash_dedup(dh, max_dist=6, pair_cap=100_000, sh=dh).orderBy(
+        "src", "dst"
+    )
+
+
 def q_audio_neardup(spark, sf_dir):
     """Audio near-dup groups via quantized RMS-envelope fingerprints
     (sources/multimodal.py:161). The RAW per-window RMS envelope + global
@@ -2431,6 +2453,52 @@ def _exchange_oracles() -> dict[str, str]:
                    2 AS latest_version, 2 AS n_versions
             FROM sh GROUP BY shard ORDER BY shard
         """,
+        "dhash_dedup": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{px}')),
+            dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
+                     FROM pxt GROUP BY image_id),
+            grid AS (
+                SELECT image_id, oi::INT AS oi, oj::INT AS oj,
+                       least((oi * h) // 8, h - 1)::INT AS sy,
+                       least((oj * w) // 9, w - 1)::INT AS sx
+                FROM dims, range(0, 8) a(oi), range(0, 9) b(oj)),
+            lum AS (
+                SELECT g.image_id, g.oi, g.oj,
+                       0.299*p.r + 0.587*p.g + 0.114*p.b AS yv
+                FROM grid g JOIN pxt p
+                  ON p.image_id = g.image_id AND p.y = g.sy AND p.x = g.sx),
+            bits AS (
+                SELECT l.image_id, (l.oi * 8 + l.oj)::INT AS k,
+                       CASE WHEN r.yv > l.yv THEN 1 ELSE 0 END AS bit
+                FROM lum l JOIN lum r
+                  ON r.image_id = l.image_id AND r.oi = l.oi AND r.oj = l.oj + 1
+                WHERE l.oj < 8),
+            halves AS (
+                SELECT image_id,
+                       sum(CASE WHEN bit = 1 AND k < 32
+                           THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+                       sum(CASE WHEN bit = 1 AND k >= 32
+                           THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+                FROM bits GROUP BY image_id),
+            dh AS (
+                SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS doc_id,
+                       (CASE WHEN hv >= 9223372036854775808::HUGEINT
+                             THEN hv - 18446744073709551616::HUGEINT
+                             ELSE hv END)::BIGINT AS simhash
+                FROM (SELECT image_id,
+                             hi::HUGEINT * 4294967296::HUGEINT + lo::HUGEINT AS hv
+                      FROM halves)),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM dh a, dh b, range(4) r(b_idx)
+                WHERE a.doc_id < b.doc_id
+                  AND ((a.simhash >> (b_idx * 16)) & 65535)
+                    = ((b.simhash >> (b_idx * 16)) & 65535))
+            SELECT src, dst, bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
+            FROM pairs JOIN dh a ON a.doc_id = src JOIN dh b ON b.doc_id = dst
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            ORDER BY src, dst
+        """,
         "audio_neardup": f"""
             WITH env AS (SELECT * FROM read_parquet('{au_env}')),
             meta AS (SELECT * FROM read_parquet('{au_meta}')),
@@ -2685,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": q_image_stats,
         "resize_images": q_resize_images,
         "psnr_fidelity": q_psnr_fidelity,
+        "dhash_dedup": q_dhash_dedup,
         "checkpoint_lineage": q_checkpoint_lineage,
         "audio_neardup": q_audio_neardup,
         "suffix_lcs": q_suffix_lcs,

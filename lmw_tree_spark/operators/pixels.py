@@ -143,3 +143,34 @@ def transcode_fidelity(images: DataFrame, min_psnr_db: float = 40.0) -> DataFram
             )
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, FIDELITY_SCHEMA)
+
+DHASH_SCHEMA = "image_id string, dhash bigint"
+
+
+def dhash_images(images: DataFrame) -> DataFrame:
+    """Difference-hash (dHash) perceptual signature: decode → BT.601 luma →
+    8x9 nearest-neighbor downsample → horizontal gradient sign → 64-bit hash
+    (bit ``i*8+j`` set iff ``small[i][j+1] > small[i][j]``).
+
+    The classic cheap perceptual hash (Krawetz's dHash): gradient DIRECTION
+    survives brightness/contrast shifts and small noise, so near-identical
+    renders collide while distinct images don't. Pure map stage; every step
+    (NN index map, luma weights, strict > comparison, bit packing) is integer/
+    IEEE-deterministic, so an oracle can re-derive the hash from raw pixels.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(64, dtype=np.uint64).reshape(8, 8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(bytes(r.bytes), r.fmt)
+                small = codecs.resize_nn(codecs.luma(px), 8, 9)
+                bits = (small[:, 1:] > small[:, :-1]).astype(np.uint64)
+                h64 = np.uint64((bits << k).sum(dtype=np.uint64))
+                rows.append((r.image_id, int(np.int64(h64))))
+            yield pd.DataFrame(rows, columns=["image_id", "dhash"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, DHASH_SCHEMA)

@@ -81,3 +81,38 @@ def test_transcode_fidelity_psnr_invariant(spark):
             assert sse > 0.0 and 40.0 <= r["psnr_db"] <= 50.0
     assert any(v["fmt"] == "png" for v in src.values())
     assert any(v["fmt"] == "jpeg" for v in src.values())
+
+
+def test_dhash_matches_numpy_and_separates_groups(spark):
+    """dHash equals a direct NumPy recompute per image; planted ±1-noise
+    copies (variant 1) stay within a small Hamming radius of their base while
+    unrelated bases differ widely."""
+    from lmw_tree_spark.operators.pixels import dhash_images
+    from lmw_tree_spark.sources.images import base_index
+
+    images = generate_images(spark, 60).persist()
+    got = {r["image_id"]: r["dhash"] for r in dhash_images(images).collect()}
+    src = {r["image_id"]: r for r in images.collect()}
+    k = np.arange(64, dtype=np.uint64).reshape(8, 8)
+    for iid, r in src.items():
+        px = codecs.decode_image(bytes(r["bytes"]), r["fmt"])
+        small = codecs.resize_nn(codecs.luma(px), 8, 9)
+        bits = (small[:, 1:] > small[:, :-1]).astype(np.uint64)
+        want = int(np.int64(np.uint64((bits << k).sum(dtype=np.uint64))))
+        assert got[iid] == want, iid
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    ids = sorted(src)
+    near, far = [], []
+    for iid in ids:
+        i = int(iid[3:])
+        b = base_index(i)
+        if i != b and i - b == 1:  # noise variant vs its base
+            near.append(ham(got[iid], got[f"img{b:010d}"]))
+    bases = [got[i] for i in ids if int(i[3:]) == base_index(int(i[3:]))]
+    for x in range(0, len(bases) - 1, 2):
+        far.append(ham(bases[x], bases[x + 1]))
+    assert near and max(near) <= 10
+    assert far and min(far) >= 12
