@@ -1856,6 +1856,42 @@ def q_tar_shard_images(spark, sf_dir):
     )
 
 
+def q_tar_export_roundtrip(spark, sf_dir):
+    """Shard EXPORT closed loop (sources/archives.py:write_tar_shards): the
+    corpus is written to 16 webdataset TAR shards by the distributed writer
+    (md5-char routing, atomic per-shard rename), read back through the TAR
+    source, and compared member-for-member: byte digests, fmt mapping, caption
+    payloads, and shard routing must all survive the round trip. The oracle
+    holds the pre-export manifest and recomputes the expected shard file per
+    row from the same md5 algebra."""
+    import tempfile
+
+    from lmw_tree_spark.sources.archives import (
+        read_tar_shards,
+        tar_samples_to_images,
+        write_tar_shards,
+    )
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120).persist()
+    src = images.select(
+        "image_id", "fmt", F.md5("bytes").alias("digest"), "caption",
+        F.substring(F.md5("image_id"), 1, 1).alias("shard"),
+    )
+    _write_exchange("tar_export", src=src.toPandas())
+    out_dir = tempfile.mkdtemp(prefix="tar_export_")
+    man = write_tar_shards(images, out_dir).collect()
+    assert sum(r["n_samples"] for r in man) == 120
+    rt = tar_samples_to_images(read_tar_shards(spark, out_dir))
+    return rt.select(
+        F.element_at(F.split("image_id", "/"), -1).alias("image_id"),
+        F.element_at(F.split("image_id", "/"), 1).alias("shard_file"),
+        "fmt",
+        F.md5("bytes").alias("digest"),
+        "caption",
+    ).orderBy("image_id")
+
+
 def q_warc_records(spark, sf_dir):
     """WARC record source (reference CompressedWARCReader.h:27-81): version
     line, tolerant key:value headers (a malformed colon-less line is planted in
@@ -2105,6 +2141,7 @@ def _exchange_oracles() -> dict[str, str]:
     fid_rt = os.path.join(x, "fidelity", "rt.parquet")
     lin_sigs = os.path.join(x, "lineage", "sigs.parquet")
     ld_docs = os.path.join(x, "line_dedup", "docs.parquet")
+    tex_src = os.path.join(x, "tar_export", "src.parquet")
     vid_e = os.path.join(x, "video", "frame_edges.parquet")
     vid_n = os.path.join(x, "video", "frame_counts.parquet")
     mh = os.path.join(x, "minhash", "minhash.parquet")
@@ -2544,6 +2581,11 @@ def _exchange_oracles() -> dict[str, str]:
                 GROUP BY src, dst)
             SELECT * FROM lcs ORDER BY src, dst
         """,
+        "tar_export_roundtrip": f"""
+            SELECT image_id, 'shard-' || shard || '.tar' AS shard_file,
+                   fmt, digest, caption
+            FROM read_parquet('{tex_src}') ORDER BY image_id
+        """,
         "tar_shard_images": f"""
             SELECT image_id, fmt, n_bytes::INT AS n_bytes, caption
             FROM read_parquet('{tar_man}') ORDER BY image_id
@@ -2758,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "suffix_lcs": q_suffix_lcs,
         "tar_shard_images": q_tar_shard_images,
+        "tar_export_roundtrip": q_tar_export_roundtrip,
         "warc_records": q_warc_records,
         "video_neardup": q_video_neardup,
         "stream_dedup": q_stream_dedup,

@@ -30,11 +30,13 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 import tarfile
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TAR_SAMPLE_SCHEMA = (
     "shard string, sample_id string, files map<string,binary>"
@@ -180,3 +182,67 @@ def tar_samples_to_images(samples: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("phash"),
         )
     )
+
+
+TAR_MANIFEST_SCHEMA = (
+    "shard_file string, n_samples long, n_members long, data_bytes long"
+)
+
+
+def write_tar_shards(
+    images: DataFrame, out_dir: str, id_col: str = "image_id"
+) -> DataFrame:
+    """WebDataset-style shard EXPORT — the inverse of :func:`read_tar_shards`.
+
+    Each input row (input_hint schema) becomes two members ``<id>.<fmt>`` +
+    ``<id>.txt`` in its shard; rows route to one of 16 shards by the first hex
+    character of ``md5(id)`` (deterministic across partitioning, retries and
+    cluster size — the same guarantee as operators/sampling.py), members are
+    written in sorted id order with zeroed metadata so shard bytes are
+    reproducible, and each TAR lands via write-to-temp + atomic rename (safe
+    under speculative execution: replays produce identical bytes and the
+    rename is idempotent). Returns the writer manifest, one row per shard.
+
+    Scale shape: one groupBy shuffle keyed by the 16 shard ids (production
+    would use ``substr(md5, 1, 3)`` → 4096 shards; the key-space constant is
+    the only knob), then pure per-group streaming writes — no driver data.
+    """
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = str(pdf["shard"].iloc[0])
+        name = f"shard-{shard}.tar"
+        pdf = pdf.sort_values(id_col)
+        buf = io.BytesIO()
+        data_bytes = 0
+        with tarfile.open(fileobj=buf, mode="w:") as tf:
+            for r in pdf.itertuples():
+                rid = getattr(r, id_col)
+                payloads = (
+                    (r.fmt, bytes(r.bytes)),
+                    ("txt", str(r.caption).encode("utf-8")),
+                )
+                for ext, payload in payloads:
+                    info = tarfile.TarInfo(f"{rid}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(payload))
+                    data_bytes += len(payload)
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pd.DataFrame(
+            {
+                "shard_file": [name],
+                "n_samples": [len(pdf)],
+                "n_members": [2 * len(pdf)],
+                "data_bytes": [data_bytes],
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    assigned = images.select(
+        F.col(id_col), "bytes", "fmt", "caption",
+        F.substring(F.md5(id_col), 1, 1).alias("shard"),
+    )
+    return assigned.groupBy("shard").applyInPandas(write_shard, TAR_MANIFEST_SCHEMA)

@@ -101,3 +101,44 @@ def test_tar_to_pipeline_signatures(spark, tmpdir_ck):
     # derived from pixels, not placeholder: distinct phashes, real dimensions
     assert sigs["phash"].nunique() == 4
     assert (sigs["w"] == 8).all() and (sigs["h"] == 8).all()
+
+
+def test_write_tar_shards_roundtrip_and_atomic_layout(spark, tmp_path):
+    """Writer → reader closed loop: byte-identical payloads, caption members,
+    deterministic md5-char shard routing, no leftover temp files, and
+    re-export produces byte-identical shard files (deterministic bytes)."""
+    import hashlib
+    import os
+
+    from lmw_tree_spark.sources.archives import (
+        read_tar_shards,
+        tar_samples_to_images,
+        write_tar_shards,
+    )
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 40).persist()
+    out = str(tmp_path / "shards")
+    man = {r["shard_file"]: r for r in write_tar_shards(images, out).collect()}
+    assert sum(r["n_samples"] for r in man.values()) == 40
+    assert all(r["n_members"] == 2 * r["n_samples"] for r in man.values())
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+    rt = tar_samples_to_images(read_tar_shards(spark, out)).collect()
+    src = {r["image_id"]: r for r in images.collect()}
+    assert len(rt) == 40
+    for r in rt:
+        shard_file, _, stem = r["image_id"].partition("/")
+        s = src[stem]
+        assert bytes(r["bytes"]) == bytes(s["bytes"])
+        assert r["caption"] == s["caption"]
+        c = hashlib.md5(stem.encode()).hexdigest()[0]
+        assert shard_file == f"shard-{c}.tar"
+
+    digests = {f: hashlib.md5(open(os.path.join(out, f), "rb").read()).hexdigest()
+               for f in os.listdir(out)}
+    out2 = str(tmp_path / "shards2")
+    write_tar_shards(images, out2).collect()
+    digests2 = {f: hashlib.md5(open(os.path.join(out2, f), "rb").read()).hexdigest()
+                for f in os.listdir(out2)}
+    assert digests == digests2
