@@ -227,3 +227,49 @@ def test_multimodal_feature_stages_are_pure_maps(spark):
     ):
         plan = simple_plan(df)
         assert "Exchange" not in plan, plan
+
+
+def test_new_text_ops_are_pure_maps(spark):
+    """scrub_pii and bpe_token_counts compile to zero-Exchange map plans, and
+    transcode_fidelity / dhash_images are single mapInPandas stages."""
+    from lmw_tree_spark.functions.text import bpe_token_counts, scrub_pii
+    from lmw_tree_spark.operators.pixels import dhash_images, transcode_fidelity
+    from lmw_tree_spark.sources.images import generate_images
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (scrub_pii(docs), bpe_token_counts(docs)):
+        plan = simple_plan(df)
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+    images = generate_images(spark, 8)
+    for df in (transcode_fidelity(images), dhash_images(images)):
+        plan = simple_plan(df)
+        assert "Exchange" not in plan, plan
+
+
+def test_editdist_and_line_dedup_have_no_nested_loop_joins(spark):
+    """The candidate/verify and line-frequency joins must all be equi-joins —
+    never CartesianProduct / BroadcastNestedLoopJoin at any scale."""
+    from lmw_tree_spark.operators.dedup import editdist_pairs
+    from lmw_tree_spark.operators.quality import line_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (
+        editdist_pairs(docs, min_sim=0.4, ngram=5, max_gram_df=200),
+        line_dedup(docs.selectExpr("doc_id", "replace(text, '. ', chr(10)) AS text")),
+    ):
+        plan = simple_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tar_writer_is_single_shuffle(spark):
+    """The shard writer's whole plan is one hash Exchange on the 16-way shard
+    key followed by the grouped write — no joins, no second shuffle."""
+    from lmw_tree_spark.sources.archives import write_tar_shards
+    from lmw_tree_spark.sources.images import generate_images
+
+    df = write_tar_shards(generate_images(spark, 8), "/tmp/plan_probe_shards")
+    plan = simple_plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
