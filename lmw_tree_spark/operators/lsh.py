@@ -311,9 +311,21 @@ def verify_edges(edges: DataFrame, sigs: DataFrame, cfg: PipelineConfig) -> Data
         hamming64_col("a_sh", "b_sh").alias("simhash_dist"),
         minhash_agreement_col().alias("caption_sim"),
     )
-    return scored.withColumn(
-        "is_dup",
-        (F.col("phash_dist") <= cfg.phash_max_dist)
-        | (F.col("simhash_dist") <= cfg.simhash_max_dist)
-        | (F.col("caption_sim") >= cfg.minhash_min_jaccard),
+    votes = (
+        (F.col("phash_dist") <= cfg.phash_max_dist).cast("int")
+        + (F.col("simhash_dist") <= cfg.simhash_max_dist).cast("int")
+        + (F.col("caption_sim") >= cfg.minhash_min_jaccard).cast("int")
     )
+    if cfg.verify_votes <= 1:
+        # legacy any-single-vote rule
+        is_dup = votes >= 1
+    else:
+        # corroboration rule — see the config.py threshold block for the
+        # measured precision/recall trade at 100k images
+        is_dup = (
+            (votes >= cfg.verify_votes)
+            | (F.col("phash_dist") <= cfg.strong_image_dist)
+            | (F.col("simhash_dist") <= cfg.strong_image_dist)
+            | (F.col("caption_sim") >= cfg.caption_alone_min)
+        )
+    return scored.withColumn("is_dup", is_dup)

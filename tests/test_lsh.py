@@ -141,3 +141,50 @@ def test_minhash_agreement_col_matches_numpy(spark):
     got = df.select(lsh.minhash_agreement_col().alias("s")).collect()
     exp = (a == b).mean(axis=1)
     assert np.allclose([r["s"] for r in got], exp)
+
+
+def test_verify_corroboration_rule_semantics(spark):
+    """The corroborated is_dup rule: a lone image-hash vote at radius 5-6 is
+    rejected (the accidental-collision band), but corroborated pairs, strong
+    single image hashes, and caption-alone evidence pass; verify_votes=1
+    restores the legacy any-vote rule."""
+    from dataclasses import replace
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.lsh import verify_edges
+
+    # hand-built signatures: phash/simhash int64, minhash prefix arrays
+    base_mh = list(np.arange(32, dtype=np.int64))
+    other_mh = list(np.arange(100, 132, dtype=np.int64))
+    mixed_mh = base_mh[:20] + other_mh[:12]  # 20/32 agreement = 0.625
+    rows = [
+        # a<->b: simhash dist 6 only (phash far, captions disjoint) -> reject
+        ("a", 0, 0, base_mh), ("b", (1 << 40) - 1, 63, other_mh),
+        # c<->d: simhash dist 6 AND phash dist 1 -> 2 votes -> accept
+        ("c", 0, 0, base_mh), ("d", 1, 63, other_mh),
+        # e<->f: phash dist 3 only -> strong single image hash -> accept
+        ("e", 0, 0, base_mh), ("f", 7, (1 << 20) - 1, other_mh),
+        # g<->h: caption 0.625 alone (hashes far) -> caption_alone_min -> accept
+        ("g", 0, 0, base_mh), ("h", (1 << 40) - 1, (1 << 20) - 1, mixed_mh),
+    ]
+    sigs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "phash", "simhash", "minhash"]),
+        "image_id string, phash long, simhash long, minhash array<long>",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")], "src string, dst string"
+    )
+    got = {
+        (r["src"], r["dst"]): r["is_dup"]
+        for r in verify_edges(edges, sigs, SMALL).collect()
+    }
+    assert got == {("a", "b"): False, ("c", "d"): True,
+                   ("e", "f"): True, ("g", "h"): True}
+    legacy = replace(SMALL, verify_votes=1)
+    got1 = {
+        (r["src"], r["dst"]): r["is_dup"]
+        for r in verify_edges(edges, sigs, legacy).collect()
+    }
+    assert got1[("a", "b")] is True  # any single vote sufficed before
