@@ -681,6 +681,56 @@ def q_vocab_stats(spark, sf_dir):
     )
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min-Sketch heavy hitters (operators/sketches.py): token frequency
+    estimation in a FIXED d x w counter grid — the sub-linear-memory
+    substitute for the reference's exact dimension/cluster histograms
+    (GeneralExperiments.h:157-201, NodeVisitor.h:19-72) at 10^12 rows. The
+    oracle rebuilds the identical sketch (same md5-hex buckets) and replays
+    the min-over-rows estimates in SQL."""
+    from lmw_tree_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    sketch = cms_build(occ, "token", depth=4, chars=3)
+    est = cms_estimate(occ.distinct(), sketch, "token", depth=4, chars=3)
+    return (
+        est.where(F.col("est_count") >= 500)
+        .orderBy(F.desc("est_count"), F.asc("token"))
+    )
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter shard-vs-corpus membership (operators/sketches.py): build
+    a k=4-hash filter over the corpus texts (every source but src19),
+    probe the incoming shard (src19). No false negatives; probes flagged
+    maybe_member without shuffling the corpus — the broadcast fast path of
+    incremental dedup. Oracle derives the same position set and replays the
+    all-k-positions-present test."""
+    from lmw_tree_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents").withColumn("key", F.lower(F.col("text")))
+    corpus = docs.where(F.col("source") != "src19")
+    shard = docs.where(F.col("source") == "src19")
+    bloom = bloom_build(corpus, "key", k=4, chars=3)
+    return (
+        bloom_probe(shard, bloom, "key", "doc_id", k=4, chars=3)
+        .select("doc_id", F.col("maybe_member").cast("int").alias("maybe_member"))
+        .orderBy("doc_id")
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 relevance top-k (functions/text.py:bm25_topk): corpus triage by
+    term relevance — one explode + two bounded hash aggregations, document
+    frequencies broadcast back; no self-join or corpus-wide window. Oracle
+    recomputes tf/df/avgdl and the Okapi formula in SQL."""
+    from lmw_tree_spark.functions.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "customer"], topk=15)
+
+
 def q_suffix_pairs(spark, sf_dir):
     """Substring-pair detection: doc pairs sharing a common substring of length
     ≥ 20 in lowercased text, via the exact L-gram identity (share-substring(≥L)
@@ -2753,6 +2803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "scrub_pii": q_scrub_pii,
         "regex_tokens": q_regex_tokens,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_membership": q_bloom_membership,
+        "bm25_topk": q_bm25_topk,
         "simhash32": q_simhash32,
         "minhash_sql": q_minhash_sql,
         "sig_dim_histogram": q_sig_dim_histogram,
@@ -3212,6 +3265,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
                                                eb.embedding::DOUBLE[]), 4) >= 0.4
             ORDER BY src, dst
+        """,
+        "cms_heavy_hitters": """
+            WITH occ AS (
+                SELECT tok FROM documents,
+                     unnest(string_split(lower(text), ' ')) AS u(tok)),
+            hrows AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            sk AS (
+                SELECT r, substr(md5(r::VARCHAR || ':' || tok), 1, 3) AS bucket,
+                       count(*)::BIGINT AS cnt
+                FROM occ, hrows GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT tok FROM occ),
+            probes AS (
+                SELECT c.tok, h.r,
+                       substr(md5(h.r::VARCHAR || ':' || c.tok), 1, 3) AS bucket
+                FROM cand c, hrows h),
+            est AS (
+                SELECT tok, min(coalesce(cnt, 0))::BIGINT AS est_count
+                FROM probes p LEFT JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
+                GROUP BY tok)
+            SELECT tok AS token, est_count FROM est
+            WHERE est_count >= 500 ORDER BY est_count DESC, token ASC
+        """,
+        "bloom_membership": """
+            WITH hks AS (SELECT unnest([0, 1, 2, 3]) AS hk),
+            bloom AS (
+                SELECT DISTINCT substr(md5(hk::VARCHAR || ':' || lower(text)), 1, 3) AS pos
+                FROM documents, hks WHERE source != 'src19'),
+            probe AS (
+                SELECT doc_id, substr(md5(hk::VARCHAR || ':' || lower(text)), 1, 3) AS pos
+                FROM documents, hks WHERE source = 'src19')
+            SELECT p.doc_id,
+                   (count(b.pos) = 4)::INT AS maybe_member
+            FROM probe p LEFT JOIN bloom b USING (pos)
+            GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "bm25_topk": """
+            WITH docs AS (
+                SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS dl,
+                       lower(text) AS t FROM documents),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM docs),
+            tf AS (
+                SELECT doc_id, dl, tok AS token, count(*)::BIGINT AS tf
+                FROM docs, unnest(string_split(t, ' ')) AS u(tok)
+                WHERE tok IN ('spark', 'join', 'customer')
+                GROUP BY 1, 2, 3),
+            dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+            SELECT doc_id, round(sum(
+                ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                * (tf.tf * (1.2 + 1)) /
+                  (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+            ), 4) AS bm25
+            FROM tf JOIN dfreq d USING (token), stats s
+            GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 15
         """,
         "vocab_stats": """
             WITH toks AS (

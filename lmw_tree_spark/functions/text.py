@@ -160,3 +160,53 @@ def bpe_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("n_punct", punct)
         .withColumn("n_bpe_tokens", words + nums + punct)
     )
+
+
+# BM25 relevance scoring (Robertson & Spärck Jones; the Okapi BM25 form).
+# The retrieval-side companion of the dedup pipeline: score every document
+# against a term set for corpus triage / query-based subset extraction
+# (e.g. "pull the k most on-topic docs per domain before training").
+# Plan shape at 100 TB: one explode + two hash aggregations whose key spaces
+# are (doc_id x |terms|) and |terms|; the per-term document frequencies and
+# the global avgdl are tiny and broadcast back — no self-join, no window
+# over the corpus.
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    topk: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs by BM25 over ``terms``. Deterministic ties (score desc,
+    id asc); idf = ln(1 + (N - df + .5)/(df + .5)) — the standard
+    Lucene-style floor-free positive form.
+    """
+    toks = df.select(
+        id_col, token_count_col(text).alias("dl"),
+        F.explode(tokens_col(text)).alias("token"),
+    ).where(F.col("token").isin(terms))
+    tf = toks.groupBy(id_col, "dl", "token").agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    avgdl = df.select(F.avg(token_count_col(text))).first()[0]
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = tf.join(F.broadcast(dfreq), "token").select(
+        id_col,
+        (
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / float(avgdl)))
+        ).alias("s"),
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(F.round(F.sum("s"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(topk)
+    )

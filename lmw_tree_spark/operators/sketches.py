@@ -1,0 +1,152 @@
+"""Bounded-memory frequency / membership sketches — the 100-TB statistics layer.
+
+At target scale an exact token-frequency table or a corpus-membership
+semi-join is itself a massive shuffle. The classic fixes are sketches with a
+FIXED memory footprint independent of corpus size:
+
+* **Count-Min Sketch** (Cormode & Muthukrishnan 2005): a ``d x w`` counter
+  grid; each item increments one counter per row; an estimate is the min over
+  rows (a guaranteed over-estimate). Heavy hitters fall out by thresholding.
+* **Bloom filter** (Bloom 1970): ``k`` hash positions per key in an ``m``-bit
+  array; a probe is "maybe member" iff all ``k`` bits are set (no false
+  negatives). The standard fast path for incremental shard-vs-corpus dedup:
+  broadcast the corpus filter, drop definite non-members without shuffling
+  the corpus.
+
+Spark shapes (both pure DataFrame algebra — no UDFs, no driver state):
+
+* CMS build = ``explode(tokens) x explode(d seeds) -> groupBy(row, bucket)``.
+  The groupBy key space is exactly ``d*w`` so map-side partial aggregation
+  bounds every task's hash table at the sketch size — the shuffle moves
+  O(partitions * d * w) rows regardless of corpus size. Estimation joins the
+  (tiny, broadcast) sketch back to candidate items.
+* Bloom build = ``k`` md5 positions per key -> ``distinct`` over at most
+  ``m`` position strings (same map-side-combine bound). Probe = broadcast
+  join positions -> a row is "maybe" iff all ``k`` matched. This is the
+  dataflow equivalent of broadcasting the bit array (which Spark's own
+  ``DataFrameStatFunctions.bloomFilter`` builds driver-side and is neither
+  inspectable nor SQL-replayable).
+
+Hash parity contract (shared with operators/sampling.py): bucket / bit
+positions are the first ``c`` hex chars of ``md5(seed ':' item)`` — a string
+key both Spark and DuckDB reproduce bit-for-bit, so every decision here is
+hash-checkable by an independent engine with no float or RNG anywhere.
+
+Reference tie-in: the reference computes exact dimension histograms over all
+signatures (GeneralExperiments.h:157-201) and exact cluster-size histograms
+(NodeVisitor.h:19-72); these sketches are the sub-linear-memory versions of
+those statistics at 10^12 rows (SURVEY.md §2.5 notes approx sketches as the
+scale substitute for the reference's exact counters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bucket_col(seed, item, chars: int):
+    """First ``chars`` hex digits of md5(seed ':' item) — the shared
+    Spark/DuckDB bucket key. ``16**chars`` buckets."""
+    return F.substring(F.md5(F.concat_ws(":", seed.cast("string"), item)), 1, chars)
+
+
+def _bucket_sql(seed_expr: str, item_expr: str, chars: int) -> str:
+    """The identical DuckDB expression (oracle parity helper)."""
+    return f"substr(md5(({seed_expr})::VARCHAR || ':' || ({item_expr})), 1, {chars})"
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    items: DataFrame, item_col: str = "token", depth: int = 4, chars: int = 3
+) -> DataFrame:
+    """Build a ``depth x 16**chars`` Count-Min sketch over an item stream.
+
+    ``items`` is one row per occurrence (pre-exploded). Returns
+    ``(row, bucket, cnt)`` — at most ``depth * 16**chars`` rows however large
+    the input: the groupBy's key space IS the sketch, so map-side combine
+    caps both executor memory and shuffle volume at the sketch size.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    return (
+        items.select(F.col(item_col).alias("item"), seeds)
+        .select("row", _bucket_col(F.col("row"), F.col("item"), chars).alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    item_col: str = "token",
+    depth: int = 4,
+    chars: int = 3,
+) -> DataFrame:
+    """Point-estimate each candidate's frequency: min over the sketch's rows.
+
+    The sketch is broadcast (≤ d*w rows by construction); absent buckets
+    count 0 (can only happen for items never inserted). Adds ``est_count``.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    probes = candidates.select(F.col(item_col).alias("item"), seeds).select(
+        "item", "row", _bucket_col(F.col("row"), F.col("item"), chars).alias("bucket")
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        joined.groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+        .withColumnRenamed("item", item_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, k: int = 4, chars: int = 3
+) -> DataFrame:
+    """Occupied-position set of a ``16**chars``-slot, ``k``-hash Bloom filter.
+
+    Returns a single-column ``(pos)`` DataFrame of ≤ ``16**chars`` distinct
+    position strings — the inspectable, joinable form of the bit array.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("hk")
+    return (
+        keys.select(F.col(key_col).alias("key"), seeds)
+        .select(_bucket_col(F.col("hk"), F.col("key"), chars).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int = 4,
+    chars: int = 3,
+) -> DataFrame:
+    """Flag each probe row ``maybe_member`` iff all ``k`` positions are set.
+
+    Grouped by ``id_col`` (each probe row explodes to exactly ``k`` position
+    rows, so the membership test is ``matched == k`` even when several probe
+    rows share a key or two hashes of one key collide on a position).
+    ``bloom`` is broadcast; no false negatives by construction, false
+    positives at the textbook ``(1 - e^{-kn/m})^k`` rate. Pure map +
+    broadcast-join + groupBy(id): the probe payload never shuffles.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("hk")
+    hits = (
+        probes.select(id_col, F.col(key_col).alias("key"), seeds)
+        .select(id_col, _bucket_col(F.col("hk"), F.col("key"), chars).alias("pos"))
+        .join(F.broadcast(bloom.withColumn("set", F.lit(1))), "pos", "left")
+        .groupBy(id_col)
+        .agg((F.count("set") == F.lit(k)).alias("maybe_member"))
+    )
+    return probes.join(hits, id_col, "left")

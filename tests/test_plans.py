@@ -273,3 +273,22 @@ def test_tar_writer_is_single_shuffle(spark):
     plan = simple_plan(df)
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_sketch_ops_are_bounded_aggs_with_broadcast_probes(spark):
+    """CMS build's groupBy key space IS the sketch (d x w) and the estimate /
+    bloom probe joins broadcast the sketch side — no sort-merge join, no
+    nested loop, no Python in any plan. The corpus side of a bloom build
+    never shuffles more than the position strings."""
+    import __spark_entry__ as entry
+
+    for q in (entry.q_cms_heavy_hitters, entry.q_bloom_membership,
+              entry.q_bm25_topk):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the sketch/bloom join side is broadcast, not sort-merge
+    for q in (entry.q_cms_heavy_hitters, entry.q_bloom_membership):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan

@@ -1,0 +1,119 @@
+"""Sketch operators (operators/sketches.py): Count-Min estimates are exact
+over-estimates (never under), Bloom filters have no false negatives, BM25
+ranks an obviously on-topic document first. All invariants are checked
+against exact Python recomputations."""
+
+import collections
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmw_tree_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe,
+    cms_build,
+    cms_estimate,
+)
+
+WORDS = ["join", "scan", "hash", "sort", "merge", "filter", "agg", "limit"]
+
+
+@pytest.fixture(scope="module")
+def token_rows(spark):
+    # Zipf-ish stream: word i appears (i+1)**2 times -> known exact counts.
+    rows = [(w,) for i, w in enumerate(WORDS) for _ in range((i + 1) ** 2)]
+    return spark.createDataFrame(rows, "token string")
+
+
+def _py_bucket(seed: int, item: str, chars: int) -> str:
+    return hashlib.md5(f"{seed}:{item}".encode()).hexdigest()[:chars]
+
+
+def test_cms_matches_python_replay_and_overestimates(spark, token_rows):
+    depth, chars = 4, 2  # 256 buckets -> collisions guaranteed across 8 words? maybe
+    sketch = cms_build(token_rows, depth=depth, chars=chars)
+    got = {
+        r["token"]: r["est_count"]
+        for r in cms_estimate(
+            token_rows.distinct(), sketch, depth=depth, chars=chars
+        ).collect()
+    }
+    exact = collections.Counter(
+        w for i, w in enumerate(WORDS) for _ in range((i + 1) ** 2)
+    )
+    # Python replay of the identical sketch.
+    grid = collections.Counter()
+    for w, c in exact.items():
+        for r in range(depth):
+            grid[(r, _py_bucket(r, w, chars))] += c
+    for w in WORDS:
+        est = min(grid[(r, _py_bucket(r, w, chars))] for r in range(depth))
+        assert got[w] == est, w
+        assert got[w] >= exact[w], "CMS must never under-estimate"
+
+
+def test_cms_sketch_size_is_bounded(spark, token_rows):
+    sketch = cms_build(token_rows, depth=4, chars=1)  # 4 x 16 grid
+    assert sketch.count() <= 64
+    # total mass per row == stream length (counter conservation)
+    per_row = {r["row"]: r["s"] for r in
+               sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
+    n = token_rows.count()
+    assert all(v == n for v in per_row.values())
+
+
+def test_bloom_no_false_negatives_and_python_parity(spark):
+    corpus = spark.createDataFrame(
+        [(f"doc {i} text",) for i in range(50)], "key string"
+    )
+    probes = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(0, 100, 5)], "id long, key string"
+    )
+    bloom = bloom_build(corpus, "key", k=4, chars=3)
+    got = {
+        r["id"]: r["maybe_member"]
+        for r in bloom_probe(probes, bloom, "key", "id", k=4, chars=3).collect()
+    }
+    # every true member flagged (no false negatives)
+    for i in range(0, 50, 5):
+        assert got[i] is True
+    # Python replay: same position set, same all-k test
+    positions = {
+        _py_bucket(hk, f"doc {i} text", 3) for i in range(50) for hk in range(4)
+    }
+    for i in range(0, 100, 5):
+        expect = all(_py_bucket(hk, f"doc {i} text", 3) in positions for hk in range(4))
+        assert got[i] == expect, i
+
+
+def test_bloom_duplicate_probe_keys(spark):
+    """Two probe rows sharing one key must each get the correct flag
+    (regression: grouping by key instead of row id broke the ==k test)."""
+    corpus = spark.createDataFrame([("present",)], "key string")
+    probes = spark.createDataFrame(
+        [(1, "present"), (2, "present"), (3, "absent-xyzzy")], "id long, key string"
+    )
+    bloom = bloom_build(corpus, "key")
+    got = {r["id"]: r["maybe_member"] for r in
+           bloom_probe(probes, bloom, "key", "id").collect()}
+    assert got[1] is True and got[2] is True
+    assert got[3] is False  # 4 independent md5 positions vs 4 set bits
+
+
+def test_bm25_ranks_on_topic_doc_first(spark):
+    from lmw_tree_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark filter scan sort merge agg limit window"),
+            (3, "filter scan sort merge"),
+            (4, "join join spark spark"),
+        ],
+        "doc_id long, text string",
+    )
+    top = bm25_topk(docs, ["spark", "join"], topk=4).collect()
+    # doc4 hits both terms twice in a short doc; doc3 matches nothing -> absent
+    assert [r["doc_id"] for r in top] == [4, 1, 2]
+    assert all(top[i]["bm25"] >= top[i + 1]["bm25"] for i in range(len(top) - 1))
