@@ -1555,6 +1555,50 @@ def q_resize_images(spark, sf_dir):
     return _round_stats(image_stats(resize_images(images, 16, 24)))
 
 
+def q_image_patches(spark, sf_dir):
+    """ViT-style patch extraction (operators/pixels.py:patch_extract): tile
+    each image into non-overlapping 16x16 patches, one fixed-width row per
+    patch with grid position, pixel count, and per-channel means. The oracle
+    replays the whole tiling algebra from the materialized decoded pixels:
+    GROUP BY (image_id, y // 16, x // 16)."""
+    from lmw_tree_spark.operators.pixels import patch_extract
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120).persist()
+    _pixels_exchange(images)
+    return patch_extract(images, patch=16).select(
+        "image_id", "py", "px", "n_px",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    ).orderBy("image_id", "py", "px")
+
+
+def q_corrupt_filter(spark, sf_dir):
+    """Corrupt-sample quarantine (operators/pixels.py:validate_images): plant
+    deterministic corruption (md5(image_id:corrupt) starting '0' → payload
+    truncated to 3 bytes, all inside JVM expressions), then validate every row
+    by header magic vs declared fmt, minimum header length, and dim sanity —
+    zero Python, runs inside the scan's codegen stage. The oracle re-derives
+    the corrupted set from the same md5 predicate and replays the full
+    decision algebra over the exchanged (fmt, head_hex, blen, dims) state."""
+    from lmw_tree_spark.operators.pixels import validate_images
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120)
+    corrupt = F.substring(F.md5(F.concat_ws(":", "image_id", F.lit("corrupt"))), 1, 1) == "0"
+    planted = images.withColumn(
+        "bytes", F.when(corrupt, F.expr("substring(bytes, 1, 3)")).otherwise(F.col("bytes"))
+    )
+    checked = validate_images(planted).select(
+        "image_id", "fmt", "head_hex", "blen", "w", "h",
+        F.col("valid").cast("int").alias("valid"),
+    )
+    pdf = checked.toPandas()
+    _write_exchange("corrupt", meta=pdf[["image_id", "fmt", "head_hex", "blen", "w", "h"]])
+    return checked.orderBy("image_id")
+
+
 def q_psnr_fidelity(spark, sf_dir):
     """Per-row decoded-pixel fidelity (the target spec's PSNR>=40dB invariant)
     plus caption/bytes equality through a checkpoint storage round trip.
@@ -2463,6 +2507,27 @@ def _exchange_oracles() -> dict[str, str]:
             FROM lum l JOIN dims d USING (image_id)
             GROUP BY l.image_id, d.w, d.h ORDER BY l.image_id
         """,
+        "image_patches": f"""
+            SELECT image_id, (y // 16)::INT AS py, (x // 16)::INT AS px,
+                   count(*)::BIGINT AS n_px,
+                   round(avg(r), 4) AS mean_r,
+                   round(avg(g), 4) AS mean_g,
+                   round(avg(b), 4) AS mean_b
+            FROM read_parquet('{px}')
+            GROUP BY 1, 2, 3 ORDER BY image_id, py, px
+        """,
+        "corrupt_filter": f"""
+            SELECT image_id, fmt, head_hex, blen, w, h,
+                   (CASE
+                      WHEN substr(md5(image_id || ':corrupt'), 1, 1) = '0' THEN 0
+                      WHEN ((fmt = 'png' AND head_hex = '89504E47')
+                            OR (fmt IN ('jpeg', 'jpg') AND head_hex = '464A5047'))
+                           AND blen >= (CASE WHEN fmt = 'png' THEN 16 ELSE 10 END)
+                           AND w > 0 AND h > 0 AND w <= 65536 AND h <= 65536
+                      THEN 1 ELSE 0 END)::INT AS valid
+            FROM read_parquet('{os.path.join(x, "corrupt", "meta.parquet")}')
+            ORDER BY image_id
+        """,
         "resize_images": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{px}')),
             dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
@@ -2846,6 +2911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup": q_phash_dedup,
         # multimodal / sources / streaming (raw-input or manifest exchange)
         "image_stats": q_image_stats,
+        "image_patches": q_image_patches,
+        "corrupt_filter": q_corrupt_filter,
         "resize_images": q_resize_images,
         "psnr_fidelity": q_psnr_fidelity,
         "dhash_dedup": q_dhash_dedup,

@@ -174,3 +174,89 @@ def dhash_images(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["image_id", "dhash"])
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, DHASH_SCHEMA)
+
+
+PATCH_SCHEMA = (
+    "image_id string, py int, px int, n_px long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def patch_extract(images: DataFrame, patch: int = 16) -> DataFrame:
+    """Non-overlapping ``patch x patch`` tiling — the ViT-style image→token
+    step of a multimodal training pipeline. One fixed-width row per patch:
+    grid position ``(py, px)``, pixel count (edge patches of non-multiple
+    images are smaller), and per-channel means (the 3-value patch embedding
+    stand-in; a production projector consumes the same rows).
+
+    Pure map stage over Arrow batches: decode once, one vectorized
+    ``np.add.at`` accumulation per image — no shuffle, no driver data. The
+    whole tiling algebra is SQL-replayable from decoded pixels:
+    ``GROUP BY image_id, y // patch, x // patch``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for r in pdf.itertuples():
+                pixels = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.float64)
+                h, w, _ = pixels.shape
+                gy, gx = (h + patch - 1) // patch, (w + patch - 1) // patch
+                yy, xx = np.meshgrid(np.arange(h) // patch, np.arange(w) // patch,
+                                     indexing="ij")
+                flat = (yy * gx + xx).ravel()
+                n = np.bincount(flat, minlength=gy * gx)
+                sums = [
+                    np.bincount(flat, weights=pixels[..., c].ravel(),
+                                minlength=gy * gx)
+                    for c in range(3)
+                ]
+                pidx = np.arange(gy * gx)
+                out.append(pd.DataFrame({
+                    "image_id": r.image_id,
+                    "py": (pidx // gx).astype(np.int32),
+                    "px": (pidx % gx).astype(np.int32),
+                    "n_px": n.astype(np.int64),
+                    "mean_r": sums[0] / n,
+                    "mean_g": sums[1] / n,
+                    "mean_b": sums[2] / n,
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, PATCH_SCHEMA)
+
+
+# Header-level validation — the corrupt-sample quarantine every binary-payload
+# ingest needs (truncated downloads, mislabeled formats). Decision algebra is
+# pure JVM column expressions over the binary prefix, so it runs inside the
+# scan's codegen stage with zero Python and is exactly replayable in SQL from
+# (fmt, header hex, byte length, declared dims).
+PNG_MAGIC_HEX = "89504E47"
+FJPG_MAGIC_HEX = "464A5047"
+_MIN_LEN = {"png": 16, "jpeg": 10}  # 8B magic+IHDR start / 4B magic + 5B dims
+MAX_DIM = 1 << 16
+
+
+def validate_images(images: DataFrame) -> DataFrame:
+    """Add ``head_hex``, ``blen``, and ``valid`` (magic matches the declared
+    fmt, payload long enough to hold the header, dims sane)."""
+    from pyspark.sql import functions as F
+
+    head = F.upper(F.hex(F.expr("substring(bytes, 1, 4)")))
+    blen = F.length("bytes").cast("long")
+    magic_ok = (
+        ((F.col("fmt") == "png") & (head == PNG_MAGIC_HEX))
+        | (F.col("fmt").isin("jpeg", "jpg") & (head == FJPG_MAGIC_HEX))
+    )
+    len_ok = blen >= F.when(F.col("fmt") == "png", _MIN_LEN["png"]).otherwise(
+        _MIN_LEN["jpeg"]
+    )
+    dims_ok = (
+        (F.col("w") > 0) & (F.col("h") > 0)
+        & (F.col("w") <= MAX_DIM) & (F.col("h") <= MAX_DIM)
+    )
+    return images.withColumn("head_hex", head).withColumn("blen", blen).withColumn(
+        "valid", magic_ok & len_ok & dims_ok
+    )

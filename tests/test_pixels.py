@@ -116,3 +116,71 @@ def test_dhash_matches_numpy_and_separates_groups(spark):
         far.append(ham(bases[x], bases[x + 1]))
     assert near and max(near) <= 10
     assert far and min(far) >= 12
+
+
+def test_patch_extract_matches_numpy_tiling(spark):
+    """Exact per-patch means vs a NumPy reshape reference, including ragged
+    edge patches when the image size is not a multiple of the patch."""
+    from lmw_tree_spark.operators.pixels import patch_extract
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (20, 36, 3), dtype=np.uint8)
+    row = [("im0", codecs.encode_png(px), 36, 20, "png")]
+    df = spark.createDataFrame(
+        row, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {
+        (r["py"], r["px"]): r
+        for r in patch_extract(df, patch=16).collect()
+    }
+    # 20x36 with 16 -> grid 2x3; edge patches are 4 tall / 4 wide
+    assert set(got) == {(i, j) for i in range(2) for j in range(3)}
+    for (i, j), r in got.items():
+        block = px[i * 16 : (i + 1) * 16, j * 16 : (j + 1) * 16].astype(np.float64)
+        assert r["n_px"] == block.shape[0] * block.shape[1]
+        for ci, c in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert abs(r[c] - block[..., ci].mean()) < 1e-9, (i, j, c)
+
+
+def test_patch_counts_conserve_pixels(spark):
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.operators.pixels import patch_extract
+
+    images = generate_images(spark, 30)
+    patches = patch_extract(images, patch=16)
+    per_img = patches.groupBy("image_id").agg(F.sum("n_px").alias("n"))
+    joined = per_img.join(images.select("image_id", "w", "h"), "image_id")
+    bad = joined.where(F.col("n") != F.col("w") * F.col("h")).count()
+    assert bad == 0
+
+
+def test_validate_images_flags_each_failure_mode(spark):
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.operators.pixels import validate_images
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    png, lossy = codecs.encode_png(px), codecs.encode_lossy(px)
+    rows = [
+        ("ok_png", png, 8, 8, "png"),
+        ("ok_jpeg", lossy, 8, 8, "jpeg"),
+        ("truncated", png[:3], 8, 8, "png"),
+        ("mislabeled", png, 8, 8, "jpeg"),  # png bytes declared jpeg
+        ("bad_dims", png, 0, 8, "png"),
+        ("huge_dims", png, 1 << 20, 8, "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r["image_id"]: r["valid"] for r in validate_images(df).collect()}
+    assert got == {
+        "ok_png": True, "ok_jpeg": True, "truncated": False,
+        "mislabeled": False, "bad_dims": False, "huge_dims": False,
+    }
+    # validation is pure JVM: no Python stage in the plan
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        validate_images(df).explain()
+    assert "BatchEvalPython" not in buf.getvalue()
