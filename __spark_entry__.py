@@ -731,6 +731,60 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, ["spark", "join", "customer"], topk=15)
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Row-level CDC between two corpus builds (plans/checkpoint.py:
+    snapshot_diff): commit corpus v1, commit a mutated v2 (deterministic
+    md5-predicate drops and additions), report added/removed ids via
+    bidirectional anti-joins over the versioned snapshots. The oracle
+    re-derives BOTH versions and the diff from the documents table and the
+    same md5 predicates — fully independent, no exchange."""
+    import tempfile
+
+    from lmw_tree_spark.plans.checkpoint import Checkpointer, snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    drop = F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("drop"))), 1, 1)
+    add = F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("add"))), 1, 1)
+    v2 = docs.where(~drop.isin("0", "1")).unionByName(
+        docs.where(add == "f").select((F.col("doc_id") + 1000000).alias("doc_id"))
+    )
+    ck = Checkpointer(spark, tempfile.mkdtemp(prefix="lmw_diff_"))
+    ck.write("corpus", docs)
+    ck.write("corpus", v2)
+    vs = [s["version"] for s in ck.snapshots("corpus")]
+    return snapshot_diff(ck, "corpus", min(vs), max(vs), "doc_id").orderBy(
+        "change", "doc_id"
+    )
+
+
+def q_length_deciles(spark, sf_dir):
+    """Mergeable-histogram decile estimates (operators/sketches.py:
+    histogram_quantiles): the distributed substitute for exact percentiles —
+    one bounded groupBy instead of a global sort; all-integer rank algebra
+    the oracle reproduces exactly (no floats, no interpolation)."""
+    from lmw_tree_spark.functions.text import token_count_col
+    from lmw_tree_spark.operators.sketches import histogram_quantiles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        token_count_col("text").alias("n_tokens")
+    )
+    return histogram_quantiles(docs, "n_tokens", bin_width=4, n_bins=256)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing (operators/packing.py): md5-routed
+    shards, hash-ordered concatenation, fixed-token-budget chunking — every
+    doc gets its (shard, seq_id, offset) as a pure function of the corpus.
+    The oracle replays the identical window cumulative-sum algebra in SQL."""
+    from lmw_tree_spark.functions.text import token_count_col
+    from lmw_tree_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col("text").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=256, shard_chars=1).orderBy("doc_id")
+
+
 def q_suffix_pairs(spark, sf_dir):
     """Substring-pair detection: doc pairs sharing a common substring of length
     ≥ 20 in lowercased text, via the exact L-gram identity (share-substring(≥L)
@@ -2871,6 +2925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_membership": q_bloom_membership,
         "bm25_topk": q_bm25_topk,
+        "pack_sequences": q_pack_sequences,
+        "length_deciles": q_length_deciles,
+        "snapshot_diff": q_snapshot_diff,
         "simhash32": q_simhash32,
         "minhash_sql": q_minhash_sql,
         "sig_dim_histogram": q_sig_dim_histogram,
@@ -3386,6 +3443,61 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dfreq d USING (token), stats s
             GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+        """,
+        "snapshot_diff": """
+            WITH v1 AS (SELECT doc_id FROM documents),
+            v2 AS (
+                SELECT doc_id FROM documents
+                WHERE substr(md5(doc_id::VARCHAR || ':drop'), 1, 1) NOT IN ('0', '1')
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id FROM documents
+                WHERE substr(md5(doc_id::VARCHAR || ':add'), 1, 1) = 'f')
+            SELECT doc_id, 'added' AS change
+            FROM v2 ANTI JOIN v1 USING (doc_id)
+            UNION ALL
+            SELECT doc_id, 'removed' AS change
+            FROM v1 ANTI JOIN v2 USING (doc_id)
+            ORDER BY change, doc_id
+        """,
+        "length_deciles": """
+            WITH d AS (
+                SELECT len(string_split(lower(text), ' '))::BIGINT AS v
+                FROM documents),
+            h AS (
+                SELECT least(v // 4, 255)::INT AS bin, count(*)::BIGINT AS cnt
+                FROM d GROUP BY 1),
+            c AS (
+                SELECT bin, sum(cnt) OVER (ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+            nn AS (SELECT count(*)::BIGINT AS n FROM d),
+            t AS (
+                SELECT k AS tenth, ((nn.n * k + 9) // 10)::BIGINT AS target_rank
+                FROM nn, unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS u(k))
+            SELECT t.tenth::INT AS tenth, t.target_rank,
+                   min(c.bin)::INT AS bin,
+                   ((min(c.bin) + 1) * 4 - 1)::BIGINT AS upper
+            FROM t JOIN c ON c.cum >= t.target_rank
+            GROUP BY 1, 2 ORDER BY tenth
+        """,
+        "pack_sequences": """
+            WITH d AS (
+                SELECT doc_id,
+                       len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+                       substr(md5(doc_id::VARCHAR || ':pack'), 1, 8) AS pack_key
+                FROM documents),
+            s AS (
+                SELECT doc_id, n_tokens, pack_key,
+                       substr(pack_key, 1, 1) AS shard
+                FROM d),
+            c AS (
+                SELECT doc_id, shard, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY shard
+                           ORDER BY pack_key, doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+                FROM s)
+            SELECT doc_id, shard, (start // 256)::BIGINT AS seq_id,
+                   (start % 256)::BIGINT AS offset, n_tokens
+            FROM c ORDER BY doc_id
         """,
         "vocab_stats": """
             WITH toks AS (

@@ -270,7 +270,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "pricing_summary", "subset_semi_join", "topk_dims", "token_count",
         "lang_id", "exact_dedup", "repetition_filter", "stratified_sample",
         "scrub_pii", "regex_tokens",
-        "cms_heavy_hitters", "bloom_membership", "bm25_topk",
+        "cms_heavy_hitters", "bloom_membership", "bm25_topk", "pack_sequences",
         "token_jaccard", "editdist_verify",
         "simhash32", "minhash_sql",
         "suffix_pairs", "cosine_topk", "centroid_assign", "dense_kmeans",

@@ -150,3 +150,56 @@ def bloom_probe(
         .agg((F.count("set") == F.lit(k)).alias("maybe_member"))
     )
     return probes.join(hits, id_col, "left")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    bin_width: int = 4,
+    n_bins: int = 256,
+    tenths: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8, 9),
+) -> DataFrame:
+    """Decile estimates from a fixed-width counting histogram — the mergeable
+    substitute for exact percentiles at 10^12 rows (an exact percentile is a
+    global sort; a histogram is one bounded groupBy whose partials merge
+    associatively, the same contract as the CMS above).
+
+    Estimate for quantile k/10: the smallest bin whose cumulative count
+    reaches ``ceil(N * k / 10)``; reported as the bin's inclusive upper edge.
+    All-integer algebra (targets via ``(N*k + 9) // 10``) — no floats, no
+    interpolation — so an independent SQL engine reproduces it exactly.
+    Returns ``(tenth, target_rank, bin, upper)``.
+
+    The rank window runs over the aggregated histogram (≤ n_bins rows), not
+    the data — a deliberately tiny single-partition sort.
+    """
+    from pyspark.sql import Window
+
+    binned = df.select(
+        F.least(
+            F.expr(f"{value_col} div {bin_width}"), F.lit(n_bins - 1)
+        ).cast("int").alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    n = df.count()
+    targets = [(k, (n * k + 9) // 10) for k in tenths]
+    tdf = df.sparkSession.createDataFrame(targets, "tenth int, target_rank long")
+    return (
+        tdf.join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("tenth", "target_rank")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "tenth",
+            "target_rank",
+            "bin",
+            ((F.col("bin") + 1) * bin_width - 1).cast("long").alias("upper"),
+        )
+        .orderBy("tenth")
+    )

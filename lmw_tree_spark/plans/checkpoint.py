@@ -207,3 +207,25 @@ class Checkpointer:
             raise FileNotFoundError(f"no committed snapshot for stage {stage!r}")
         with open(os.path.join(self._version_dir(stage, v), "_metrics.json")) as f:
             return json.load(f)
+
+
+def snapshot_diff(
+    ck: "Checkpointer",
+    stage: str,
+    v_old: int,
+    v_new: int,
+    id_col: str,
+) -> DataFrame:
+    """Row-level CDC between two committed versions of a stage: which ids were
+    added and which removed (the resume-delta / corpus-drift report between
+    two builds). Anti-joins in both directions — the Spark shape SURVEY §2.11
+    assigns to "not yet processed" deltas; id-only projections, so at scale
+    the diff reads two narrow columns of each snapshot, never payloads.
+    Returns ``(id, change)`` with change in {'added', 'removed'}."""
+    from pyspark.sql import functions as F
+
+    old = ck.read(stage, version=v_old).select(id_col)
+    new = ck.read(stage, version=v_new).select(id_col)
+    added = new.join(old, id_col, "left_anti").withColumn("change", F.lit("added"))
+    removed = old.join(new, id_col, "left_anti").withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)

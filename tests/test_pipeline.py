@@ -126,3 +126,24 @@ def test_pipeline_with_suffix_dup_criterion(spark):
     tp, gp = _pairs(truth, "dup_group"), _pairs(a, "dup_group")
     assert len(tp & gp) / len(tp) >= 0.99
     assert len(tp & gp) / max(len(gp), 1) >= 0.95
+
+
+def test_snapshot_diff_cdc(spark, tmpdir_ck):
+    """snapshot_diff reports exactly the added/removed ids between two
+    committed versions, and nothing for identical versions."""
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.plans.checkpoint import Checkpointer, snapshot_diff
+
+    ck = Checkpointer(spark, tmpdir_ck)
+    v1 = spark.range(10).withColumnRenamed("id", "doc_id")
+    ck.write("corpus", v1)
+    v2 = v1.where(F.col("doc_id") != 3).unionByName(
+        spark.createDataFrame([(100,), (101,)], "doc_id long")
+    )
+    ck.write("corpus", v2)
+    vs = sorted(s["version"] for s in ck.snapshots("corpus"))
+    got = {(r["doc_id"], r["change"])
+           for r in snapshot_diff(ck, "corpus", vs[0], vs[1], "doc_id").collect()}
+    assert got == {(3, "removed"), (100, "added"), (101, "added")}
+    assert snapshot_diff(ck, "corpus", vs[0], vs[0], "doc_id").count() == 0

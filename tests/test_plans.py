@@ -292,3 +292,14 @@ def test_sketch_ops_are_bounded_aggs_with_broadcast_probes(spark):
     for q in (entry.q_cms_heavy_hitters, entry.q_bloom_membership):
         plan = plan_of(q(spark, SF_DIR))
         assert "BroadcastHashJoin" in plan, plan
+
+
+def test_packing_window_is_shard_partitioned(spark):
+    """The packing window must hash-partition by shard (parallel, bounded
+    tasks) — never a single unpartitioned global sort — and stay JVM-only."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q_pack_sequences(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, plan
+    assert re.search(r"hashpartitioning\(shard", plan), plan
+    assert "SinglePartition" not in plan, plan

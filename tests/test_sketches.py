@@ -117,3 +117,24 @@ def test_bm25_ranks_on_topic_doc_first(spark):
     # doc4 hits both terms twice in a short doc; doc3 matches nothing -> absent
     assert [r["doc_id"] for r in top] == [4, 1, 2]
     assert all(top[i]["bm25"] >= top[i + 1]["bm25"] for i in range(len(top) - 1))
+
+
+def test_histogram_quantiles_match_exact_ranks(spark):
+    from lmw_tree_spark.operators.sketches import histogram_quantiles
+
+    vals = [3, 7, 8, 12, 15, 19, 22, 30, 41, 55, 55, 56, 90, 120, 1021, 5000]
+    df = spark.createDataFrame([(v,) for v in vals], "n_tokens long")
+    got = {r["tenth"]: r for r in
+           histogram_quantiles(df, "n_tokens", bin_width=4, n_bins=256).collect()}
+    n = len(vals)
+    svals = sorted(vals)
+    for k in range(1, 10):
+        target = (n * k + 9) // 10
+        exact = svals[target - 1]
+        bin_of_exact = min(exact // 4, 255)
+        assert got[k]["target_rank"] == target
+        assert got[k]["bin"] == bin_of_exact, k
+        # estimate's inclusive upper edge bounds the exact value (within-bin
+        # error <= bin_width - 1; the clamp bin is the one exception)
+        if bin_of_exact < 255:
+            assert got[k]["upper"] >= exact > got[k]["upper"] - 4
