@@ -1539,11 +1539,13 @@ def _round_stats(df: DataFrame) -> DataFrame:
     ).orderBy("image_id")
 
 
-def _pixels_exchange(images: DataFrame) -> None:
+def _pixels_exchange(images: DataFrame, xname: str = "pixels") -> None:
     """Materialize decoded pixels long-format (image_id, y, x, r, g, b) — the
     raw-input side of the pixel-operator oracles. Decode correctness itself is
     pinned by the codec round-trip pytests (tests/test_codecs.py); the oracle
-    replays everything AFTER decode."""
+    replays everything AFTER decode. Queries over a DIFFERENT image set than
+    the shared 120-image one pass their own ``xname`` so artifacts stay
+    byte-stable regardless of which queries a run executes."""
     import numpy as np
     import pandas as pd
 
@@ -1580,7 +1582,7 @@ def _pixels_exchange(images: DataFrame) -> None:
         )
         .toPandas()
     )
-    _write_exchange("pixels", pixels=pdf)
+    _write_exchange(xname, pixels=pdf)
 
 
 def q_image_stats(spark, sf_dir):
@@ -1885,6 +1887,65 @@ def q_dhash_dedup(spark, sf_dir):
     )
     return simhash_dedup(dh, max_dist=6, pair_cap=100_000, sh=dh).orderBy(
         "src", "dst"
+    )
+
+
+def q_dihedral_dedup(spark, sf_dir):
+    """Flip/rotation-invariant perceptual dedup (operators/pixels.py:
+    dhash_dihedral): canonical hash = min over the 8 dihedral transforms
+    applied BEFORE the downsample, so mirrored/rotated re-posts collide
+    EXACTLY. The query plants transformed copies (md5-selected subset, same
+    index maps); the oracle re-derives EVERY canonical hash from raw pixels
+    in SQL — 8 transform index maps x 9x9 NN grid x gradient bit pack x
+    HUGEINT unsigned min — then the group sizes. A planted copy failing to
+    collide would change group_size and fail the hash."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import _DIHEDRAL, dhash_dihedral
+    from lmw_tree_spark.sources import codecs
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 100)
+
+    def plant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = [pdf]
+            extra = []
+            for r in pdf.itertuples():
+                hx = hashlib.md5(f"{r.image_id}:dih".encode()).hexdigest()
+                if hx[0] not in "0123":
+                    continue
+                t_idx = 1 + int(hx[1], 16) % 7  # any non-identity transform
+                px = codecs.decode_image(bytes(r.bytes), r.fmt)
+                yy, xx = np.meshgrid(
+                    np.arange(px.shape[0]), np.arange(px.shape[1]), indexing="ij"
+                )
+                sy, sx = _DIHEDRAL[t_idx](yy, xx, px.shape[0] - 1)
+                extra.append(
+                    ("dih_" + r.image_id, codecs.encode_png(px[sy, sx]),
+                     r.w, r.h, "png")
+                )
+            if extra:
+                out.append(pd.DataFrame(
+                    extra, columns=["image_id", "bytes", "w", "h", "fmt"]
+                ))
+            yield pd.concat(out, ignore_index=True)
+
+    planted = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        plant, "image_id string, bytes binary, w int, h int, fmt string"
+    ).persist()
+    _pixels_exchange(planted, xname="dihedral")
+    dh = dhash_dihedral(planted)
+    sizes = dh.groupBy("dhash_min").agg(F.count("*").alias("group_size"))
+    return (
+        dh.join(F.broadcast(sizes), "dhash_min")
+        .select("image_id", "dhash_min", "group_size")
+        .orderBy("image_id")
     )
 
 
@@ -2279,6 +2340,7 @@ def _exchange_oracles() -> dict[str, str]:
     probe top-k / transitive closure) from the materialized state."""
     x = _EXCHANGE_DIR
     px = os.path.join(x, "pixels", "pixels.parquet")
+    dih_px = os.path.join(x, "dihedral", "pixels.parquet")
     au_env = os.path.join(x, "audio", "env.parquet")
     au_meta = os.path.join(x, "audio", "meta.parquet")
     lcs_docs = os.path.join(x, "suffix_lcs", "docs.parquet")
@@ -2659,6 +2721,61 @@ def _exchange_oracles() -> dict[str, str]:
                    2 AS latest_version, 2 AS n_versions
             FROM sh GROUP BY shard ORDER BY shard
         """,
+        "dihedral_dedup": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{dih_px}')),
+            dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
+                     FROM pxt GROUP BY image_id),
+            grid AS (
+                SELECT image_id, h - 1 AS c, oi::INT AS oi, oj::INT AS oj,
+                       least((oi * h) // 9, h - 1)::INT AS sy,
+                       least((oj * w) // 9, w - 1)::INT AS sx
+                FROM dims, range(0, 9) a(oi), range(0, 9) b(oj)),
+            tmap AS (
+                SELECT g.image_id, t::INT AS t, g.oi, g.oj,
+                       CASE t WHEN 0 THEN sy WHEN 1 THEN sx WHEN 2 THEN c - sy
+                              WHEN 3 THEN c - sx WHEN 4 THEN sy
+                              WHEN 5 THEN c - sy WHEN 6 THEN sx
+                              ELSE c - sx END AS gy,
+                       CASE t WHEN 0 THEN sx WHEN 1 THEN c - sy WHEN 2 THEN c - sx
+                              WHEN 3 THEN sy WHEN 4 THEN c - sx
+                              WHEN 5 THEN sx WHEN 6 THEN sy
+                              ELSE c - sy END AS gx
+                FROM grid g, range(0, 8) tt(t)),
+            lum AS (
+                SELECT m.image_id, m.t, m.oi, m.oj,
+                       0.299*p.r + 0.587*p.g + 0.114*p.b AS yv
+                FROM tmap m JOIN pxt p
+                  ON p.image_id = m.image_id AND p.y = m.gy AND p.x = m.gx),
+            bits AS (
+                SELECT l.image_id, l.t, (l.oi * 8 + l.oj)::INT AS k,
+                       CASE WHEN r.yv > l.yv THEN 1 ELSE 0 END AS bit
+                FROM lum l JOIN lum r
+                  ON r.image_id = l.image_id AND r.t = l.t
+                 AND r.oi = l.oi AND r.oj = l.oj + 1
+                WHERE l.oi < 8 AND l.oj < 8),
+            halves AS (
+                SELECT image_id, t,
+                       sum(CASE WHEN bit = 1 AND k < 32
+                           THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+                       sum(CASE WHEN bit = 1 AND k >= 32
+                           THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+                FROM bits GROUP BY image_id, t),
+            canon AS (
+                SELECT image_id,
+                       min(hi::HUGEINT * 4294967296::HUGEINT + lo::HUGEINT) AS hv
+                FROM halves GROUP BY image_id),
+            dh AS (
+                SELECT image_id,
+                       (CASE WHEN hv >= 9223372036854775808::HUGEINT
+                             THEN hv - 18446744073709551616::HUGEINT
+                             ELSE hv END)::BIGINT AS dhash_min
+                FROM canon),
+            sizes AS (SELECT dhash_min, count(*)::BIGINT AS group_size
+                      FROM dh GROUP BY dhash_min)
+            SELECT d.image_id, d.dhash_min, s.group_size
+            FROM dh d JOIN sizes s USING (dhash_min)
+            ORDER BY d.image_id
+        """,
         "dhash_dedup": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{px}')),
             dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
@@ -2973,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images": q_resize_images,
         "psnr_fidelity": q_psnr_fidelity,
         "dhash_dedup": q_dhash_dedup,
+        "dihedral_dedup": q_dihedral_dedup,
         "checkpoint_lineage": q_checkpoint_lineage,
         "audio_neardup": q_audio_neardup,
         "suffix_lcs": q_suffix_lcs,

@@ -260,3 +260,62 @@ def validate_images(images: DataFrame) -> DataFrame:
     return images.withColumn("head_hex", head).withColumn("blen", blen).withColumn(
         "valid", magic_ok & len_ok & dims_ok
     )
+
+
+# The 8 dihedral (D4) index maps on a square array with c = n-1:
+# output (y, x) samples source (sy, sx). Order: identity, rot90, rot180,
+# rot270, flip-horizontal, flip-vertical, transpose, anti-transpose.
+_DIHEDRAL = (
+    lambda y, x, c: (y, x),
+    lambda y, x, c: (x, c - y),
+    lambda y, x, c: (c - y, c - x),
+    lambda y, x, c: (c - x, y),
+    lambda y, x, c: (y, c - x),
+    lambda y, x, c: (c - y, x),
+    lambda y, x, c: (x, y),
+    lambda y, x, c: (c - x, c - y),
+)
+
+DHASH_MIN_SCHEMA = "image_id string, dhash_min long"
+
+
+def dhash_dihedral(images: DataFrame) -> DataFrame:
+    """Flip/rotation-invariant dHash: the min (as uint64) of the plain dHash
+    over all 8 dihedral transforms of the SQUARE source image — so a mirrored
+    or rotated re-post collides EXACTLY with its original (the D4 orbit of a
+    transformed copy is the same set, hence the same min; plain dHash misses
+    all of these).
+
+    Transforms are applied BEFORE the 9x9 downsample by composing the NN
+    index map with the dihedral index map (resize-then-flip differs from
+    flip-then-resize by floor asymmetry, which would break exactness).
+    Gradient bits use rows 0..7 x col-pairs 0..7 of each 9x9 grid. Pure map
+    stage; integer index algebra end-to-end, so an oracle re-derives every
+    canonical hash from raw pixels.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(64, dtype=np.uint64).reshape(8, 8)
+        oi, oj = np.meshgrid(np.arange(9), np.arange(9), indexing="ij")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(bytes(r.bytes), r.fmt)
+                h, w = px.shape[:2]
+                if h != w:
+                    raise ValueError("dhash_dihedral requires square images")
+                lum = codecs.luma(px)
+                sy, sx = oi * h // 9, oj * w // 9  # NN grid in transform space
+                best = None
+                for t in _DIHEDRAL:
+                    gy, gx = t(sy, sx, h - 1)
+                    g = lum[gy, gx]
+                    bits = (g[:8, 1:] > g[:8, :-1]).astype(np.uint64)
+                    h64 = np.uint64((bits << k).sum(dtype=np.uint64))
+                    best = h64 if best is None else min(best, h64)
+                rows.append((r.image_id, int(np.int64(best))))
+            yield pd.DataFrame(rows, columns=["image_id", "dhash_min"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, DHASH_MIN_SCHEMA)

@@ -184,3 +184,26 @@ def test_validate_images_flags_each_failure_mode(spark):
     with contextlib.redirect_stdout(buf):
         validate_images(df).explain()
     assert "BatchEvalPython" not in buf.getvalue()
+
+
+def test_dhash_dihedral_invariance(spark):
+    """The canonical hash is EXACTLY invariant under all 8 dihedral
+    transforms of the source image; the plain dHash is not (that's the
+    point of the orbit-min)."""
+    from lmw_tree_spark.operators.pixels import _DIHEDRAL, dhash_dihedral, dhash_images
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    yy, xx = np.meshgrid(np.arange(48), np.arange(48), indexing="ij")
+    rows = []
+    for t_idx, t in enumerate(_DIHEDRAL):
+        sy, sx = t(yy, xx, 47)
+        px = base[sy, sx]
+        rows.append((f"t{t_idx}", codecs.encode_png(px), 48, 48, "png"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    canon = {r["image_id"]: r["dhash_min"] for r in dhash_dihedral(df).collect()}
+    assert len(set(canon.values())) == 1, canon
+    plain = {r["image_id"]: r["dhash"] for r in dhash_images(df).collect()}
+    assert len(set(plain.values())) > 1  # plain dHash splits the orbit
