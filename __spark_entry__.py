@@ -925,6 +925,37 @@ def q_contamination(spark, sf_dir):
     ).orderBy("eval_id", "train_id")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Span-level decontamination (operators/quality.py:decontaminate_spans):
+    mask every token covered by a word 4-gram shared with the eval set
+    (every 20th doc), keep the rest — the surgical alternative to dropping
+    whole contaminated docs (production would use 8-13 grams; 4 exercises a
+    dense multi-span surface on this corpus). The oracle recomputes eval
+    grams, window hits, covered positions, and the ordered masked
+    reassembly in SQL."""
+    from lmw_tree_spark.operators.quality import decontaminate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return (
+        decontaminate_spans(train, evals, ngram=4)
+        .where(F.col("n_masked") > 0)
+        .select("doc_id", "masked_text", "n_masked")
+        .orderBy("doc_id")
+    )
+
+
+def q_unigram_nll(spark, sf_dir):
+    """Unigram NLL quality score (functions/text.py:unigram_nll) — the CCNet
+    perplexity stand-in: bits/token under the corpus's own unigram
+    distribution. The oracle recomputes counts and avg(-log2 p) in SQL."""
+    from lmw_tree_spark.functions.text import unigram_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_nll(docs).select("doc_id", "nll").orderBy("doc_id")
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs over the synthetic caption corpus: 64-bit token
     SimHash materialized per doc; the oracle replays the 16-bit pigeonhole band
@@ -3064,6 +3095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "incremental_dedup": q_incremental_dedup,
         "contamination": q_contamination,
+        "decontaminate": q_decontaminate,
+        "unigram_nll": q_unigram_nll,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
         "ivfadc_ann": q_ivfadc_ann,
@@ -3561,6 +3594,46 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dfreq d USING (token), stats s
             GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+        """,
+        "decontaminate": """
+            WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                       FROM documents),
+            ev AS (
+                SELECT DISTINCT array_to_string(list_slice(toks, p, p + 3), ' ') AS gram
+                FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 4 + 2)) AS p) r
+                WHERE doc_id % 20 = 0 AND len(toks) >= 4),
+            tr AS (SELECT * FROM d WHERE doc_id % 20 != 0),
+            hits AS (
+                SELECT t.doc_id, r.p
+                FROM tr t, LATERAL (SELECT unnest(range(1, len(t.toks) - 4 + 2)) AS p) r
+                WHERE len(t.toks) >= 4
+                  AND array_to_string(list_slice(t.toks, r.p, r.p + 3), ' ')
+                      IN (SELECT gram FROM ev)),
+            masked AS (SELECT DISTINCT doc_id, p + off AS i
+                       FROM hits, range(0, 4) o(off)),
+            tokrows AS (
+                SELECT doc_id, i, toks[i] AS tok
+                FROM tr, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r),
+            rebuilt AS (
+                SELECT t.doc_id,
+                       string_agg(CASE WHEN m.i IS NOT NULL THEN '<MASK>'
+                                  ELSE t.tok END, ' ' ORDER BY t.i) AS masked_text,
+                       sum(CASE WHEN m.i IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_masked
+                FROM tokrows t LEFT JOIN masked m
+                  ON m.doc_id = t.doc_id AND m.i = t.i
+                GROUP BY t.doc_id)
+            SELECT doc_id, masked_text, n_masked FROM rebuilt
+            WHERE n_masked > 0 ORDER BY doc_id
+        """,
+        "unigram_nll": """
+            WITH toks AS (
+                SELECT doc_id, tok FROM documents,
+                     unnest(string_split(lower(text), ' ')) u(tok)),
+            freq AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+            tot AS (SELECT count(*)::DOUBLE AS total FROM toks)
+            SELECT doc_id, round(avg(-log2(cnt / total)), 4) AS nll
+            FROM toks JOIN freq USING (tok), tot
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "snapshot_diff": """
             WITH v1 AS (SELECT doc_id FROM documents),

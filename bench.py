@@ -271,6 +271,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "lang_id", "exact_dedup", "repetition_filter", "stratified_sample",
         "scrub_pii", "regex_tokens",
         "cms_heavy_hitters", "bloom_membership", "bm25_topk", "pack_sequences",
+        "decontaminate", "unigram_nll",
         "token_jaccard", "editdist_verify",
         "simhash32", "minhash_sql",
         "suffix_pairs", "cosine_topk", "centroid_assign", "dense_kmeans",

@@ -210,3 +210,30 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def unigram_nll(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc unigram negative log-likelihood under the corpus's own token
+    distribution — the cheap stand-in for CCNet's LM-perplexity quality
+    signal (Wenzek et al. 2020): gibberish and off-distribution docs score
+    high, formulaic boilerplate scores low. ``nll = avg(-log2 cnt/total)``
+    over the doc's tokens.
+
+    Two bounded aggregations (token counts; per-doc sum over a broadcast
+    frequency join) — the frequency table is vocabulary-sized, never
+    row-sized. Adds ``nll`` (bits/token, rounded 4)."""
+    toks = df.select(id_col, F.explode(tokens_col(text)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.count()
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(-F.log2(F.col("cnt") / F.lit(float(total)))), 4
+            ).alias("nll")
+        )
+    )
+    return df.join(scored, id_col, "left")

@@ -153,3 +153,70 @@ def line_dedup(
         "n_lines",
         (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    evals: DataFrame,
+    ngram: int = 8,
+    mask: str = "<MASK>",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level benchmark decontamination: mask every token covered by a
+    word ``ngram``-gram that also appears in the eval set, keeping the rest
+    of the document (the surgical alternative to contamination_pairs'
+    drop-the-whole-doc policy — PaLM/Llama-style n-gram scrubbing).
+
+    Plan: eval grams are a distinct, bounded set (broadcast); training docs
+    explode to one row per window start, equi-join the gram set, and each hit
+    marks positions ``p..p+n-1``. Rebuild = left-join mask positions +
+    ordered re-aggregation (same shape as line_dedup's reassembly). All JVM
+    (slice/array_join/explode); output adds ``masked_text`` and ``n_masked``.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.lower(F.col(text)), " ")
+    empty = F.array().cast("array<int>")
+    starts_of = lambda arr: F.when(
+        F.size(arr) >= ngram, F.sequence(F.lit(0), F.size(arr) - ngram)
+    ).otherwise(empty)
+    egrams = (
+        evals.select(F.explode(
+            F.transform(
+                starts_of(toks),
+                lambda p: F.array_join(F.slice(toks, p + 1, ngram), " "),
+            )
+        ).alias("gram")).distinct()
+    )
+    base = docs.select(id_col, toks.alias("toks"))
+    starts = base.select(
+        id_col,
+        F.explode(starts_of(F.col("toks"))).alias("p"),
+        F.col("toks"),
+    ).select(
+        id_col, "p", F.array_join(F.slice("toks", F.col("p") + 1, ngram), " ").alias("gram")
+    )
+    hits = starts.join(F.broadcast(egrams), "gram").select(id_col, "p")
+    masked_pos = hits.select(
+        id_col, F.explode(F.sequence("p", F.col("p") + ngram - 1)).alias("i")
+    ).distinct()
+    tok_rows = base.select(id_col, F.posexplode("toks").alias("i", "tok"))
+    rebuilt = (
+        tok_rows.join(masked_pos.withColumn("m", F.lit(1)), [id_col, "i"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", F.when(F.col("m") == 1, mask)
+                                                .otherwise(F.col("tok")).alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("masked_text"),
+            F.sum(F.when(F.col("m") == 1, 1).otherwise(0)).cast("long").alias("n_masked"),
+        )
+    )
+    return docs.join(rebuilt, id_col, "left")

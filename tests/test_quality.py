@@ -161,3 +161,53 @@ def test_bpe_token_counts(spark):
     assert out[0]["n_words"] == 3 and out[0]["n_nums"] == 1
     assert out[0]["n_punct"] == 2 and out[0]["n_bpe_tokens"] == 6
     assert out[1]["n_bpe_tokens"] == 0
+
+
+def test_decontaminate_spans_masks_exact_windows(spark):
+    from lmw_tree_spark.operators.quality import decontaminate_spans
+
+    evals = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro quick brown fox outro tail"),       # one 3-gram hit
+            (2, "the quick brown fox jumps again"),        # overlapping hits merge
+            (3, "nothing shared here at all"),             # untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           decontaminate_spans(train, evals, ngram=3, mask="_").collect()}
+    assert got[1]["masked_text"] == "intro _ _ _ outro tail"
+    assert got[1]["n_masked"] == 3
+    # doc 2: starts 0,1,2 match (start 3 "fox jumps again" is not an eval
+    # gram) -> overlapping windows merge to positions 0..4, "again" survives
+    assert got[2]["masked_text"] == "_ _ _ _ _ again"
+    assert got[2]["n_masked"] == 5
+    assert got[3]["masked_text"] == "nothing shared here at all"
+    assert got[3]["n_masked"] == 0
+
+
+def test_decontaminate_short_docs_pass_through(spark):
+    from lmw_tree_spark.operators.quality import decontaminate_spans
+
+    evals = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    got = decontaminate_spans(train, evals, ngram=3).collect()[0]
+    assert got["n_masked"] == 0 and got["masked_text"] == "a b"
+
+
+def test_unigram_nll_matches_python(spark):
+    import math
+
+    from lmw_tree_spark.functions.text import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["nll"] for r in unigram_nll(docs).collect()}
+    freq, total = {"a": 2, "b": 2, "c": 1}, 5
+    for doc_id, toks in ((1, ["a", "a", "b"]), (2, ["b", "c"])):
+        exact = sum(-math.log2(freq[t] / total) for t in toks) / len(toks)
+        assert abs(got[doc_id] - round(exact, 4)) < 1e-9
