@@ -1980,6 +1980,157 @@ def q_dihedral_dedup(spark, sf_dir):
     )
 
 
+def q_crop_dedup(spark, sf_dir):
+    """Crop-robust perceptual dedup (operators/pixels.py:tile_ahash +
+    tile_match_pairs): per-tile average-hash grid on a 16-px lattice, so a
+    crop that preserves >= 2 whole tiles still collides — the modality the
+    whole-image hash families (phash/dhash/dihedral) structurally miss. The
+    query plants crops (md5-selected subset, last 16-px column band sliced
+    off the DECODED pixels, lossless re-encode) and the oracle re-derives
+    EVERY tile hash from raw pixels in SQL — 8x8 NN tile subsample, integer
+    luma, 64*lum > sum(lum) average-hash bits, HUGEINT bit pack — then the
+    hash!=0 / df-cap guards and the shared>=2 pair rollup."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import tile_ahash, tile_match_pairs
+    from lmw_tree_spark.sources import codecs
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120)
+
+    def plant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = [pdf]
+            extra = []
+            for r in pdf.itertuples():
+                hx = hashlib.md5(f"{r.image_id}:crop".encode()).hexdigest()
+                if hx[0] not in "0123":
+                    continue
+                px = codecs.decode_image(bytes(r.bytes), r.fmt)
+                crop = np.ascontiguousarray(px[:, : px.shape[1] - 16])
+                extra.append(
+                    ("crop_" + r.image_id, codecs.encode_png(crop),
+                     crop.shape[1], crop.shape[0], "png")
+                )
+            if extra:
+                out.append(pd.DataFrame(
+                    extra, columns=["image_id", "bytes", "w", "h", "fmt"]
+                ))
+            yield pd.concat(out, ignore_index=True)
+
+    planted = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        plant, "image_id string, bytes binary, w int, h int, fmt string"
+    ).persist()
+    _pixels_exchange(planted, xname="crop")
+    pairs = tile_match_pairs(tile_ahash(planted, tile=16), min_shared=2)
+    return pairs.orderBy("src", "dst")
+
+
+def q_sharpness_filter(spark, sf_dir):
+    """Sharpness + exposure curation gate (operators/pixels.py:
+    sharpness_stats): variance-of-Laplacian energy and clipped-pixel counts
+    as pure integer algebra. The query plants flat frames (md5-selected
+    subset replaced by constant-color images — zero Laplacian energy, some
+    also exposure-clipped); the oracle replays the ENTIRE decision from raw
+    pixels in SQL — integer luma, 4-neighbor Laplacian via shifted
+    self-joins over the interior, squared-sum rollup, clip counts, and the
+    cross-multiplied keep predicate."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import sharpness_stats
+    from lmw_tree_spark.sources import codecs
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120)
+
+    def plant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                hx = hashlib.md5(f"{r.image_id}:flat".encode()).hexdigest()
+                if hx[0] in "0123":
+                    c = 100 + int(hx[1], 16) * 10  # 100..250: some clip
+                    px = np.full((int(r.h), int(r.w), 3), c, dtype=np.uint8)
+                    rows.append(
+                        (r.image_id, codecs.encode_png(px), r.w, r.h, "png")
+                    )
+                else:
+                    rows.append((r.image_id, r.bytes, r.w, r.h, r.fmt))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    planted = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        plant, "image_id string, bytes binary, w int, h int, fmt string"
+    ).persist()
+    _pixels_exchange(planted, xname="sharp")
+    return sharpness_stats(planted).select(
+        "image_id", "n_px", "n_interior", "sum_lap2", "n_over", "n_under",
+        F.col("keep").cast("int").alias("keep"),
+    ).orderBy("image_id")
+
+
+def q_split_assign(spark, sf_dir):
+    """Leakage-safe train/val/test split — the step a training pipeline runs
+    AFTER near-dup detection: if any member of a dup component lands in
+    train and another in test, the holdout is contaminated, so the split is
+    assigned per-COMPONENT (hash of the component id), never per-row. Edges
+    come from the production MinHash-LSH config; the oracle re-derives the
+    components from the exchanged edge list (recursive-CTE closure) and
+    replays the md5 split algebra — 12/16 hex values → train, 2 → val,
+    2 → test."""
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents").persist()
+    pairs = minhash_lsh_dedup(docs, min_sim=0.6, pair_cap=64)
+    edges = pairs.select("src", "dst").persist()
+    _write_exchange("split", edges=edges.toPandas())
+    comp = connected_components(
+        edges, vertices=docs, id_col="doc_id", label_col="group_id"
+    )
+    d = F.substring(F.md5(F.concat(F.lit("split:"), F.col("group_id").cast("string"))), 1, 1)
+    split = F.when(d.isin(*"0123456789ab"), "train").when(
+        d.isin("c", "d"), "val"
+    ).otherwise("test")
+    return comp.select("doc_id", "group_id", split.alias("split")).orderBy(
+        "doc_id"
+    )
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Balanced output-shard planning — the manifest a webdataset/parquet
+    export writes before shuffling 100 TB into fixed shards: deterministic
+    hash shard assignment (first md5 hex digit → 16 shards, portable across
+    engines), per-shard row/byte totals and id range. Pure SQL oracle (no
+    exchange): the whole algebra is relational."""
+    docs = _t(spark, sf_dir, "documents")
+    shard = F.expr(
+        "locate(substring(md5(cast(doc_id as string)), 1, 1), '0123456789abcdef') - 1"
+    ).cast("int")
+    return (
+        docs.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_audio_neardup(spark, sf_dir):
     """Audio near-dup groups via quantized RMS-envelope fingerprints
     (sources/multimodal.py:161). The RAW per-window RMS envelope + global
@@ -2401,6 +2552,9 @@ def _exchange_oracles() -> dict[str, str]:
     srp_el = os.path.join(x, "srp", "emb_long.parquet")
     srp_p = os.path.join(x, "srp", "planes.parquet")
     bit_s = os.path.join(x, "bitops", "sigs.parquet")
+    crop_px = os.path.join(x, "crop", "pixels.parquet")
+    sharp_px = os.path.join(x, "sharp", "pixels.parquet")
+    split_e = os.path.join(x, "split", "edges.parquet")
     cc_e = os.path.join(x, "dedup_cc", "edges.parquet")
     cc_v = os.path.join(x, "dedup_cc", "vertices.parquet")
     de_e = os.path.join(x, "dedup_eval", "edges.parquet")
@@ -2853,6 +3007,115 @@ def _exchange_oracles() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
             ORDER BY src, dst
         """,
+        "crop_dedup": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{crop_px}')),
+            dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
+                     FROM pxt GROUP BY image_id),
+            tiles AS (
+                SELECT image_id, ty::INT AS ty, tx::INT AS tx
+                FROM dims, range(0, 8) a(ty), range(0, 8) b(tx)
+                WHERE ty < h // 16 AND tx < w // 16),
+            grid AS (
+                SELECT t.image_id, t.ty, t.tx, oi::INT AS oi, oj::INT AS oj,
+                       (t.ty * 16 + oi * 2)::INT AS sy,
+                       (t.tx * 16 + oj * 2)::INT AS sx
+                FROM tiles t, range(0, 8) c(oi), range(0, 8) d(oj)),
+            lum AS (
+                SELECT g.image_id, g.ty, g.tx, g.oi, g.oj,
+                       299*p.r::BIGINT + 587*p.g::BIGINT + 114*p.b::BIGINT AS lv
+                FROM grid g JOIN pxt p
+                  ON p.image_id = g.image_id AND p.y = g.sy AND p.x = g.sx),
+            tsum AS (SELECT image_id, ty, tx, sum(lv) AS s
+                     FROM lum GROUP BY 1, 2, 3),
+            bits AS (
+                SELECT l.image_id, l.ty, l.tx, (l.oi * 8 + l.oj)::INT AS k,
+                       CASE WHEN 64 * l.lv > t.s THEN 1 ELSE 0 END AS bit
+                FROM lum l JOIN tsum t USING (image_id, ty, tx)),
+            halves AS (
+                SELECT image_id, ty, tx,
+                       sum(CASE WHEN bit = 1 AND k < 32
+                           THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+                       sum(CASE WHEN bit = 1 AND k >= 32
+                           THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+                FROM bits GROUP BY 1, 2, 3),
+            th AS (
+                SELECT DISTINCT image_id,
+                       (CASE WHEN hv >= 9223372036854775808::HUGEINT
+                             THEN hv - 18446744073709551616::HUGEINT
+                             ELSE hv END)::BIGINT AS tile_hash
+                FROM (SELECT image_id,
+                             hi::HUGEINT * 4294967296::HUGEINT + lo::HUGEINT AS hv
+                      FROM halves)
+                WHERE hv <> 0),
+            ok AS (SELECT tile_hash FROM th
+                   GROUP BY tile_hash HAVING count(*) <= 256),
+            thf AS (SELECT th.* FROM th JOIN ok USING (tile_hash))
+            SELECT a.image_id AS src, b.image_id AS dst,
+                   count(DISTINCT a.tile_hash)::BIGINT AS shared_tiles
+            FROM thf a JOIN thf b USING (tile_hash)
+            WHERE a.image_id < b.image_id
+            GROUP BY 1, 2 HAVING count(DISTINCT a.tile_hash) >= 2
+            ORDER BY src, dst
+        """,
+        "sharpness_filter": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{sharp_px}')),
+            lum AS (SELECT image_id, y, x,
+                           299*r::BIGINT + 587*g::BIGINT + 114*b::BIGINT AS lv
+                    FROM pxt),
+            dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h,
+                            count(*) AS n_px
+                     FROM pxt GROUP BY image_id),
+            lap AS (
+                SELECT c.image_id,
+                       (4*c.lv - u.lv - d.lv - l.lv - r.lv) AS lap
+                FROM lum c
+                JOIN lum u ON u.image_id = c.image_id
+                          AND u.y = c.y - 1 AND u.x = c.x
+                JOIN lum d ON d.image_id = c.image_id
+                          AND d.y = c.y + 1 AND d.x = c.x
+                JOIN lum l ON l.image_id = c.image_id
+                          AND l.y = c.y AND l.x = c.x - 1
+                JOIN lum r ON r.image_id = c.image_id
+                          AND r.y = c.y AND r.x = c.x + 1),
+            agg AS (
+                SELECT image_id, count(*) AS n_interior,
+                       sum(lap*lap) AS sum_lap2
+                FROM lap GROUP BY image_id),
+            clip AS (
+                SELECT image_id,
+                       sum((lv > 240000)::INT) AS n_over,
+                       sum((lv < 15000)::INT) AS n_under
+                FROM lum GROUP BY image_id)
+            SELECT d.image_id, d.n_px::BIGINT AS n_px,
+                   a.n_interior::BIGINT AS n_interior,
+                   a.sum_lap2::BIGINT AS sum_lap2,
+                   c.n_over::BIGINT AS n_over, c.n_under::BIGINT AS n_under,
+                   (a.sum_lap2 >= 1000 * a.n_interior
+                    AND 2 * c.n_over <= d.n_px
+                    AND 2 * c.n_under <= d.n_px)::INT AS keep
+            FROM dims d JOIN agg a USING (image_id) JOIN clip c USING (image_id)
+            ORDER BY image_id
+        """,
+        "split_assign": f"""
+            WITH RECURSIVE sym AS (
+                SELECT src AS u, dst AS v FROM read_parquet('{split_e}')
+                UNION
+                SELECT dst, src FROM read_parquet('{split_e}')),
+            verts AS (SELECT doc_id FROM documents),
+            reach(u, v) AS (
+                SELECT doc_id, doc_id FROM verts
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
+            comp AS (SELECT u AS doc_id, min(v) AS group_id
+                     FROM reach GROUP BY u)
+            SELECT doc_id, group_id,
+                   CASE WHEN substr(md5('split:' || group_id::VARCHAR), 1, 1)
+                             IN ('c', 'd') THEN 'val'
+                        WHEN substr(md5('split:' || group_id::VARCHAR), 1, 1)
+                             IN ('e', 'f') THEN 'test'
+                        ELSE 'train' END AS split
+            FROM comp ORDER BY doc_id
+        """,
         "audio_neardup": f"""
             WITH env AS (SELECT * FROM read_parquet('{au_env}')),
             meta AS (SELECT * FROM read_parquet('{au_meta}')),
@@ -3124,6 +3387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psnr_fidelity": q_psnr_fidelity,
         "dhash_dedup": q_dhash_dedup,
         "dihedral_dedup": q_dihedral_dedup,
+        "crop_dedup": q_crop_dedup,
+        "sharpness_filter": q_sharpness_filter,
+        "split_assign": q_split_assign,
+        "shard_manifest": q_shard_manifest,
         "checkpoint_lineage": q_checkpoint_lineage,
         "audio_neardup": q_audio_neardup,
         "suffix_lcs": q_suffix_lcs,
@@ -3294,6 +3561,13 @@ def oracle_sql() -> dict[str, str]:
                                            ' +', ' ', 'g'))) AS fingerprint,
                    count(*)::BIGINT AS group_size, min(doc_id) AS canonical_id
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "shard_manifest": """
+            SELECT (strpos('0123456789abcdef',
+                           substr(md5(doc_id::VARCHAR), 1, 1)) - 1)::INT AS shard,
+                   count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents GROUP BY 1 ORDER BY shard
         """,
         "token_jaccard": """
             WITH toks0 AS (

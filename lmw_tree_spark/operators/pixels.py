@@ -319,3 +319,157 @@ def dhash_dihedral(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["image_id", "dhash_min"])
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, DHASH_MIN_SCHEMA)
+
+
+TILE_HASH_SCHEMA = "image_id string, ty int, tx int, tile_hash long"
+
+
+def tile_ahash(images: DataFrame, tile: int = 16) -> DataFrame:
+    """Per-tile average-hash grid — the CROP-robust perceptual signature the
+    whole-image families (phash/dhash/dihedral) structurally lack: a crop
+    shifts every pixel the global hashes see, but tiles aligned to the same
+    ``tile``-pixel lattice are bit-identical between an image and its crop, so
+    any crop that preserves >= 2 whole tiles still collides.
+
+    One row per whole tile: decode → integer BT.601 luma ``299r+587g+114b``
+    (scaled x1000; exact int64 in any engine) → 8x8 NN subsample of the tile
+    (stride ``tile//8``) → bit ``k=oi*8+oj`` set iff ``64*lum > sum(lum)``
+    (the average-hash test as pure integer algebra — no float mean whose
+    summation order could flip a borderline bit). Partial edge tiles are
+    skipped (they cannot match across differently-sized crops anyway).
+    Constant tiles hash to 0 (strict ``>`` never fires); callers must drop
+    ``tile_hash = 0`` before any self-join — it is the degenerate hot bucket
+    (flat sky/background tiles), the same guard as dedup.py's ``max_token_df``.
+
+    Pure map stage; integer index algebra end-to-end, so an oracle re-derives
+    every tile hash from raw pixels. Requires ``tile`` divisible by 8."""
+    if tile % 8:
+        raise ValueError("tile must be divisible by 8")
+    step = tile // 8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(64, dtype=np.uint64).reshape(8, 8)
+        oi, oj = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+                h, w = px.shape[:2]
+                ilum = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+                for ty in range(h // tile):
+                    for tx in range(w // tile):
+                        g = ilum[ty * tile + oi * step, tx * tile + oj * step]
+                        bits = (64 * g > g.sum()).astype(np.uint64)
+                        h64 = np.uint64((bits << k).sum(dtype=np.uint64))
+                        out.append((r.image_id, ty, tx, int(np.int64(h64))))
+            yield pd.DataFrame(out, columns=["image_id", "ty", "tx", "tile_hash"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, TILE_HASH_SCHEMA)
+
+
+def tile_match_pairs(
+    tiles: DataFrame, min_shared: int = 2, bucket_cap: int = 256
+) -> DataFrame:
+    """Crop-robust candidate pairs from a ``tile_ahash`` grid: images sharing
+    >= ``min_shared`` DISTINCT tile-hash values (at ANY grid position — crops
+    translate tile coordinates) → ``(src, dst, shared_tiles)``.
+
+    All-JVM: distinct (image, hash) → hash-bucket self-join → pair rollup.
+    Scale guards: ``tile_hash = 0`` (constant tiles) is dropped, and buckets
+    larger than ``bucket_cap`` images (boilerplate tiles — logo corners,
+    letterboxing) are dropped whole, the standard df-cap move: a tile shared
+    by thousands of images identifies a TEMPLATE, not a duplicate."""
+    from pyspark.sql import functions as F
+
+    th = (
+        tiles.where(F.col("tile_hash") != 0)
+        .select("image_id", "tile_hash")
+        .distinct()
+    )
+    small = (
+        th.groupBy("tile_hash")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= bucket_cap)
+        .select("tile_hash")
+    )
+    th = th.join(small, "tile_hash")
+    a, b = th.alias("a"), th.alias("b")
+    return (
+        a.join(b, "tile_hash")
+        .where(F.col("a.image_id") < F.col("b.image_id"))
+        .groupBy(
+            F.col("a.image_id").alias("src"), F.col("b.image_id").alias("dst")
+        )
+        .agg(F.count_distinct("tile_hash").cast("long").alias("shared_tiles"))
+        .where(F.col("shared_tiles") >= min_shared)
+    )
+
+
+SHARPNESS_SCHEMA = (
+    "image_id string, n_px long, n_interior long, sum_lap2 bigint, "
+    "n_over long, n_under long, keep boolean"
+)
+
+
+def sharpness_stats(
+    images: DataFrame,
+    min_lap2_mean: int = 1000,
+    max_clip_frac: float = 0.5,
+    over_luma: int = 240_000,
+    under_luma: int = 15_000,
+) -> DataFrame:
+    """Sharpness + exposure quality gate — the LAION-style image-curation
+    filter (drop flat/blurry renders, drop blown-out or black frames) as a
+    pure map stage with an integer decision algebra.
+
+    Per image, over integer luma ``L = 299r+587g+114b`` (x1000 scale):
+    ``sum_lap2`` = sum over interior pixels of the squared 4-neighbor
+    Laplacian ``(4L[y,x] - L[y-1,x] - L[y+1,x] - L[y,x-1] - L[y,x+1])²``
+    (the classic variance-of-Laplacian sharpness proxy, here a raw integer
+    sum so any engine reproduces it bit-exactly); ``n_over``/``n_under`` =
+    clipped-exposure pixel counts. ``keep`` iff
+    ``sum_lap2 >= min_lap2_mean * n_interior`` (mean Laplacian energy
+    threshold, cross-multiplied — no float division) AND neither clip count
+    exceeds ``max_clip_frac`` of the pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+                ilum = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+                lap = (
+                    4 * ilum[1:-1, 1:-1]
+                    - ilum[:-2, 1:-1]
+                    - ilum[2:, 1:-1]
+                    - ilum[1:-1, :-2]
+                    - ilum[1:-1, 2:]
+                )
+                n_px = int(ilum.size)
+                n_int = int(lap.size)
+                sum_lap2 = int((lap * lap).sum())
+                n_over = int((ilum > over_luma).sum())
+                n_under = int((ilum < under_luma).sum())
+                keep = (
+                    sum_lap2 >= min_lap2_mean * n_int
+                    and n_over <= max_clip_frac * n_px
+                    and n_under <= max_clip_frac * n_px
+                )
+                rows.append(
+                    (r.image_id, n_px, n_int, sum_lap2, n_over, n_under, keep)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_px", "n_interior", "sum_lap2",
+                    "n_over", "n_under", "keep",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, SHARPNESS_SCHEMA
+    )

@@ -207,3 +207,100 @@ def test_dhash_dihedral_invariance(spark):
     assert len(set(canon.values())) == 1, canon
     plain = {r["image_id"]: r["dhash"] for r in dhash_images(df).collect()}
     assert len(set(plain.values())) > 1  # plain dHash splits the orbit
+
+
+def test_tile_ahash_crop_invariance_and_matching(spark):
+    """Tiles of a lattice-aligned crop are bit-identical to the original's
+    tiles, so tile_match_pairs links the crop to its source — the modality
+    whole-image hashes miss (their hash shifts with every cropped pixel)."""
+    from lmw_tree_spark.operators.pixels import (
+        dhash_images, tile_ahash, tile_match_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    crop = np.ascontiguousarray(base[:, :48])  # drop the last 16-px column
+    rows = [
+        ("orig", codecs.encode_png(base), 64, 64, "png"),
+        ("crop", codecs.encode_png(crop), 48, 64, "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    tiles = tile_ahash(df, tile=16).toPandas()
+    assert len(tiles[tiles.image_id == "orig"]) == 16  # 4x4 grid
+    assert len(tiles[tiles.image_id == "crop"]) == 12  # 4x3 grid
+    o = tiles[tiles.image_id == "orig"].set_index(["ty", "tx"])["tile_hash"]
+    c = tiles[tiles.image_id == "crop"].set_index(["ty", "tx"])["tile_hash"]
+    for key, hv in c.items():
+        assert o[key] == hv  # every surviving tile hash is unchanged
+
+    pairs = tile_match_pairs(tile_ahash(df, tile=16)).toPandas()
+    assert len(pairs) == 1
+    assert pairs.iloc[0]["shared_tiles"] >= 12
+
+    # the whole-image dHash does NOT survive the crop (the point of tiles)
+    dh = {r["image_id"]: r["dhash"] for r in dhash_images(df).collect()}
+    assert dh["orig"] != dh["crop"]
+
+
+def test_tile_match_guards_degenerate_and_template_buckets(spark):
+    """Constant tiles hash to 0 and are dropped; a tile shared by more images
+    than bucket_cap is a template, dropped whole."""
+    from lmw_tree_spark.operators.pixels import tile_ahash, tile_match_pairs
+
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    shared = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    rows = [(f"f{i}", codecs.encode_png(flat), 16, 16, "png") for i in range(4)]
+    rows += [(f"s{i}", codecs.encode_png(shared), 16, 16, "png") for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    tiles = tile_ahash(df, tile=16)
+    flat_hashes = tiles.where("image_id like 'f%'").toPandas()["tile_hash"]
+    assert (flat_hashes == 0).all()  # constant tile → degenerate hash
+    # flat images never pair (hash 0 dropped); shared-content images all pair
+    pairs = tile_match_pairs(tiles, min_shared=1).toPandas()
+    assert not pairs["src"].str.startswith("f").any()
+    assert len(pairs) == 6  # C(4,2) among s0..s3
+    # with bucket_cap below the bucket size the template bucket drops whole
+    assert tile_match_pairs(tiles, min_shared=1, bucket_cap=3).count() == 0
+
+
+def test_sharpness_stats_matches_numpy_and_gates(spark):
+    """sum_lap2/clip counts match a NumPy replay exactly (integer algebra);
+    flat frames are dropped, textured frames kept."""
+    from lmw_tree_spark.operators.pixels import sharpness_stats
+
+    rng = np.random.default_rng(5)
+    tex = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    flat = np.full((32, 32, 3), 128, dtype=np.uint8)
+    white = np.full((32, 32, 3), 252, dtype=np.uint8)
+    rows = [
+        ("tex", codecs.encode_png(tex), 32, 32, "png"),
+        ("flat", codecs.encode_png(flat), 32, 32, "png"),
+        ("white", codecs.encode_png(white), 32, 32, "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = sharpness_stats(df).toPandas().set_index("image_id")
+
+    lum = (
+        299 * tex[..., 0].astype(np.int64)
+        + 587 * tex[..., 1].astype(np.int64)
+        + 114 * tex[..., 2].astype(np.int64)
+    )
+    lap = (
+        4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1] - lum[2:, 1:-1]
+        - lum[1:-1, :-2] - lum[1:-1, 2:]
+    )
+    assert out.loc["tex", "sum_lap2"] == int((lap * lap).sum())
+    assert out.loc["tex", "n_interior"] == 30 * 30
+    assert bool(out.loc["tex", "keep"])
+
+    assert out.loc["flat", "sum_lap2"] == 0
+    assert not bool(out.loc["flat", "keep"])
+    assert out.loc["white", "n_over"] == 32 * 32  # luma 252000 > 240000
+    assert not bool(out.loc["white", "keep"])
