@@ -263,6 +263,26 @@ def _srp_production(spark, sf_dir):
     return srp_neardup_pairs(emb, min_cosine=0.8, pair_cap=256)
 
 
+def _crop_production(spark, sf_dir):
+    """Production-config crop-robust tile dedup (no oracle-exchange pixel
+    materialization): tile-hash grid + guarded hash self-join over a 2000-image
+    corpus — decode-heavy map stage + all-JVM pairing."""
+    from lmw_tree_spark.operators.pixels import tile_ahash, tile_match_pairs
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 2000)
+    return tile_match_pairs(tile_ahash(images, tile=16), min_shared=2)
+
+
+def _sharpness_production(spark, sf_dir):
+    """Production-config sharpness/exposure gate over 2000 images — pure map,
+    integer Laplacian algebra."""
+    from lmw_tree_spark.operators.pixels import sharpness_stats
+    from lmw_tree_spark.sources.images import generate_images
+
+    return sharpness_stats(generate_images(spark, 2000)).where("keep")
+
+
 def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry
 
@@ -279,11 +299,14 @@ def run_queries(spark, sf_dir: str) -> dict:
         "simhash_dedup", "ivf_ann", "pq_ann", "srp_neardup",
         "user_sessions", "events_hourly",
         "semantic_dedup", "vocab_stats", "group_size_histogram", "reduce_dims",
+        "crop_dedup", "sharpness_filter", "shard_manifest",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
     qs["pq_ann"] = _pq_production
     qs["srp_neardup"] = _srp_production
+    qs["crop_dedup"] = _crop_production
+    qs["sharpness_filter"] = _sharpness_production
     out = {}
     for name in names:
         # min-of-2: the first run pays Python-worker spin-up / first-import /

@@ -348,23 +348,41 @@ def tile_ahash(images: DataFrame, tile: int = 16) -> DataFrame:
     step = tile // 8
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        k = np.arange(64, dtype=np.uint64).reshape(8, 8)
-        oi, oj = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        k = np.arange(64, dtype=np.uint64)  # bit index for (oi, oj) = oi*8+oj
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = []
+            ids, tys, txs, hashes = [], [], [], []
             for r in pdf.itertuples():
                 px = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
                 h, w = px.shape[:2]
+                gy, gx = h // tile, w // tile
+                if not gy or not gx:
+                    continue
                 ilum = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
-                for ty in range(h // tile):
-                    for tx in range(w // tile):
-                        g = ilum[ty * tile + oi * step, tx * tile + oj * step]
-                        bits = (64 * g > g.sum()).astype(np.uint64)
-                        h64 = np.uint64((bits << k).sum(dtype=np.uint64))
-                        out.append((r.image_id, ty, tx, int(np.int64(h64))))
-            yield pd.DataFrame(out, columns=["image_id", "ty", "tx", "tile_hash"])
+                # all tiles at once: (gy, gx, 8, 8) of NN-subsampled luma
+                g = (
+                    ilum[: gy * tile : step, : gx * tile : step]
+                    .reshape(gy, 8, gx, 8)
+                    .transpose(0, 2, 1, 3)
+                )
+                s = g.sum(axis=(2, 3), keepdims=True)
+                bits = (64 * g > s).reshape(gy * gx, 64).astype(np.uint64)
+                h64 = (bits << k).sum(axis=1, dtype=np.uint64)
+                n = gy * gx
+                ids.extend([r.image_id] * n)
+                tidx = np.arange(n)
+                tys.append(tidx // gx)
+                txs.append(tidx % gx)
+                hashes.append(h64.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "ty": np.concatenate(tys).astype(np.int32) if tys else [],
+                    "tx": np.concatenate(txs).astype(np.int32) if txs else [],
+                    "tile_hash": np.concatenate(hashes) if hashes else [],
+                }
+            )
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, TILE_HASH_SCHEMA)
 
@@ -383,10 +401,14 @@ def tile_match_pairs(
     by thousands of images identifies a TEMPLATE, not a duplicate."""
     from pyspark.sql import functions as F
 
+    # persist the distinct (image, hash) set: it feeds THREE consumers (the
+    # df-cap filter and both self-join sides) — without this the decode+hash
+    # lineage runs three times (3x decode at 100 TB)
     th = (
         tiles.where(F.col("tile_hash") != 0)
         .select("image_id", "tile_hash")
         .distinct()
+        .persist()
     )
     small = (
         th.groupBy("tile_hash")
