@@ -2131,6 +2131,87 @@ def q_shard_manifest(spark, sf_dir):
     )
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization + registered-domain rollup (functions/text.py:
+    canonicalize_url_col) — the pre-dedup normalization of a crawl pipeline.
+    Two URL variants are planted per doc from md5-derived decorations (scheme/
+    host case, default port, trailing slash, utm/gclid tracking params,
+    fragment); both must collapse to the same canonical string. The oracle
+    re-derives the planted inputs from the SAME md5 algebra and re-implements
+    the canonicalization chain in RE2 dialect — an independent second
+    implementation, like the scrub_pii Java-vs-RE2 cross-check."""
+    from lmw_tree_spark.functions.text import canonicalize_url_col, url_domain_col
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("url:"), F.col("doc_id").cast("string")))
+    sub = lambda i, n=1: F.substring(h, i, n)  # noqa: E731
+    host = F.concat(
+        F.lit("www.s"), F.substring(h, 1, 2),
+        F.when(sub(3).isin(*"01234567"), F.lit(".com")).otherwise(F.lit(".org")),
+    )
+    scheme = F.when(sub(4).isin(*"01234567"), F.lit("http")).otherwise(
+        F.lit("https")
+    )
+    clean = F.concat(
+        scheme, F.lit("://"), host, F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.lit("?id="), F.col("doc_id").cast("string"),
+    )
+    port = F.when(
+        sub(7).isin(*"0123"),
+        F.when(scheme == "http", F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    decorated = F.concat(
+        F.when(sub(5).isin(*"0123"), F.upper(scheme)).otherwise(scheme),
+        F.lit("://"),
+        F.when(sub(6).isin(*"0123"), F.upper(host)).otherwise(host),
+        port,
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.when(sub(8).isin(*"01234567"), F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="), F.col("doc_id").cast("string"),
+        F.when(
+            sub(9).isin(*"01234567"),
+            F.concat(F.lit("&utm_source=feed&gclid="), F.substring(h, 10, 4)),
+        ).otherwise(F.lit("")),
+        F.when(
+            sub(14).isin(*"01234567"), F.concat(F.lit("#sec"), sub(15))
+        ).otherwise(F.lit("")),
+    )
+    urls = docs.select(
+        "doc_id", F.explode(F.array(clean, decorated)).alias("url")
+    )
+    canon = urls.select(
+        "doc_id", canonicalize_url_col("url").alias("canon")
+    )
+    return (
+        canon.groupBy("canon")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.min("doc_id").alias("doc_id"),
+        )
+        .select(
+            "doc_id", "canon", url_domain_col(F.col("canon")).alias("domain"),
+            "n_variants",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-rebalanced language mixing (operators/sampling.py:
+    mixture_sample): per-language quotas proportional to sqrt(n_lang) —
+    upsampling low-resource languages relative to their share — filled by
+    deterministic md5 rank. The whole quota algebra is integer (floor(sqrt),
+    integer div), so the oracle reproduces the exact row set."""
+    from lmw_tree_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mixture_sample(docs, "lang", total=200)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_audio_neardup(spark, sf_dir):
     """Audio near-dup groups via quantized RMS-envelope fingerprints
     (sources/multimodal.py:161). The RAW per-window RMS envelope + global
@@ -3391,6 +3472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,
+        "url_canonical": q_url_canonical,
+        "mixture_sample": q_mixture_sample,
         "checkpoint_lineage": q_checkpoint_lineage,
         "audio_neardup": q_audio_neardup,
         "suffix_lcs": q_suffix_lcs,
@@ -3561,6 +3644,85 @@ def oracle_sql() -> dict[str, str]:
                                            ' +', ' ', 'g'))) AS fingerprint,
                    count(*)::BIGINT AS group_size, min(doc_id) AS canonical_id
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "url_canonical": r"""
+            WITH h AS (SELECT doc_id, md5('url:' || doc_id::VARCHAR) AS hx
+                       FROM documents),
+            parts AS (
+                SELECT doc_id,
+                       'www.s' || substr(hx, 1, 2) ||
+                       CASE WHEN substr(hx, 3, 1) < '8'
+                            THEN '.com' ELSE '.org' END AS host,
+                       CASE WHEN substr(hx, 4, 1) < '8'
+                            THEN 'http' ELSE 'https' END AS scheme,
+                       substr(hx, 5, 1) AS c5, substr(hx, 6, 1) AS c6,
+                       substr(hx, 7, 1) AS c7, substr(hx, 8, 1) AS c8,
+                       substr(hx, 9, 1) AS c9, substr(hx, 10, 4) AS trk,
+                       substr(hx, 14, 1) AS c14, substr(hx, 15, 1) AS c15
+                FROM h),
+            urls AS (
+                SELECT doc_id,
+                       scheme || '://' || host || '/p/' || doc_id::VARCHAR
+                       || '?id=' || doc_id::VARCHAR AS u
+                FROM parts
+                UNION ALL
+                SELECT doc_id,
+                       (CASE WHEN c5 < '4' THEN upper(scheme)
+                             ELSE scheme END) || '://' ||
+                       (CASE WHEN c6 < '4' THEN upper(host) ELSE host END) ||
+                       (CASE WHEN c7 < '4' THEN
+                            (CASE WHEN scheme = 'http'
+                                  THEN ':80' ELSE ':443' END)
+                            ELSE '' END) ||
+                       '/p/' || doc_id::VARCHAR ||
+                       (CASE WHEN c8 < '8' THEN '/' ELSE '' END) ||
+                       '?id=' || doc_id::VARCHAR ||
+                       (CASE WHEN c9 < '8'
+                             THEN '&utm_source=feed&gclid=' || trk
+                             ELSE '' END) ||
+                       (CASE WHEN c14 < '8' THEN '#sec' || c15 ELSE '' END)
+                FROM parts),
+            nofrag AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u
+                       FROM urls),
+            canon AS (
+                SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(
+                    lower(regexp_extract(u,
+                        '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+                    regexp_extract(u,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+                    '^(http://[^/?#:]*):80([/?#])', '\1\2'),
+                    '^(http://[^/?#:]*):80$', '\1'),
+                    '^(https://[^/?#:]*):443([/?#])', '\1\2'),
+                    '^(https://[^/?#:]*):443$', '\1'),
+                    '(utm_[a-z0-9]+|fbclid|gclid)=[^&#]*&', '', 'g'),
+                    '[?&](utm_[a-z0-9]+|fbclid|gclid)=[^&#]*$', ''),
+                    '/+\?', '?'),
+                    '/+$', '') AS c
+                FROM nofrag),
+            canon2 AS (SELECT doc_id, regexp_replace(c, '\?$', '') AS canon
+                       FROM canon)
+            SELECT min(doc_id) AS doc_id, canon,
+                   regexp_extract(
+                       regexp_extract(canon, '://([^/:?#]+)', 1),
+                       '[^.]+\.[^.]+$', 0) AS domain,
+                   count(*)::BIGINT AS n_variants
+            FROM canon2 GROUP BY canon ORDER BY doc_id
+        """,
+        "mixture_sample": """
+            WITH w AS (SELECT lang, floor(sqrt(count(*)))::BIGINT AS wt
+                       FROM documents GROUP BY lang),
+            tot AS (SELECT sum(wt) AS big_w FROM w),
+            q AS (SELECT lang, (200 * wt) // big_w AS quota FROM w, tot),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY substr(md5(doc_id::VARCHAR || ':0'), 1, 8),
+                                      doc_id) AS rn
+                  FROM documents)
+            SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+            WHERE rn <= quota ORDER BY doc_id
         """,
         "shard_manifest": """
             SELECT (strpos('0123456789abcdef',

@@ -237,3 +237,44 @@ def unigram_nll(
         )
     )
     return df.join(scored, id_col, "left")
+
+
+# URL canonicalization — the pre-dedup normalization every crawl pipeline runs
+# (two fetches of the same page differ only by case, default port, tracking
+# params, fragments, or a trailing slash). The rule set is the portable
+# Java-regex/RE2 subset: character classes, alternation, anchors, ONE capture
+# group per replace (Spark replacement syntax is `$1`, DuckDB's is `\1` — the
+# oracle re-implements the same chain in its own dialect, which is exactly
+# the independent-replay property the correctness gate wants).
+_SCHEME_HOST_RE = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+_TRACKING = "(utm_[a-z0-9]+|fbclid|gclid)"
+
+
+def canonicalize_url_col(url: str | Column = "url") -> Column:
+    """Canonical form of a URL column: strip the fragment, lowercase the
+    scheme+host (path/query case is significant, so it is preserved), drop
+    default ports (http:80 / https:443), remove tracking query params
+    (``utm_*``, ``fbclid``, ``gclid``), collapse a pre-query trailing slash,
+    and strip trailing ``/`` and dangling ``?``. Pure JVM regexp chain —
+    map-only, codegen, free on any scan."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, "#.*$", "")
+    head = F.regexp_extract(u, _SCHEME_HOST_RE, 1)
+    rest = F.regexp_extract(u, _SCHEME_HOST_RE + "(.*)$", 2)
+    u = F.concat(F.lower(head), rest)
+    u = F.regexp_replace(u, "^(http://[^/?#:]*):80([/?#])", "$1$2")
+    u = F.regexp_replace(u, "^(http://[^/?#:]*):80$", "$1")
+    u = F.regexp_replace(u, "^(https://[^/?#:]*):443([/?#])", "$1$2")
+    u = F.regexp_replace(u, "^(https://[^/?#:]*):443$", "$1")
+    u = F.regexp_replace(u, _TRACKING + "=[^&#]*&", "")
+    u = F.regexp_replace(u, "[?&]" + _TRACKING + "=[^&#]*$", "")
+    u = F.regexp_replace(u, "/+\\?", "?")
+    u = F.regexp_replace(u, "/+$", "")
+    u = F.regexp_replace(u, "\\?$", "")
+    return u
+
+
+def url_domain_col(canon: Column) -> Column:
+    """Registered domain (last two host labels) of a canonicalized URL."""
+    host = F.regexp_extract(canon, "://([^/:?#]+)", 1)
+    return F.regexp_extract(host, "[^.]+\\.[^.]+$", 0)

@@ -77,3 +77,49 @@ def stratified_sample_sql(
         f"substr(md5({id_col}::VARCHAR || ':{salt}'), 1, 8) "
         f"< (CASE {cases} ELSE '' END)"
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    total: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-rebalanced corpus mixing (the Llama/mC4-style step that
+    upsamples low-resource strata): per-stratum quotas proportional to
+    ``sqrt(n_s)`` (temperature alpha = 0.5), filled by deterministic hash
+    rank — reproducible across partitioning/retries/cluster size like
+    ``stratified_sample``, but with DATA-DEPENDENT quotas.
+
+    All quota algebra is integer so any engine reproduces the exact row set:
+    ``w_s = floor(sqrt(n_s))`` (IEEE sqrt is correctly rounded, so floor is
+    engine-stable), ``quota_s = (total * w_s) div (sum_s w_s)``, and each
+    stratum keeps its ``quota_s`` lowest ``(md5 hash, id)`` rows. No float
+    crosses a comparison. Scale shape: one bounded groupBy (#strata rows),
+    one broadcast join, one per-stratum window — the window partitions by
+    stratum, so skew equals stratum skew; at extreme per-stratum row counts
+    pre-filter with ``stratified_sample`` first."""
+    from pyspark.sql import Window
+
+    w = (
+        df.groupBy(strata_col)
+        .agg(F.count("*").alias("n_s"))
+        .withColumn("wt", F.floor(F.sqrt(F.col("n_s"))).cast("long"))
+    )
+    tot = w.agg(F.sum("wt").alias("big_w"))
+    quotas = w.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        F.expr(f"({total} * wt) div big_w").alias("quota"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(
+            sample_hash_col(F.col(id_col), salt), F.col(id_col)
+        )
+    )
+    return (
+        df.join(F.broadcast(quotas), strata_col)
+        .withColumn("_rn", rank)
+        .where(F.col("_rn") <= F.col("quota"))
+        .drop("_rn", "quota")
+    )

@@ -211,3 +211,50 @@ def test_unigram_nll_matches_python(spark):
     for doc_id, toks in ((1, ["a", "a", "b"]), (2, ["b", "c"])):
         exact = sum(-math.log2(freq[t] / total) for t in toks) / len(toks)
         assert abs(got[doc_id] - round(exact, 4)) < 1e-9
+
+
+def test_canonicalize_url_hand_cases(spark):
+    """canonicalize_url_col vs hand-derived canonical forms covering every
+    rule: fragment, scheme/host case, default ports, tracking params,
+    trailing slash, dangling '?'."""
+    from lmw_tree_spark.functions.text import canonicalize_url_col, url_domain_col
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/a/?utm_source=x#frag",
+         "http://www.example.com/a", "example.com"),
+        ("https://Site.ORG:443/p/1?id=1&gclid=abc",
+         "https://site.org/p/1?id=1", "site.org"),
+        ("http://a.b.c.net/x/", "http://a.b.c.net/x", "c.net"),
+        # non-default port preserved; path case preserved
+        ("https://Host.io:8443/Path?Q=1", "https://host.io:8443/Path?Q=1",
+         "host.io"),
+        # tracking param in the middle of the query
+        ("http://h.com/p?utm_medium=m&id=2&fbclid=z", "http://h.com/p?id=2",
+         "h.com"),
+        # bare host with trailing slash and dangling '?'
+        ("http://h.com/?", "http://h.com", "h.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    out = df.select(
+        "url",
+        canonicalize_url_col("url").alias("canon"),
+    ).withColumn("domain", url_domain_col(F.col("canon"))).collect()
+    got = {r["url"]: (r["canon"], r["domain"]) for r in out}
+    for url, canon, domain in cases:
+        assert got[url] == (canon, domain), url
+
+
+def test_canonicalize_url_idempotent_and_collapses_variants(spark):
+    from lmw_tree_spark.functions.text import canonicalize_url_col
+
+    variants = [
+        "http://ex.com/p/9?id=9",
+        "HTTP://EX.COM:80/p/9/?id=9&utm_source=feed&gclid=xy#sec1",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    canon = df.select(canonicalize_url_col("url").alias("c"))
+    vals = [r["c"] for r in canon.collect()]
+    assert vals[0] == vals[1] == "http://ex.com/p/9?id=9"
+    # idempotent: canonicalizing the canonical form is a no-op
+    twice = canon.select(canonicalize_url_col(F.col("c")).alias("c2")).collect()
+    assert all(r["c2"] == vals[0] for r in twice)

@@ -68,3 +68,55 @@ def test_sql_parity_predicate(corpus):
     assert "md5" in sql and "WHEN stratum = 'a'" in sql
     thr = _thresholds({"x": 0.3})["x"]
     assert thr == format(int(0.3 * 16**8), "08x")
+
+
+def test_mixture_sample_quotas_and_membership(spark):
+    """mixture_sample: per-stratum quota = (total * floor(sqrt(n_s))) div
+    sum(floor(sqrt(n))), membership = lowest (md5, id) hash rank — both
+    reproduced in pure Python."""
+    import math
+
+    from lmw_tree_spark.operators.sampling import mixture_sample
+
+    sizes = {"en": 900, "fr": 100, "de": 25, "zz": 1}
+    rows, i = [], 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, lang))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_sample(df, "lang", total=100, salt=3).toPandas()
+
+    wts = {s: math.floor(math.sqrt(n)) for s, n in sizes.items()}
+    big_w = sum(wts.values())  # 30+10+5+1 = 46
+    # a quota can exceed the stratum size (zz: quota 2, 1 row) — capped there
+    quotas = {s: min((100 * w) // big_w, sizes[s]) for s, w in wts.items()}
+    got_counts = out.groupby("lang")["doc_id"].count().to_dict()
+    for s in sizes:
+        assert got_counts.get(s, 0) == quotas[s], s
+    # low-resource upsampled: fr keeps 21/100 vs its 8.8% natural share
+    assert quotas["fr"] / 100 > sizes["fr"] / sum(sizes.values())
+
+    # membership: per-stratum lowest (md5(id:salt)[:8], id)
+    by_lang = {}
+    for doc_id, lang in rows:
+        h = hashlib.md5(f"{doc_id}:3".encode()).hexdigest()[:8]
+        by_lang.setdefault(lang, []).append((h, doc_id))
+    expect = set()
+    for lang, pairs in by_lang.items():
+        for _, doc_id in sorted(pairs)[: quotas[lang]]:
+            expect.add(doc_id)
+    assert set(out["doc_id"]) == expect
+
+
+def test_mixture_sample_partitioning_invariance(spark):
+    from lmw_tree_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    one = set(r["doc_id"] for r in mixture_sample(df.coalesce(1), "lang", 50).collect())
+    many = set(
+        r["doc_id"]
+        for r in mixture_sample(df.repartition(16, "doc_id"), "lang", 50).collect()
+    )
+    assert one == many
