@@ -433,29 +433,10 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_simhash32(spark, sf_dir):
     """32-bit token SimHash, fully JVM-side with a SQL-portable token hash
     (md5-derived), so the whole signature is DuckDB-checkable bit-for-bit."""
-    from lmw_tree_spark.functions.text import token_hash32_col
+    from lmw_tree_spark.functions.text import token_simhash32
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    ).select("doc_id", token_hash32_col(F.col("tok")).alias("h"))
-    bits = toks.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
-    )
-    votes = bits.groupBy("doc_id", "j").agg(
-        F.sum(F.expr("(shiftright(h, j) & 1) * 2 - 1")).alias("vote")
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("vote") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias("simhash32")
-        )
-        .orderBy("doc_id")
-    )
+    return token_simhash32(docs).orderBy("doc_id")
 
 
 def q_minhash_sql(spark, sf_dir):
@@ -2212,6 +2193,83 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def _domain_col():
+    """16 synthetic registered domains from md5 algebra (d0.com .. df.com) —
+    the planted 'host' of each document, replayable in any SQL engine."""
+    return F.concat(
+        F.lit("d"),
+        F.substring(F.md5(F.concat(F.lit("dom:"), F.col("doc_id").cast("string"))), 1, 1),
+        F.lit(".com"),
+    )
+
+
+def q_domain_quality(spark, sf_dir):
+    """Domain-level curation gate (operators/quality.py:domain_quality_gate) —
+    the UT1-blocklist + domain-reputation step of C4/RefinedWeb: per registered
+    domain, doc count + mean quality score + the keep decision (not blocked,
+    >= min_docs, rounded mean quality >= threshold). Domains and the blocklist
+    are planted from md5 algebra; the oracle replays the per-doc quality
+    expression, the rollup, and the decision."""
+    from lmw_tree_spark.functions.text import quality_score_col
+    from lmw_tree_spark.operators.quality import domain_quality_gate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _domain_col().alias("domain"), quality_score_col("text").alias("quality")
+    )
+    blocklist = (
+        docs.select("domain")
+        .distinct()
+        .where(F.substring(F.md5(F.col("domain")), 1, 1).isin(*"0123"))
+    )
+    return domain_quality_gate(
+        docs, min_docs=5, min_quality=0.5, blocklist=blocklist
+    ).orderBy("domain")
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain fairness cap after the domain gate (operators/sampling.py:
+    domain_cap): surviving domains keep at most 10 docs each, membership by
+    deterministic (md5, id) rank — the C4/RefinedWeb anti-monoculture step.
+    The whole chain (domain derivation → gate → rank → cap) is integer/string
+    algebra, so the oracle reproduces the exact kept row set."""
+    from lmw_tree_spark.functions.text import quality_score_col
+    from lmw_tree_spark.operators.quality import domain_quality_gate
+    from lmw_tree_spark.operators.sampling import domain_cap
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _domain_col().alias("domain"), quality_score_col("text").alias("quality")
+    )
+    blocklist = (
+        docs.select("domain")
+        .distinct()
+        .where(F.substring(F.md5(F.col("domain")), 1, 1).isin(*"0123"))
+    )
+    gate = domain_quality_gate(docs, min_docs=5, min_quality=0.5, blocklist=blocklist)
+    kept = docs.join(
+        F.broadcast(gate.where("kept").select("domain")), "domain"
+    )
+    return (
+        domain_cap(kept, "domain", cap=10, salt=1)
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
+    )
+
+
+def q_align_filter(spark, sf_dir):
+    """Cross-modal image-caption alignment gate (operators/alignment.py) — the
+    CLIP-score filtering step of LAION-style curation, with a deterministic
+    integer stand-in scorer (md5-derived integer hyperplane SRP of the image
+    embedding vs the caption's 32-bit token SimHash, Hamming gate). Every step
+    is integer algebra; the oracle replays projection, both signatures, the
+    distance, and the keep decision from the raw documents+embeddings views
+    with NO materialized state."""
+    from lmw_tree_spark.operators.alignment import crossmodal_alignment
+
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    return crossmodal_alignment(docs, embs, max_hamming=12).orderBy("doc_id")
+
+
 def q_audio_neardup(spark, sf_dir):
     """Audio near-dup groups via quantized RMS-envelope fingerprints
     (sources/multimodal.py:161). The RAW per-window RMS envelope + global
@@ -3474,6 +3532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "url_canonical": q_url_canonical,
         "mixture_sample": q_mixture_sample,
+        "domain_quality": q_domain_quality,
+        "domain_cap": q_domain_cap,
+        "align_filter": q_align_filter,
         "checkpoint_lineage": q_checkpoint_lineage,
         "audio_neardup": q_audio_neardup,
         "suffix_lcs": q_suffix_lcs,
@@ -3723,6 +3784,93 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
             WHERE rn <= quota ORDER BY doc_id
+        """,
+        "domain_quality": """
+            WITH q AS (
+                SELECT doc_id,
+                       'd' || substr(md5('dom:' || doc_id::VARCHAR), 1, 1)
+                           || '.com' AS domain,
+                       length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE
+                           / length(text) * 0.5
+                       + (CASE WHEN (length(text) - (len(string_split(lower(text), ' ')) - 1))::DOUBLE
+                                    / len(string_split(lower(text), ' '))
+                               BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+                       + least(len(string_split(lower(text), ' ')) / 20.0, 1.0) * 0.25
+                           AS quality
+                FROM documents),
+            stats AS (
+                SELECT domain, count(*)::BIGINT AS n_docs,
+                       round(avg(quality), 4) AS avg_quality,
+                       substr(md5(domain), 1, 1) < '4' AS blocked
+                FROM q GROUP BY domain)
+            SELECT domain, n_docs, avg_quality,
+                   (NOT blocked) AND n_docs >= 5 AND avg_quality >= 0.5 AS kept
+            FROM stats ORDER BY domain
+        """,
+        "domain_cap": """
+            WITH q AS (
+                SELECT doc_id,
+                       'd' || substr(md5('dom:' || doc_id::VARCHAR), 1, 1)
+                           || '.com' AS domain,
+                       length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE
+                           / length(text) * 0.5
+                       + (CASE WHEN (length(text) - (len(string_split(lower(text), ' ')) - 1))::DOUBLE
+                                    / len(string_split(lower(text), ' '))
+                               BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+                       + least(len(string_split(lower(text), ' ')) / 20.0, 1.0) * 0.25
+                           AS quality
+                FROM documents),
+            stats AS (
+                SELECT domain, count(*)::BIGINT AS n_docs,
+                       round(avg(quality), 4) AS avg_quality,
+                       substr(md5(domain), 1, 1) < '4' AS blocked
+                FROM q GROUP BY domain),
+            kept AS (
+                SELECT q.doc_id, q.domain FROM q JOIN stats USING (domain)
+                WHERE (NOT blocked) AND n_docs >= 5 AND avg_quality >= 0.5),
+            ranked AS (
+                SELECT doc_id, domain,
+                       row_number() OVER (PARTITION BY domain
+                           ORDER BY substr(md5(doc_id::VARCHAR || ':1'), 1, 8),
+                                    doc_id) AS rn
+                FROM kept)
+            SELECT doc_id, domain FROM ranked WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "align_filter": """
+            WITH emb AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                       trunc(unnest(embedding) * 1024)::BIGINT AS q
+                FROM embeddings),
+            planes AS (
+                SELECT r.r, j.j,
+                       strpos('0123456789abcdef',
+                              substr(md5('11:' || r.r::VARCHAR || ':'
+                                         || j.j::VARCHAR), 1, 1)) - 9 AS c
+                FROM range(32) r(r), range(64) j(j)),
+            dots AS (
+                SELECT vec_id, r, sum(q * c) AS dot
+                FROM emb JOIN planes USING (j) GROUP BY vec_id, r),
+            img AS (
+                SELECT vec_id,
+                       sum(CASE WHEN dot > 0 THEN 1::BIGINT << r
+                                ELSE 0 END)::BIGINT AS img_sig
+                FROM dots GROUP BY vec_id),
+            toks AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)),
+            votes AS (
+                SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS vote
+                FROM toks, range(32) AS r(j) GROUP BY doc_id, j),
+            cap AS (
+                SELECT doc_id,
+                       sum(CASE WHEN vote > 0 THEN 1::BIGINT << j
+                                ELSE 0 END)::BIGINT AS cap_sig
+                FROM votes GROUP BY doc_id)
+            SELECT doc_id, img_sig, cap_sig,
+                   bit_count(xor(img_sig, cap_sig) & 4294967295)::INT AS hamming,
+                   bit_count(xor(img_sig, cap_sig) & 4294967295) <= 12 AS aligned
+            FROM cap JOIN img ON doc_id = vec_id ORDER BY doc_id
         """,
         "shard_manifest": """
             SELECT (strpos('0123456789abcdef',

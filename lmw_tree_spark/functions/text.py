@@ -86,6 +86,34 @@ def token_hash32_col(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
 
 
+def token_simhash32(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "simhash32",
+) -> DataFrame:
+    """32-bit token SimHash, fully JVM-side with the SQL-portable md5 token
+    hash: explode tokens → per-bit ±1 votes → majority bit. The relational
+    twin of the packed-numpy kernel (functions/signatures.simhash_from_token_
+    hashes), used where the signature must be DuckDB-checkable bit-for-bit."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.lower(text_col), " ")).alias("tok")
+    ).select(id_col, token_hash32_col(F.col("tok")).alias("h"))
+    bits = toks.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    )
+    votes = bits.groupBy(id_col, "j").agg(
+        F.sum(F.expr("(shiftright(h, j) & 1) * 2 - 1")).alias("vote")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias(out_col)
+    )
+
+
 def lang_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc stopword-hit scores for each language + argmax prediction.
 

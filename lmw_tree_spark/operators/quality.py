@@ -220,3 +220,50 @@ def decontaminate_spans(
         )
     )
     return docs.join(rebuilt, id_col, "left")
+
+
+def domain_quality_gate(
+    df: DataFrame,
+    domain_col: str = "domain",
+    quality_col: str = "quality",
+    min_docs: int = 2,
+    min_quality: float = 0.5,
+    blocklist: DataFrame | None = None,
+) -> DataFrame:
+    """Domain-level curation gate — the UT1-blocklist + domain-reputation step
+    of C4/RefinedWeb (Penedo et al. 2023 §3.1): a registered domain survives
+    only if it (a) is not on the blocklist, (b) has at least ``min_docs``
+    documents, and (c) its mean per-document quality clears ``min_quality``.
+    Returns ONE row per domain: ``n_docs``, ``avg_quality`` (rounded to 4
+    decimals so the float never decides a hash comparison by an ulp), and the
+    ``kept`` decision — join it back to the corpus to apply the gate.
+
+    The decision compares the ROUNDED mean against the threshold, so any
+    engine that replays the same round() reproduces the decision bit-for-bit.
+
+    Scale shape: one groupBy(domain) with map-side partial aggregation
+    (#domains ~ 10^8 at web scale — a fine shuffle key, no hot rows since the
+    agg collapses per-domain volume), plus one broadcast anti-join against the
+    blocklist (blocklists are ~10^6 rows, always broadcastable)."""
+    stats = df.groupBy(domain_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg(quality_col), 4).alias("avg_quality"),
+    )
+    if blocklist is not None:
+        stats = stats.join(
+            F.broadcast(blocklist.select(F.col(domain_col).alias("_blk")).distinct()),
+            stats[domain_col] == F.col("_blk"),
+            "left",
+        ).withColumn("_blocked", F.col("_blk").isNotNull()).drop("_blk")
+    else:
+        stats = stats.withColumn("_blocked", F.lit(False))
+    return stats.select(
+        domain_col,
+        "n_docs",
+        "avg_quality",
+        (
+            (~F.col("_blocked"))
+            & (F.col("n_docs") >= min_docs)
+            & (F.col("avg_quality") >= min_quality)
+        ).alias("kept"),
+    )

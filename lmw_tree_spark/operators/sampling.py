@@ -79,6 +79,35 @@ def stratified_sample_sql(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Per-domain fairness cap — the crawl-pipeline step that stops one hot
+    host from dominating the corpus (C4 and RefinedWeb both cap documents per
+    registered domain after URL canonicalization). Keeps at most ``cap`` rows
+    per domain, chosen by deterministic (md5 hash, id) rank so membership is
+    reproducible across partitioning/retries/cluster size — the same rank
+    kernel as ``stratified_sample``/``mixture_sample``, with a FIXED per-
+    stratum quota instead of a fraction or data-dependent share.
+
+    Scale shape: one window partitioned by domain — skew equals domain skew,
+    which is exactly the distribution being capped; a domain with 10^9 rows
+    is the pathological case, so above ``cap * 4096`` rows pre-thin with
+    ``stratified_sample`` on the hot domains first."""
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(
+            sample_hash_col(F.col(id_col), salt), F.col(id_col)
+        )
+    )
+    return df.withColumn("_rn", rank).where(F.col("_rn") <= cap).drop("_rn")
+
+
 def mixture_sample(
     df: DataFrame,
     strata_col: str,

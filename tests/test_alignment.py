@@ -1,0 +1,82 @@
+"""Cross-modal alignment gate (operators/alignment.py): integer SRP kernel vs
+a pure-Python replay, and the end-to-end join/gate semantics."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from lmw_tree_spark.operators.alignment import (
+    QUANT,
+    crossmodal_alignment,
+    int_hyperplanes,
+    srp_int_signatures,
+)
+
+
+def _py_srp(vec, planes):
+    q = np.trunc(np.asarray(vec, dtype=np.float64) * QUANT).astype(np.int64)
+    dots = planes @ q
+    return int(sum(1 << r for r in range(len(dots)) if dots[r] > 0))
+
+
+def test_int_hyperplanes_md5_algebra():
+    planes = int_hyperplanes(3, n_bits=2, seed=11)
+    for r in range(2):
+        for j in range(3):
+            h = hashlib.md5(f"11:{r}:{j}".encode()).hexdigest()
+            assert planes[r, j] == int(h[0], 16) - 8
+    assert planes.min() >= -8 and planes.max() <= 7
+
+
+def test_srp_int_signatures_matches_python(spark):
+    rng = np.random.default_rng(5)
+    d, n = 16, 40
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    planes = int_hyperplanes(d, n_bits=32, seed=11)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in srp_int_signatures(df, planes, out_col="sig").collect()
+    }
+    for i in range(n):
+        assert got[i] == _py_srp(vecs[i], planes), i
+
+
+def test_srp_int_strict_sign_and_truncation(spark):
+    # dot == 0 must give bit 0 (strict >), and quantization truncates toward 0
+    planes = np.array([[1, -1]], dtype=np.int64)
+    df = spark.createDataFrame(
+        [(0, [0.5, 0.5]), (1, [0.9, 0.1]), (2, [0.0009, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in srp_int_signatures(df, planes, out_col="sig").collect()
+    }
+    assert got[0] == 0  # exact tie -> 0
+    assert got[1] == 1
+    # 0.0009 * 1024 = 0.92... truncates to 0 -> dot 0 -> bit 0
+    assert got[2] == 0
+
+
+def test_crossmodal_alignment_gate(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    rng = np.random.default_rng(9)
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(2)],
+        "vec_id long, embedding array<float>",
+    )
+    out = crossmodal_alignment(docs, embs, max_hamming=16).toPandas()
+    assert set(out.columns) == {"doc_id", "img_sig", "cap_sig", "hamming", "aligned"}
+    assert len(out) == 2
+    for _, row in out.iterrows():
+        ham = bin((int(row.img_sig) ^ int(row.cap_sig)) & 0xFFFFFFFF).count("1")
+        assert row.hamming == ham
+        assert row.aligned == (ham <= 16)

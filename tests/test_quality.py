@@ -258,3 +258,43 @@ def test_canonicalize_url_idempotent_and_collapses_variants(spark):
     # idempotent: canonicalizing the canonical form is a no-op
     twice = canon.select(canonicalize_url_col(F.col("c")).alias("c2")).collect()
     assert all(r["c2"] == vals[0] for r in twice)
+
+
+def test_domain_quality_gate_decisions(spark):
+    """domain_quality_gate: blocklist, min_docs, and rounded-mean threshold
+    each independently flip `kept`."""
+    from lmw_tree_spark.operators.quality import domain_quality_gate
+
+    rows = (
+        [(i, "good.com", 0.9) for i in range(5)]
+        + [(10 + i, "lowq.com", 0.2) for i in range(5)]
+        + [(20, "tiny.com", 0.9)]
+        + [(30 + i, "blocked.com", 0.9) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string, quality double")
+    blk = spark.createDataFrame([("blocked.com",)], "domain string")
+    out = {
+        r["domain"]: r
+        for r in domain_quality_gate(
+            df, min_docs=2, min_quality=0.5, blocklist=blk
+        ).collect()
+    }
+    assert out["good.com"]["kept"] is True
+    assert out["lowq.com"]["kept"] is False  # quality below threshold
+    assert out["tiny.com"]["kept"] is False  # below min_docs
+    assert out["blocked.com"]["kept"] is False  # blocklisted
+    assert out["good.com"]["n_docs"] == 5
+    assert abs(out["good.com"]["avg_quality"] - 0.9) < 1e-9
+
+
+def test_domain_quality_gate_rounded_boundary(spark):
+    """The decision compares the ROUNDED mean: avg 0.49995 rounds to 0.5 and
+    passes a 0.5 threshold — the documented integer-stable contract."""
+    from lmw_tree_spark.operators.quality import domain_quality_gate
+
+    df = spark.createDataFrame(
+        [(0, "edge.com", 0.4999), (1, "edge.com", 0.5)],
+        "doc_id long, domain string, quality double",
+    )
+    row = domain_quality_gate(df, min_docs=2, min_quality=0.5).collect()[0]
+    assert row["avg_quality"] == 0.5 and row["kept"] is True

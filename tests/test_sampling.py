@@ -120,3 +120,26 @@ def test_mixture_sample_partitioning_invariance(spark):
         for r in mixture_sample(df.repartition(16, "doc_id"), "lang", 50).collect()
     )
     assert one == many
+
+
+def test_domain_cap_membership_and_cap(spark):
+    """domain_cap keeps exactly min(cap, n_domain) rows per domain, chosen by
+    lowest (md5(id:salt)[:8], id) — replayed in pure Python."""
+    from lmw_tree_spark.operators.sampling import domain_cap
+
+    rows = [(i, f"d{i % 3}.com") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = domain_cap(df, "domain", cap=7, salt=2).toPandas()
+    counts = out.groupby("domain")["doc_id"].count().to_dict()
+    assert counts == {"d0.com": 7, "d1.com": 7, "d2.com": 7}
+
+    by_dom = {}
+    for doc_id, dom in rows:
+        h = hashlib.md5(f"{doc_id}:2".encode()).hexdigest()[:8]
+        by_dom.setdefault(dom, []).append((h, doc_id))
+    expect = {d for pairs in by_dom.values() for _, d in sorted(pairs)[:7]}
+    assert set(out["doc_id"]) == expect
+
+    # cap above domain size keeps everything; partitioning-invariant
+    all_kept = domain_cap(df.repartition(16), "domain", cap=50).count()
+    assert all_kept == 100
