@@ -303,3 +303,36 @@ def test_packing_window_is_shard_partitioned(spark):
     assert "BatchEvalPython" not in plan, plan
     assert re.search(r"hashpartitioning\(shard", plan), plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_alignment_is_two_maps_one_equi_join(spark):
+    """crossmodal_alignment: the image side is one Arrow map stage, the caption
+    side whole-stage-codegen aggregation, and the modalities meet in exactly
+    one equi-join — never a nested-loop/cartesian join."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["align_filter"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted explain lists each node in the tree AND a details section —
+    # count unique "(n) Op" node headers
+    assert len(set(re.findall(r"\((\d+)\) MapInPandas", plan))) == 1  # the SRP GEMM
+    # exactly one join between the modalities
+    assert (
+        len(set(re.findall(r"\((\d+)\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)))
+        == 1
+    )
+
+
+def test_domain_gate_blocklist_and_gate_joins_broadcast(spark):
+    """domain_cap: the blocklist anti-side and the kept-domain gate are both
+    domain-cardinality tables and must broadcast — the corpus never shuffles
+    for them; the only corpus-sized operation is the per-domain rank window."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["domain_cap"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
