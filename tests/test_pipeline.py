@@ -147,3 +147,21 @@ def test_snapshot_diff_cdc(spark, tmpdir_ck):
            for r in snapshot_diff(ck, "corpus", vs[0], vs[1], "doc_id").collect()}
     assert got == {(3, "removed"), (100, "added"), (101, "added")}
     assert snapshot_diff(ck, "corpus", vs[0], vs[0], "doc_id").count() == 0
+
+
+def test_pipeline_partitioning_invariance(spark):
+    """The WHOLE flagship pipeline is partitioning-invariant: the same logical
+    input at 2 partitions and at 13 hash-shuffled partitions yields identical
+    dup groups and cluster assignments. This is the single strongest
+    cluster-scale determinism statement — every stage (signatures, candidate
+    buckets, verify, connected components, EM fit, assignment) must be free of
+    partition-order dependence for it to hold."""
+    images = generate_images(spark, 240, with_truth=True).drop("dup_group")
+    few = run_pipeline(spark, images.coalesce(2), SMALL).assignments.toPandas()
+    many = run_pipeline(
+        spark, images.repartition(13, "image_id"), SMALL
+    ).assignments.toPandas()
+    merged = few.merge(many, on="image_id", suffixes=("_a", "_b"))
+    assert len(merged) == 240
+    assert (merged["cluster_id_a"] == merged["cluster_id_b"]).all()
+    assert (merged["dup_group_a"] == merged["dup_group_b"]).all()
