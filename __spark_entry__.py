@@ -3449,6 +3449,41 @@ def _exchange_oracles() -> dict[str, str]:
     }
 
 
+def q_ar_bucket(spark, sf_dir):
+    """Aspect-ratio bucketing (operators/pixels.py:assign_ar_buckets) — the
+    SDXL multi-aspect training-prep step: nearest-aspect bucket by EXACT
+    rational comparison (|w/h - bw/bh| cross-multiplied through lcm(bh)),
+    ties to the lowest bucket_id, plus cover-resize + center-crop geometry in
+    pure integer algebra. The Spark side is a single zero-shuffle projection
+    (column-literal bucket array folded with array_min); the oracle is an
+    INDEPENDENT formulation — cross join + row_number argmin window — over
+    dims both sides derive from the same md5 algebra, so any disagreement in
+    scoring, tie-break, or ceil-division geometry fails the hash."""
+    from lmw_tree_spark.operators.pixels import assign_ar_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    dims = docs.select(
+        "doc_id",
+        (
+            64
+            + F.conv(
+                F.substring(F.md5(F.concat(F.lit("arw:"), F.col("doc_id").cast("string"))), 1, 6),
+                16, 10,
+            ).cast("long")
+            % 961
+        ).alias("w"),
+        (
+            64
+            + F.conv(
+                F.substring(F.md5(F.concat(F.lit("arh:"), F.col("doc_id").cast("string"))), 1, 6),
+                16, 10,
+            ).cast("long")
+            % 961
+        ).alias("h"),
+    )
+    return assign_ar_buckets(dims, id_col="doc_id").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "subset_semi_join": q_subset_semi_join,
@@ -3535,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "domain_cap": q_domain_cap,
         "align_filter": q_align_filter,
+        "ar_bucket": q_ar_bucket,
         "checkpoint_lineage": q_checkpoint_lineage,
         "audio_neardup": q_audio_neardup,
         "suffix_lcs": q_suffix_lcs,
@@ -3835,6 +3871,34 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rn
                 FROM kept)
             SELECT doc_id, domain FROM ranked WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "ar_bucket": """
+            WITH dims AS (
+                SELECT doc_id,
+                       64 + (CAST(('0x' || substr(md5('arw:' || doc_id::VARCHAR), 1, 6)) AS BIGINT) % 961) AS w,
+                       64 + (CAST(('0x' || substr(md5('arh:' || doc_id::VARCHAR), 1, 6)) AS BIGINT) % 961) AS h
+                FROM documents),
+            buckets(bucket_id, bw, bh) AS (VALUES
+                (0,1024,1024),(1,1152,896),(2,896,1152),(3,1216,832),(4,832,1216),
+                (5,1344,768),(6,768,1344),(7,1536,640),(8,640,1536)),
+            scored AS (
+                SELECT d.doc_id, d.w, d.h, b.bucket_id, b.bw, b.bh,
+                       row_number() OVER (
+                           PARTITION BY d.doc_id
+                           ORDER BY abs(d.w*b.bh - d.h*b.bw) * (79672320 // b.bh),
+                                    b.bucket_id) AS rn
+                FROM dims d CROSS JOIN buckets b),
+            geo AS (
+                SELECT doc_id, w, h, bucket_id, bw, bh,
+                       CASE WHEN w*bh >= h*bw THEN (w*bh + h - 1) // h
+                            ELSE bw::BIGINT END AS r_w,
+                       CASE WHEN w*bh >= h*bw THEN bh::BIGINT
+                            ELSE (h*bw + w - 1) // w END AS r_h
+                FROM scored WHERE rn = 1)
+            SELECT doc_id, w, h, bucket_id::INT AS bucket_id,
+                   bw::INT AS bw, bh::INT AS bh, r_w, r_h,
+                   (r_w - bw) // 2 AS off_x, (r_h - bh) // 2 AS off_y
+            FROM geo ORDER BY doc_id
         """,
         "align_filter": """
             WITH emb AS (

@@ -495,3 +495,98 @@ def sharpness_stats(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, SHARPNESS_SCHEMA
     )
+
+
+# SDXL-style multi-aspect bucket table: (bucket_id, bw, bh) around a ~1024²
+# pixel budget. Fixed and small — it broadcasts as a column-literal array.
+DEFAULT_AR_BUCKETS: tuple[tuple[int, int, int], ...] = (
+    (0, 1024, 1024),
+    (1, 1152, 896),
+    (2, 896, 1152),
+    (3, 1216, 832),
+    (4, 832, 1216),
+    (5, 1344, 768),
+    (6, 768, 1344),
+    (7, 1536, 640),
+    (8, 640, 1536),
+)
+
+
+def assign_ar_buckets(
+    df: DataFrame,
+    buckets: tuple[tuple[int, int, int], ...] = DEFAULT_AR_BUCKETS,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Aspect-ratio bucketing — the SDXL/multi-aspect training-prep step:
+    assign every image the bucket whose aspect ratio is closest to its own,
+    then emit the resize-then-center-crop geometry that maps it into the
+    bucket. The reference has no image geometry (it consumes precomputed
+    signatures); this step is specified by the target's image+caption table
+    and is what a diffusion/vision training pipeline runs between curation
+    and shard export.
+
+    Exactness (so any engine reproduces the same assignment bit-for-bit):
+    closest bucket = argmin over buckets of ``|w/h - bw/bh|``. Comparing the
+    rationals directly, ``|w/h - bw_i/bh_i| < |w/h - bw_j/bh_j|`` ⟺
+    ``|w*bh_i - h*bw_i| * (L/bh_i) < |w*bh_j - h*bw_j| * (L/bh_j)`` where
+    ``L = lcm(all bh)`` — the shared factor ``h`` cancels and ``L/bh_i`` is
+    an exact integer, so ``score_i = |w*bh_i - h*bw_i| * (L//bh_i)`` is a
+    total integer key. Ties break to the lowest bucket_id. Resize geometry is
+    cover-then-center-crop with ceiling division: if ``w*bh >= h*bw`` the
+    height binds (``r_h = bh``, ``r_w = ceil(w*bh/h) >= bw``), else the width
+    binds; crop offsets are floor-halved slack.
+
+    Scale shape: a single projection — the bucket table is a column-literal
+    array folded with ``array_min`` over (score, bucket_id) structs, so the
+    stage is pure map, zero shuffle, whole-stage-codegen'd; no join, no
+    window, no driver data at any row count.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    L = math.lcm(*[bh for _, _, bh in buckets])
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    F.abs(
+                        F.col(w_col).cast("long") * F.lit(int(bh))
+                        - F.col(h_col).cast("long") * F.lit(int(bw))
+                    )
+                    * F.lit(L // bh)
+                ).alias("score"),
+                F.lit(int(bid)).alias("bucket_id"),
+                F.lit(int(bw)).alias("bw"),
+                F.lit(int(bh)).alias("bh"),
+            )
+            for bid, bw, bh in buckets
+        ]
+    )
+    best = F.array_min(cands)
+    out = df.select(
+        id_col,
+        F.col(w_col).cast("long").alias(w_col),
+        F.col(h_col).cast("long").alias(h_col),
+        best.getField("bucket_id").alias("bucket_id"),
+        best.getField("bw").alias("bw"),
+        best.getField("bh").alias("bh"),
+    )
+    w, h, bw, bh = (F.col(c) for c in (w_col, h_col, "bw", "bh"))
+    height_binds = w * bh >= h * bw
+
+    def ceil_div(num, den):  # exact: a ceil b = (a + b - 1 - (a + b - 1) % b) / b
+        a = num + den - 1
+        return ((a - a % den) / den).cast("long")
+
+    r_w = F.when(height_binds, ceil_div(w * bh, h)).otherwise(bw).cast("long")
+    r_h = F.when(height_binds, bh).otherwise(ceil_div(h * bw, w)).cast("long")
+    out = out.select("*", r_w.alias("r_w"), r_h.alias("r_h"))
+    slack_x, slack_y = F.col("r_w") - bw, F.col("r_h") - bh
+    return out.select(
+        "*",
+        ((slack_x - slack_x % 2) / 2).cast("long").alias("off_x"),
+        ((slack_y - slack_y % 2) / 2).cast("long").alias("off_y"),
+    )

@@ -304,3 +304,61 @@ def test_sharpness_stats_matches_numpy_and_gates(spark):
     assert not bool(out.loc["flat", "keep"])
     assert out.loc["white", "n_over"] == 32 * 32  # luma 252000 > 240000
     assert not bool(out.loc["white", "keep"])
+
+
+def test_ar_bucket_assignment_matches_numpy_and_covers_geometry(spark):
+    """assign_ar_buckets vs a NumPy argmin reference: bucket choice (exact
+    rational comparison incl. ties), cover-resize ceil division, center-crop
+    offsets; resized dims always cover the bucket."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.operators.pixels import DEFAULT_AR_BUCKETS, assign_ar_buckets
+
+    df = spark.range(0, 300, 1, 4).select(
+        F.col("id").alias("image_id"),
+        (16 + F.pmod(F.col("id") * 97, F.lit(1009))).alias("w"),
+        (16 + F.pmod(F.col("id") * 61 + 7, F.lit(1009))).alias("h"),
+    )
+    pdf = assign_ar_buckets(df, id_col="image_id").toPandas()
+    L = math.lcm(*[bh for _, _, bh in DEFAULT_AR_BUCKETS])
+    for r in pdf.itertuples():
+        scores = [
+            (abs(r.w * bh - r.h * bw) * (L // bh), bid)
+            for bid, bw, bh in DEFAULT_AR_BUCKETS
+        ]
+        bid = min(scores)[1]
+        assert r.bucket_id == bid
+        _, bw, bh = DEFAULT_AR_BUCKETS[bid]
+        if r.w * bh >= r.h * bw:
+            rw, rh = -(-r.w * bh // r.h), bh
+        else:
+            rw, rh = bw, -(-r.h * bw // r.w)
+        assert (r.r_w, r.r_h) == (rw, rh)
+        assert rw >= bw and rh >= bh  # cover: crop never pads
+        assert (r.off_x, r.off_y) == ((rw - bw) // 2, (rh - bh) // 2)
+
+
+def test_ar_bucket_exact_ratio_and_ties(spark):
+    """An image exactly at a bucket's ratio maps to that bucket with zero
+    slack; a square image ties between no buckets (1024x1024 is unique) but
+    the tie rule is pinned by two buckets equidistant from 1:1."""
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.operators.pixels import assign_ar_buckets
+
+    rows = [(0, 2304, 1792), (1, 512, 512), (2, 63, 63)]
+    df = spark.createDataFrame(rows, "image_id long, w long, h long")
+    pdf = (
+        assign_ar_buckets(df, id_col="image_id")
+        .orderBy("image_id")
+        .toPandas()
+    )
+    # 2304/1792 == 1152/896 exactly → bucket 1, resize is exact, no crop
+    assert pdf.loc[0, "bucket_id"] == 1
+    assert (pdf.loc[0, "r_w"], pdf.loc[0, "r_h"]) == (1152, 896)
+    assert (pdf.loc[0, "off_x"], pdf.loc[0, "off_y"]) == (0, 0)
+    # squares → the square bucket, symmetric upscale
+    assert (pdf.loc[1, "bucket_id"], pdf.loc[2, "bucket_id"]) == (0, 0)
+    assert (pdf.loc[1, "r_w"], pdf.loc[1, "r_h"]) == (1024, 1024)

@@ -336,3 +336,22 @@ def test_domain_gate_blocklist_and_gate_joins_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ar_bucket_is_zero_shuffle_projection(spark):
+    """assign_ar_buckets is a single whole-stage-codegen projection — the
+    bucket table folds in as a column-literal array_min, so the stage has no
+    Exchange, no join, and no Python at any row count."""
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.operators.pixels import assign_ar_buckets
+
+    df = spark.range(0, 100, 1, 4).select(
+        F.col("id").alias("image_id"),
+        (F.col("id") % 500 + 16).alias("w"),
+        (F.col("id") % 700 + 16).alias("h"),
+    )
+    plan = assign_ar_buckets(df, id_col="image_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
