@@ -2675,6 +2675,7 @@ def _exchange_oracles() -> dict[str, str]:
     tex_src = os.path.join(x, "tar_export", "src.parquet")
     vid_e = os.path.join(x, "video", "frame_edges.parquet")
     vid_n = os.path.join(x, "video", "frame_counts.parquet")
+    shots_h = os.path.join(x, "shots", "hist.parquet")
     mh = os.path.join(x, "minhash", "minhash.parquet")
     inc_mh = os.path.join(x, "incdedup", "minhash.parquet")
     sh = os.path.join(x, "simhash", "simhash.parquet")
@@ -3320,6 +3321,34 @@ def _exchange_oracles() -> dict[str, str]:
             FROM read_parquet('{sdd_inp}')
             GROUP BY phash ORDER BY fingerprint
         """,
+        "shot_detect": f"""
+            WITH hist AS (SELECT * FROM read_parquet('{shots_h}')),
+            delta AS (
+                SELECT c.video_id, c.frame_idx,
+                       sum(abs(c.cnt - coalesce(p.cnt, 0))) AS l1,
+                       max(CASE WHEN p.cnt IS NOT NULL THEN 1 ELSE 0 END) AS has_prev,
+                       max(c.n_px) AS n_px
+                FROM hist c LEFT JOIN hist p
+                  ON p.video_id = c.video_id
+                 AND p.frame_idx = c.frame_idx - 1
+                 AND p.bin = c.bin
+                GROUP BY c.video_id, c.frame_idx),
+            b AS (
+                SELECT video_id, frame_idx,
+                       (has_prev = 0 OR l1 * 2 > n_px * 1) AS is_boundary
+                FROM delta),
+            s AS (
+                SELECT video_id, frame_idx,
+                       (sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY video_id ORDER BY frame_idx)
+                        - 1)::INT AS shot_id
+                FROM b)
+            SELECT video_id, shot_id,
+                   min(frame_idx)::INT AS start_frame,
+                   max(frame_idx)::INT AS end_frame,
+                   count(*)::BIGINT AS n_frames
+            FROM s GROUP BY video_id, shot_id ORDER BY video_id, shot_id
+        """,
         "video_neardup": f"""
             WITH RECURSIVE fe AS (
                 SELECT string_split(src, '#')[1] AS vs,
@@ -3449,6 +3478,69 @@ def _exchange_oracles() -> dict[str, str]:
     }
 
 
+def _synthetic_cut_videos(spark, n: int = 24) -> DataFrame:
+    """Deterministic FVID clips with planted scene cuts: each clip is 3 scenes
+    of seeded lengths; scenes sit at distinct luma levels (15/85/155/225 ± 12)
+    with ±1 per-frame jitter, so within-scene histogram L1 is tiny and
+    cross-cut L1 is near-maximal — the regime shot detection is specified
+    for (two same-distribution noise fields are invisible to ANY histogram
+    method, by construction)."""
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.sources.multimodal import encode_video
+
+    LEVELS = (15, 85, 155, 225)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for v in pdf["id"].to_numpy():
+                v = int(v)
+                lens = [3 + (v % 3), 4, 2 + ((v * 7) % 4)]
+                frames = []
+                for si, ln in enumerate(lens):
+                    rng = np.random.default_rng([77, v, si])
+                    lvl = LEVELS[(v + si) % 4]
+                    base = (
+                        rng.integers(lvl - 12, lvl + 13, (24, 24, 3))
+                        .clip(0, 255)
+                        .astype(np.int16)
+                    )
+                    for f in range(ln):
+                        jit = np.random.default_rng([77, v, si, f]).integers(
+                            -1, 2, base.shape
+                        )
+                        frames.append(
+                            (base + jit).clip(0, 255).astype(np.uint8)
+                        )
+                rows.append(
+                    (f"cut-{v:04d}", encode_video(np.stack(frames), fps=10.0), "fvid")
+                )
+            yield pd.DataFrame(rows, columns=["video_id", "bytes", "fmt"])
+
+    return spark.range(0, n, 1, 8).mapInPandas(
+        gen, "video_id string, bytes binary, fmt string"
+    )
+
+
+def q_shot_detect(spark, sf_dir):
+    """Video shot-boundary detection (sources/multimodal.py:
+    frame_luma_histograms + shot_boundaries): per-frame integer luma
+    histograms (pure Arrow map) → consecutive-frame L1 delta by equi-join →
+    integer threshold boundary → running-count shot ids → segment rollup.
+    The per-frame HISTOGRAMS are the exchanged trusted state (decode is
+    pinned by codec pytests); the oracle independently replays the entire
+    decision algebra — delta join, `l1*2 > n_px` threshold, boundary cumsum,
+    segment min/max/count — in SQL."""
+    from lmw_tree_spark.sources.multimodal import frame_luma_histograms, shot_boundaries
+
+    videos = _synthetic_cut_videos(spark).persist()
+    hist = frame_luma_histograms(videos).persist()
+    _write_exchange("shots", hist=hist.toPandas())
+    return shot_boundaries(hist).orderBy("video_id", "shot_id")
+
+
 def q_ar_bucket(spark, sf_dir):
     """Aspect-ratio bucketing (operators/pixels.py:assign_ar_buckets) — the
     SDXL multi-aspect training-prep step: nearest-aspect bucket by EXACT
@@ -3571,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "align_filter": q_align_filter,
         "ar_bucket": q_ar_bucket,
+        "shot_detect": q_shot_detect,
         "checkpoint_lineage": q_checkpoint_lineage,
         "audio_neardup": q_audio_neardup,
         "suffix_lcs": q_suffix_lcs,

@@ -340,3 +340,132 @@ def audio_features(
     return audio.select(id_col, bytes_col, fmt_col).mapInPandas(
         run, AUDIO_FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# shot-boundary detection (scene cuts) — frame histograms + JVM decision algebra
+# ---------------------------------------------------------------------------
+
+FRAME_HIST_SCHEMA = (
+    "video_id string, frame_idx int, bin int, cnt long, n_px long"
+)
+SHOTS_SCHEMA = (
+    "video_id string, shot_id int, start_frame int, end_frame int, n_frames long"
+)
+
+
+def frame_luma_histograms(
+    videos: DataFrame,
+    n_bins: int = 16,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """(video_id, bytes, fmt) → one row per (frame, luma bin): integer luma
+    histogram counts, ALL ``n_bins`` bins emitted (zeros included) so the
+    downstream delta join never needs an outer join.
+
+    Integer luma ``L = 299r + 587g + 114b`` (x1000 scale, range [0, 254745]);
+    ``bin = L * n_bins // 254746`` — pure integer algebra any engine replays
+    bit-exactly. Pure map stage: decode + one vectorized bincount per frame
+    inside the Arrow batch, no shuffle, no driver data."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids, fidx, bins, cnts, npx = [], [], [], [], []
+            for vid, blob, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                fb, fi, w, h, _ = decode_video_frames(bytes(blob), fmt, 1)
+                for i, frame_blob in zip(fi, fb):
+                    px = decode_lossy(frame_blob).astype(np.int64)
+                    ilum = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+                    b = (ilum.ravel() * n_bins) // 254746
+                    hist = np.bincount(b, minlength=n_bins)
+                    vids += [vid] * n_bins
+                    fidx += [i] * n_bins
+                    bins += list(range(n_bins))
+                    cnts += hist.tolist()
+                    npx += [int(ilum.size)] * n_bins
+            yield pd.DataFrame(
+                {
+                    "video_id": vids,
+                    "frame_idx": np.array(fidx, dtype=np.int32),
+                    "bin": np.array(bins, dtype=np.int32),
+                    "cnt": np.array(cnts, dtype=np.int64),
+                    "n_px": np.array(npx, dtype=np.int64),
+                }
+            )
+
+    return videos.select(id_col, bytes_col, fmt_col).mapInPandas(
+        run, FRAME_HIST_SCHEMA
+    )
+
+
+def shot_boundaries(
+    hist: DataFrame, thresh_num: int = 1, thresh_den: int = 2
+) -> DataFrame:
+    """Frame-histogram rows → shot segments (video_id, shot_id, start_frame,
+    end_frame, n_frames) — the scene-cut detection step a video training
+    pipeline runs before per-shot sampling/dedup.
+
+    Decision algebra (all integer, exactly replayable): a frame is a boundary
+    iff it is the video's first frame OR the L1 distance between its luma
+    histogram and the previous frame's satisfies
+    ``l1 * thresh_den > n_px * thresh_num`` (default: more than half the
+    pixels changed bins; L1 of two equal-mass histograms is at most 2*n_px).
+    ``shot_id`` = running count of boundaries minus 1; segments are the
+    per-(video, shot) frame ranges.
+
+    Scale shape: one equi-join on (video_id, bin) between consecutive frames
+    (both sides partition identically), one partial-aggregating groupBy per
+    frame, and windows partitioned by video_id (per-video frame counts are
+    bounded) — no driver data, no cross join, no Python."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cur = hist.select("video_id", "frame_idx", "bin", "cnt", "n_px")
+    prv = hist.select(
+        "video_id",
+        (F.col("frame_idx") + 1).alias("frame_idx"),
+        "bin",
+        F.col("cnt").alias("prev_cnt"),
+    )
+    delta = (
+        cur.join(prv, ["video_id", "frame_idx", "bin"], "left")
+        .groupBy("video_id", "frame_idx")
+        .agg(
+            F.sum(
+                F.abs(F.col("cnt") - F.coalesce(F.col("prev_cnt"), F.lit(0)))
+            ).alias("l1"),
+            F.max(F.when(F.col("prev_cnt").isNotNull(), 1).otherwise(0)).alias(
+                "has_prev"
+            ),
+            F.max("n_px").alias("n_px"),  # constant within the group
+        )
+        .withColumn(
+            "is_boundary",
+            (F.col("has_prev") == 0)
+            | (F.col("l1") * F.lit(int(thresh_den)) > F.col("n_px") * F.lit(int(thresh_num))),
+        )
+    )
+    w = (
+        Window.partitionBy("video_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shots = delta.withColumn(
+        "shot_id", (F.sum(F.col("is_boundary").cast("int")).over(w) - 1).cast("int")
+    )
+    return (
+        shots.groupBy("video_id", "shot_id")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count("*").alias("n_frames"),
+        )
+        .select(
+            "video_id", "shot_id", "start_frame", "end_frame",
+            F.col("n_frames").cast("long").alias("n_frames"),
+        )
+    )

@@ -205,3 +205,50 @@ def test_synthetic_fixtures_deterministic_with_planted_dups(spark):
     b0, i0, w0, h0, _ = decode_video_frames(bytes(v1.iloc[0]["bytes"]), "fvid")
     b1, i1, w1, h1, _ = decode_video_frames(bytes(v1.iloc[1]["bytes"]), "fvid")
     assert (len(b0), w0, h0) == (len(b1), w1, h1) == (8, 32, 32)
+
+
+def test_shot_boundaries_recover_planted_cuts(spark):
+    """frame_luma_histograms + shot_boundaries recover every planted scene cut
+    and nothing else; frame counts conserve; single-scene clips yield exactly
+    one shot."""
+    import numpy as np
+
+    from lmw_tree_spark.sources.multimodal import (
+        encode_video,
+        frame_luma_histograms,
+        shot_boundaries,
+    )
+
+    LEVELS = (15, 85, 155, 225)
+
+    def clip(seed, lens):
+        frames = []
+        for si, ln in enumerate(lens):
+            rng = np.random.default_rng([99, seed, si])
+            lvl = LEVELS[(seed + si) % 4]
+            base = (
+                rng.integers(lvl - 12, lvl + 13, (20, 20, 3))
+                .clip(0, 255)
+                .astype(np.int16)
+            )
+            for f in range(ln):
+                jit = np.random.default_rng([99, seed, si, f]).integers(
+                    -1, 2, base.shape
+                )
+                frames.append((base + jit).clip(0, 255).astype(np.uint8))
+        return encode_video(np.stack(frames), fps=10.0)
+
+    plans = {"a": [4, 3, 5], "b": [2, 6], "c": [7]}
+    rows = [(k, clip(i, lens), "fvid") for i, (k, lens) in enumerate(plans.items())]
+    videos = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    shots = (
+        shot_boundaries(frame_luma_histograms(videos))
+        .orderBy("video_id", "shot_id")
+        .toPandas()
+    )
+    for i, (k, lens) in enumerate(plans.items()):
+        seg = shots[shots.video_id == k].sort_values("shot_id")
+        starts = list(np.cumsum([0] + lens[:-1]))
+        assert seg.start_frame.tolist() == starts, (k, seg)
+        assert seg.n_frames.tolist() == lens
+        assert seg.end_frame.tolist() == [s + l - 1 for s, l in zip(starts, lens)]
