@@ -3478,6 +3478,28 @@ def _exchange_oracles() -> dict[str, str]:
     }
 
 
+def q_epoch_repeat(spark, sf_dir):
+    """Quality-weighted epoch repetition (operators/sampling.py:epoch_repeat):
+    docs expand into per-epoch training instances with a deterministic shard +
+    within-shard position (reproducible training order at any partitioning).
+    The policy here is all-integer — ``epochs = 1 + (n_tokens>=10) +
+    (n_tokens>=25)`` — so no float ever crosses a comparison; the oracle
+    replays policy, ``range()`` expansion, md5 shard routing, and the rank
+    window exactly."""
+    from lmw_tree_spark.functions.text import token_count_col
+    from lmw_tree_spark.operators.sampling import epoch_repeat
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.lit(1)
+            + (token_count_col("text") >= 10).cast("int")
+            + (token_count_col("text") >= 25).cast("int")
+        ).alias("epochs"),
+    )
+    return epoch_repeat(docs, "epochs").orderBy("shard", "pos")
+
+
 def _synthetic_cut_videos(spark, n: int = 24) -> DataFrame:
     """Deterministic FVID clips with planted scene cuts: each clip is 3 scenes
     of seeded lengths; scenes sit at distinct luma levels (15/85/155/225 ± 12)
@@ -3664,6 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_filter": q_align_filter,
         "ar_bucket": q_ar_bucket,
         "shot_detect": q_shot_detect,
+        "epoch_repeat": q_epoch_repeat,
         "checkpoint_lineage": q_checkpoint_lineage,
         "audio_neardup": q_audio_neardup,
         "suffix_lcs": q_suffix_lcs,
@@ -3964,6 +3987,25 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rn
                 FROM kept)
             SELECT doc_id, domain FROM ranked WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "epoch_repeat": """
+            WITH docs AS (
+                SELECT doc_id,
+                       1 + CASE WHEN len(string_split(lower(text), ' ')) >= 10 THEN 1 ELSE 0 END
+                         + CASE WHEN len(string_split(lower(text), ' ')) >= 25 THEN 1 ELSE 0 END AS epochs
+                FROM documents),
+            inst AS (
+                SELECT doc_id, unnest(range(0, epochs))::INT AS epoch_idx
+                FROM docs WHERE epochs > 0),
+            keyed AS (
+                SELECT doc_id, epoch_idx,
+                       substr(md5('epoch:' || doc_id::VARCHAR || ':' || epoch_idx::VARCHAR), 1, 8) AS ekey
+                FROM inst)
+            SELECT doc_id, epoch_idx, substr(ekey, 1, 1) AS shard,
+                   row_number() OVER (
+                       PARTITION BY substr(ekey, 1, 1)
+                       ORDER BY ekey, doc_id, epoch_idx)::BIGINT AS pos
+            FROM keyed ORDER BY shard, pos
         """,
         "ar_bucket": """
             WITH dims AS (

@@ -301,7 +301,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "semantic_dedup", "vocab_stats", "group_size_histogram", "reduce_dims",
         "crop_dedup", "sharpness_filter", "shard_manifest",
         "url_canonical", "mixture_sample", "domain_cap", "align_filter",
-        "ar_bucket",
+        "ar_bucket", "epoch_repeat",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production

@@ -152,3 +152,64 @@ def mixture_sample(
         .where(F.col("_rn") <= F.col("quota"))
         .drop("_rn", "quota")
     )
+
+
+def epoch_repeat(
+    df: DataFrame,
+    epochs_col: str,
+    id_col: str = "doc_id",
+    shard_chars: int = 1,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Quality-weighted epoch repetition — the data-recipe step (DoReMi /
+    Llama-style) that shows high-value documents to the model more than once
+    per pass: each doc expands into ``epochs`` training instances
+    (``epoch_idx`` 0..epochs-1), every instance gets a deterministic shard and
+    a within-shard position, so the emitted training ORDER is reproducible
+    across partitioning, retries, and cluster size (the same property as
+    ``pack_sequences``/``stratified_sample``).
+
+    The caller supplies the integer ``epochs_col`` (the policy — e.g.
+    ``1 + (n_tokens >= t1) + (n_tokens >= t2)`` — stays outside so any
+    weighting scheme plugs in); rows with epochs <= 0 are dropped. Instance
+    order: ``shard = substr(md5(salt:id:epoch_idx), 1, shard_chars)``, position
+    = rank of (md5-8, id, epoch_idx) within the shard — md5-8 collisions are
+    broken by the id columns, so the order is total.
+
+    Scale shape: explode is map-side (no shuffle); the only shuffle is the
+    hash partition by shard, and ``shard_chars`` sets the parallelism
+    (16**shard_chars shards) so no window ever sees more than ~1/16**k of the
+    instances."""
+    from pyspark.sql import Window
+
+    inst = (
+        df.where(F.col(epochs_col) > 0)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(0), F.col(epochs_col).cast("int") - 1)
+            ).alias("epoch_idx"),
+        )
+    )
+    key = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(salt),
+                F.col(id_col).cast("string"),
+                F.col("epoch_idx").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    keyed = inst.withColumn("ekey", key).withColumn(
+        "shard", F.substring("ekey", 1, shard_chars)
+    )
+    w = Window.partitionBy("shard").orderBy("ekey", id_col, "epoch_idx")
+    return keyed.select(
+        id_col,
+        F.col("epoch_idx").cast("int").alias("epoch_idx"),
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -143,3 +143,55 @@ def test_domain_cap_membership_and_cap(spark):
     # cap above domain size keeps everything; partitioning-invariant
     all_kept = domain_cap(df.repartition(16), "domain", cap=50).count()
     assert all_kept == 100
+
+
+def test_epoch_repeat_expansion_and_order(spark):
+    """epoch_repeat: each doc appears exactly `epochs` times with epoch_idx
+    0..epochs-1; epochs<=0 rows are dropped; positions are a dense 1..n
+    permutation within each shard; reference order matches hashlib."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.operators.sampling import epoch_repeat
+
+    docs = spark.range(0, 60, 1, 4).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("int").alias("epochs")
+    )
+    pdf = epoch_repeat(docs, "epochs").toPandas()
+    # doc_id % 4 == 0 → dropped; else repeated id%4 times
+    counts = pdf.groupby("doc_id").size()
+    for d in range(60):
+        expect = d % 4
+        assert counts.get(d, 0) == expect
+    for shard, grp in pdf.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+        # hashlib reference order within the shard
+        keys = sorted(
+            (hashlib.md5(f"epoch:{r.doc_id}:{r.epoch_idx}".encode()).hexdigest()[:8],
+             r.doc_id, r.epoch_idx)
+            for r in grp.itertuples()
+        )
+        got = grp.sort_values("pos")[["doc_id", "epoch_idx"]].values.tolist()
+        assert got == [[d, e] for _, d, e in keys]
+
+
+def test_epoch_repeat_partitioning_invariance(spark):
+    """Identical (doc_id, epoch_idx, shard, pos) at 2 and 13 input partitions."""
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.operators.sampling import epoch_repeat
+
+    def run(parts):
+        docs = spark.range(0, 80, 1, parts).select(
+            F.col("id").alias("doc_id"),
+            (1 + (F.col("id") % 3)).cast("int").alias("epochs"),
+        )
+        return (
+            epoch_repeat(docs, "epochs")
+            .orderBy("shard", "pos")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+
+    assert run(2).equals(run(13))
