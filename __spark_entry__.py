@@ -1018,6 +1018,58 @@ def q_ivf_ann(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality as a first-class hash-checked metric (the eval companion
+    of `ivf_ann`, like `dedup_eval` is for the dedup family): per query,
+    recall@3 of the 2-probe IVF scan against the exact brute-force top-3 —
+    the number a user tunes n_probe/n_cells against. Embeddings + the
+    distributed-trained centroids are the exchanged state; the oracle
+    independently replays BOTH rankings (exact cross-scored top-3 and the
+    cell-assign → 2-probe → within-cell top-3 chain) and the per-query
+    intersection counts, so a disagreement in either ranking or in the
+    metric algebra fails the hash."""
+    import pandas as pd
+
+    from lmw_tree_spark.operators.dense import kmeans_dense
+    from lmw_tree_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    emb = _synthetic_embeddings(spark, _X_N).persist()
+    cents = kmeans_dense(emb, k=8, iters=3, init="hash", seed=42)
+    emb_pdf = emb.toPandas()
+    _write_exchange(
+        "ann_recall",
+        embeddings=pd.DataFrame(
+            {"vec_id": emb_pdf["vec_id"], "v": [list(map(float, v)) for v in emb_pdf["embedding"]]}
+        ),
+        centroids=pd.DataFrame(
+            {"cell": range(len(cents)), "v": [list(map(float, c)) for c in cents]}
+        ),
+    )
+    pred = F.col("vec_id") % 50 == 0
+    exact = cosine_topk(emb, k=3, query_pred=pred)
+    approx = ivf_cosine_topk(
+        emb, k=3, n_cells=8, n_probe=2, query_pred=pred, centroids=cents
+    )
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    h = F.coalesce(F.col("hits"), F.lit(0))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            h.cast("long").alias("hits"),
+            F.round(h / 3.0, 4).alias("recall_at_3"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_pq_ann(spark, sf_dir):
     """Product-quantization ADC top-k (Jégou et al. PAMI 2011) — compressed-
     domain ANN, the float-vector analogue of the reference's compact-signature
@@ -1290,6 +1342,28 @@ def q_kmeans_images(spark, sf_dir):
     assert fit.tree.depth == 1, f"oracle SQL assumes depth 1, got {fit.tree.depth}"
     _write_exchange("kmeans", sigs=_sig_long(sigs), tree=_tree_long(fit.tree))
     return assign(sigs, fit.tree).orderBy("image_id")
+
+
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced subset selection (DataComp/SemDeDup-style diversity
+    curation): fit flat k-means on the bit signatures, then keep at most 8
+    rows per cluster by the deterministic (md5, id) rank — so the kept subset
+    preserves cluster coverage instead of over-sampling the dense clusters.
+    Composes the hash-checked descent oracle (cluster assignment replayed
+    from the exchanged tree) with the `domain_cap` rank algebra (replayed in
+    the same SQL) — a cross-family composition row: clustering × sampling."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign, kmeans_fit
+    from lmw_tree_spark.operators.sampling import domain_cap
+
+    sigs = _fixed_signatures(spark)
+    fit = kmeans_fit(sigs, k=36, iters=10, cfg=SMALL)
+    assert fit.tree.depth == 1, f"oracle SQL assumes depth 1, got {fit.tree.depth}"
+    _write_exchange("cluster_sample", sigs=_sig_long(sigs), tree=_tree_long(fit.tree))
+    a = assign(sigs, fit.tree).select("image_id", "cluster_id")
+    return domain_cap(a, "cluster_id", cap=8, id_col="image_id", salt=5).orderBy(
+        "cluster_id", "image_id"
+    )
 
 
 def q_emtree_per_level(spark, sf_dir):
@@ -2682,6 +2756,8 @@ def _exchange_oracles() -> dict[str, str]:
     ph = os.path.join(x, "phash", "simhash.parquet")
     ivf_e = os.path.join(x, "ivf", "embeddings.parquet")
     ivf_c = os.path.join(x, "ivf", "centroids.parquet")
+    ar_e = os.path.join(x, "ann_recall", "embeddings.parquet")
+    ar_c = os.path.join(x, "ann_recall", "centroids.parquet")
     pq_e = os.path.join(x, "pq", "emb_long.parquet")
     pq_cb = os.path.join(x, "pq", "codebook.parquet")
     ia_ev = os.path.join(x, "ivfadc", "embeddings.parquet")
@@ -2708,6 +2784,14 @@ def _exchange_oracles() -> dict[str, str]:
     return {
         "emtree_images": _descend_oracle("emtree", 2, leaf_assign.format(d=2)),
         "kmeans_images": _descend_oracle("kmeans", 1, leaf_assign.format(d=1)),
+        "cluster_sample": _descend_oracle(
+            "cluster_sample", 1,
+            "SELECT image_id, cluster_id FROM ("
+            "SELECT image_id, node_id AS cluster_id, "
+            "row_number() OVER (PARTITION BY node_id "
+            "ORDER BY substr(md5(image_id::VARCHAR || ':5'), 1, 8), image_id) AS rn "
+            "FROM a1) WHERE rn <= 8 ORDER BY cluster_id, image_id",
+        ),
         "ktree_images": _descend_oracle("ktree", 4, leaf_assign.format(d=4)),
         "emtree_rearranged": _descend_oracle("rearranged", 4, leaf_assign.format(d=4)),
         "kmeans_enforced": _descend_oracle("kmeans_enforced", 1, leaf_assign.format(d=1)),
@@ -2822,6 +2906,56 @@ def _exchange_oracles() -> dict[str, str]:
                 FROM scored)
             SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank
             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "ann_recall": f"""
+            WITH emb AS (SELECT vec_id, v FROM read_parquet('{ar_e}')),
+            cents AS (SELECT cell, v FROM read_parquet('{ar_c}')),
+            exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                           row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY round(list_cosine_similarity(q.v, b.v), 4) DESC,
+                                        b.vec_id ASC) AS rank
+                    FROM emb q JOIN emb b ON b.vec_id != q.vec_id
+                    WHERE q.vec_id % 50 = 0)
+                WHERE rank <= 3),
+            cell_of AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, c.v) ASC, c.cell ASC) AS rn
+                    FROM emb e CROSS JOIN cents c) WHERE rn = 1),
+            probes AS (
+                SELECT vec_id AS query_id, cell FROM (
+                    SELECT e.vec_id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, c.v) ASC, c.cell ASC) AS rn
+                    FROM emb e CROSS JOIN cents c WHERE e.vec_id % 50 = 0)
+                WHERE rn <= 2),
+            cand AS (
+                SELECT DISTINCT p.query_id, co.vec_id AS neighbor_id
+                FROM probes p JOIN cell_of co ON co.cell = p.cell
+                WHERE co.vec_id != p.query_id),
+            approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT c.query_id, c.neighbor_id,
+                           row_number() OVER (PARTITION BY c.query_id
+                               ORDER BY round(list_cosine_similarity(q.v, b.v), 4) DESC,
+                                        c.neighbor_id ASC) AS rank
+                    FROM cand c JOIN emb q ON q.vec_id = c.query_id
+                                JOIN emb b ON b.vec_id = c.neighbor_id)
+                WHERE rank <= 3),
+            hits AS (
+                SELECT e.query_id, count(*) AS hits
+                FROM exact e JOIN approx a
+                  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+                GROUP BY e.query_id)
+            SELECT q.query_id,
+                   coalesce(h.hits, 0)::BIGINT AS hits,
+                   round(coalesce(h.hits, 0) / 3.0, 4) AS recall_at_3
+            FROM (SELECT DISTINCT query_id FROM exact) q
+            LEFT JOIN hits h ON h.query_id = q.query_id
+            ORDER BY q.query_id
         """,
         "pq_ann": f"""
             WITH e AS (SELECT vec_id, j, val FROM read_parquet('{pq_e}')),
@@ -3687,6 +3821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar_bucket": q_ar_bucket,
         "shot_detect": q_shot_detect,
         "epoch_repeat": q_epoch_repeat,
+        "ann_recall": q_ann_recall,
+        "cluster_sample": q_cluster_sample,
         "checkpoint_lineage": q_checkpoint_lineage,
         "audio_neardup": q_audio_neardup,
         "suffix_lcs": q_suffix_lcs,

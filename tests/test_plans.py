@@ -355,3 +355,41 @@ def test_ar_bucket_is_zero_shuffle_projection(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """write_bucketed + equal bucket counts on the join key → SortMergeJoin
+    with ZERO Exchange on either side (the durable co-location that makes
+    repeated by-id joins free at 100 TB); a non-bucketed copy of the same
+    join DOES shuffle, proving the assertion has teeth."""
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.plans.bucketing import (
+        bucketed,
+        is_colocated_join_plan,
+        write_bucketed,
+    )
+
+    a = spark.range(0, 5000, 1, 4).select(
+        F.col("id").alias("image_id"), (F.col("id") * 3).alias("sig_word")
+    )
+    b = spark.range(0, 5000, 1, 4).select(
+        F.col("id").alias("image_id"), (F.col("id") % 7).alias("component")
+    )
+    write_bucketed(a, "t_sigs_b", "image_id", 8, sort_cols=["image_id"])
+    write_bucketed(b, "t_edges_b", "image_id", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed(spark, "t_sigs_b").join(bucketed(spark, "t_edges_b"), "image_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert is_colocated_join_plan(plan), plan
+        assert j.count() == 5000
+        # control: same join over non-bucketed frames must contain an Exchange
+        jn = a.join(b, "image_id")
+        plan_n = jn._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan_n, plan_n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_sigs_b")
+        spark.sql("DROP TABLE IF EXISTS t_edges_b")
