@@ -1070,6 +1070,49 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (CLIP-style): per anchor,
+    the top-3 nearest neighbors that are NOT near-duplicates of it — similar
+    enough to be informative negatives, but provably outside the anchor's dup
+    component. A three-family composition, each part individually hash-checked
+    elsewhere: ball-cover near-dup edges (embedding_neardup) → connected
+    components (dedup_images) → group-excluded 2-probe IVF top-k (ivf_ann /
+    ann_recall). The oracle replays ALL THREE from the exchanged state:
+    recursive-CTE closure over the edge list, cell-assign → probe → candidate
+    chain, the same-component exclusion, and the final ranking."""
+    import pandas as pd
+
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.dense import kmeans_dense
+    from lmw_tree_spark.operators.similarity import (
+        cosine_neardup_pairs_bounded,
+        ivf_cosine_topk,
+    )
+
+    emb = _synthetic_embeddings(spark, _X_N).persist()
+    edges = cosine_neardup_pairs_bounded(emb, min_cosine=0.9)
+    comp = connected_components(
+        edges, vertices=emb.select("vec_id"), id_col="vec_id", label_col="grp"
+    )
+    cents = kmeans_dense(emb, k=8, iters=3, init="hash", seed=42)
+    emb_pdf = emb.toPandas()
+    _write_exchange(
+        "hard_negatives",
+        embeddings=pd.DataFrame(
+            {"vec_id": emb_pdf["vec_id"], "v": [list(map(float, v)) for v in emb_pdf["embedding"]]}
+        ),
+        centroids=pd.DataFrame(
+            {"cell": range(len(cents)), "v": [list(map(float, c)) for c in cents]}
+        ),
+        edges=edges.select("src", "dst").toPandas().sort_values(["src", "dst"]),
+    )
+    return ivf_cosine_topk(
+        emb, k=3, n_cells=8, n_probe=2,
+        query_pred=F.col("vec_id") % 50 == 0,
+        centroids=cents, exclude_groups=comp,
+    ).orderBy("query_id", "rank")
+
+
 def q_pq_ann(spark, sf_dir):
     """Product-quantization ADC top-k (Jégou et al. PAMI 2011) — compressed-
     domain ANN, the float-vector analogue of the reference's compact-signature
@@ -2758,6 +2801,9 @@ def _exchange_oracles() -> dict[str, str]:
     ivf_c = os.path.join(x, "ivf", "centroids.parquet")
     ar_e = os.path.join(x, "ann_recall", "embeddings.parquet")
     ar_c = os.path.join(x, "ann_recall", "centroids.parquet")
+    hn_e = os.path.join(x, "hard_negatives", "embeddings.parquet")
+    hn_c = os.path.join(x, "hard_negatives", "centroids.parquet")
+    hn_g = os.path.join(x, "hard_negatives", "edges.parquet")
     pq_e = os.path.join(x, "pq", "emb_long.parquet")
     pq_cb = os.path.join(x, "pq", "codebook.parquet")
     ia_ev = os.path.join(x, "ivfadc", "embeddings.parquet")
@@ -2956,6 +3002,50 @@ def _exchange_oracles() -> dict[str, str]:
             FROM (SELECT DISTINCT query_id FROM exact) q
             LEFT JOIN hits h ON h.query_id = q.query_id
             ORDER BY q.query_id
+        """,
+        "hard_negatives": f"""
+            WITH RECURSIVE emb AS (SELECT vec_id, v FROM read_parquet('{hn_e}')),
+            cents AS (SELECT cell, v FROM read_parquet('{hn_c}')),
+            sym AS (
+                SELECT src AS u, dst AS v FROM read_parquet('{hn_g}')
+                UNION
+                SELECT dst, src FROM read_parquet('{hn_g}')),
+            reach(u, v) AS (
+                SELECT vec_id, vec_id FROM emb
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
+            comp AS (SELECT u AS vec_id, min(v) AS grp FROM reach GROUP BY u),
+            cell_of AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, c.v) ASC, c.cell ASC) AS rn
+                    FROM emb e CROSS JOIN cents c) WHERE rn = 1),
+            probes AS (
+                SELECT vec_id AS query_id, cell FROM (
+                    SELECT e.vec_id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, c.v) ASC, c.cell ASC) AS rn
+                    FROM emb e CROSS JOIN cents c WHERE e.vec_id % 50 = 0)
+                WHERE rn <= 2),
+            cand AS (
+                SELECT DISTINCT p.query_id, co.vec_id AS neighbor_id
+                FROM probes p JOIN cell_of co ON co.cell = p.cell
+                WHERE co.vec_id != p.query_id),
+            kept AS (
+                SELECT c.query_id, c.neighbor_id
+                FROM cand c JOIN comp cq ON cq.vec_id = c.query_id
+                            JOIN comp cn ON cn.vec_id = c.neighbor_id
+                WHERE cq.grp != cn.grp)
+            SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank FROM (
+                SELECT k.query_id, k.neighbor_id,
+                       round(list_cosine_similarity(q.v, b.v), 4) AS cosine_sim,
+                       row_number() OVER (PARTITION BY k.query_id
+                           ORDER BY round(list_cosine_similarity(q.v, b.v), 4) DESC,
+                                    k.neighbor_id ASC) AS rank
+                FROM kept k JOIN emb q ON q.vec_id = k.query_id
+                            JOIN emb b ON b.vec_id = k.neighbor_id)
+            WHERE rank <= 3 ORDER BY query_id, rank
         """,
         "pq_ann": f"""
             WITH e AS (SELECT vec_id, j, val FROM read_parquet('{pq_e}')),
@@ -3822,6 +3912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shot_detect": q_shot_detect,
         "epoch_repeat": q_epoch_repeat,
         "ann_recall": q_ann_recall,
+        "hard_negatives": q_hard_negatives,
         "cluster_sample": q_cluster_sample,
         "checkpoint_lineage": q_checkpoint_lineage,
         "audio_neardup": q_audio_neardup,

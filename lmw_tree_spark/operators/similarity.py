@@ -137,11 +137,20 @@ def ivf_cosine_topk(
     trainer: str = "sample",
     train_iters: int = 5,
     centroids: np.ndarray | None = None,
+    exclude_groups: DataFrame | None = None,
+    group_col: str = "grp",
 ) -> DataFrame:
     """Approximate cosine top-k: IVF coarse quantization + multi-probe.
 
     Each query joins only rows in its ``n_probe`` nearest cells (cell-equi-join, no
     cross join). Output schema matches ``cosine_topk``.
+
+    ``exclude_groups`` (a ``(id_col, group_col)`` frame, e.g. dedup components)
+    drops candidates whose query and neighbor share a group BEFORE ranking —
+    hard-negative mining for contrastive training: the nearest neighbors that
+    are NOT near-duplicates of the anchor. Rows absent from the frame are never
+    excluded. Plain equi-joins on the id (the groups frame is corpus-sized at
+    scale, so no broadcast is forced; AQE picks the strategy).
 
     ``trainer='sample'`` fits the coarse quantizer with the driver-side mini
     k-means on a bounded sample (fine for n_cells ≲ 1k); ``'distributed'`` fits
@@ -202,6 +211,23 @@ def ivf_cosine_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    if exclude_groups is not None:
+        gq = exclude_groups.select(
+            F.col(id_col).alias("query_id"), F.col(group_col).alias("_g_q")
+        )
+        gn = exclude_groups.select(
+            F.col(id_col).alias("neighbor_id"), F.col(group_col).alias("_g_n")
+        )
+        cand = (
+            cand.join(gq, "query_id", "left")
+            .join(gn, "neighbor_id", "left")
+            .where(
+                F.col("_g_q").isNull()
+                | F.col("_g_n").isNull()
+                | (F.col("_g_q") != F.col("_g_n"))
+            )
+            .drop("_g_q", "_g_n")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )

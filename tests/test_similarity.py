@@ -229,3 +229,47 @@ def test_kmeans_dense_two_level_combine_matches_direct(spark):
     direct = kmeans_dense(df, k=5, iters=3, combine_threshold=1000)
     merged = kmeans_dense(df, k=5, iters=3, combine_threshold=8, combine_keys=4)
     assert np.allclose(direct, merged, atol=1e-12)
+
+
+def test_hard_negative_exclusion_drops_same_group_candidates(spark):
+    """exclude_groups removes same-component candidates BEFORE ranking: the
+    planted near-dup (anchor's exact top-1) must vanish from the excluded
+    result and the remaining ranking must equal brute-force-over-the-same-
+    candidate-set with those pairs removed; ids absent from the groups frame
+    are never excluded."""
+    from lmw_tree_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _emb_df(spark, n=120, dup_every=10)
+    # planted pairs (i, i+1) for i % 10 == 0 share a dup component
+    groups = spark.createDataFrame(
+        [(i, i - (i % 10)) for i in range(0, 120) if i % 10 <= 1],
+        "vec_id long, grp long",
+    )
+    pred = F.col("vec_id") % 30 == 0  # anchors 0, 30, 60, 90 — all planted
+    plain = ivf_cosine_topk(
+        emb, k=3, n_cells=4, n_probe=4, query_pred=pred, seed=3
+    ).toPandas()
+    mined = ivf_cosine_topk(
+        emb, k=3, n_cells=4, n_probe=4, query_pred=pred, seed=3,
+        exclude_groups=groups,
+    ).toPandas()
+    # n_probe == n_cells → candidate set is total; the planted dup is top-1
+    plain_top1 = plain[plain["rank"] == 1].set_index("query_id")["neighbor_id"]
+    for q in (0, 30, 60, 90):
+        assert plain_top1[q] == q + 1
+    pairs = set(zip(mined["query_id"], mined["neighbor_id"]))
+    for q in (0, 30, 60, 90):
+        assert (q, q + 1) not in pairs
+    # exclusion-then-rank == drop excluded pairs from plain full ranking
+    full = ivf_cosine_topk(
+        emb, k=10**6, n_cells=4, n_probe=4, query_pred=pred, seed=3
+    ).toPandas()
+    full = full[full["neighbor_id"] != full["query_id"] + 1]
+    full = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    full["rank"] = full.groupby("query_id").cumcount() + 1
+    expect = full[full["rank"] <= 3].reset_index(drop=True)
+    got = mined.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "neighbor_id", "cosine_sim"]],
+        expect[["query_id", "neighbor_id", "cosine_sim"]].reset_index(drop=True),
+    )
