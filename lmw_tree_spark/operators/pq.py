@@ -235,7 +235,7 @@ def ivfadc_topk(
     cb = np.ascontiguousarray(codebook, dtype=np.float64)
     m, ksub, _ = cb.shape
     cmat = np.ascontiguousarray(coarse, dtype=np.float64)
-    cells = ivf_cells(df, cmat, id_col, vec_col)
+    cells = ivf_cells(df, cmat, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
     codes = pq_encode(df, cb, id_col, vec_col)
     base = codes.join(cells, "vec_id")
 

@@ -75,9 +75,6 @@ def cosine_topk(
     )
 
 
-IVF_ASSIGN_SCHEMA = "vec_id long, cell int"
-
-
 def ivf_cells(
     df: DataFrame,
     centroids: np.ndarray,
@@ -85,7 +82,8 @@ def ivf_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Coarse quantization: assign each vector to its nearest (L2) centroid cell —
-    vectorized argmin over the broadcast centroid matrix."""
+    vectorized argmin over the broadcast centroid matrix. Output columns are
+    keyed by ``id_col`` so callers with non-default id columns compose."""
     cmat = np.ascontiguousarray(centroids, dtype=np.float64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,10 +93,10 @@ def ivf_cells(
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
             d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
-                {"vec_id": pdf[id_col].to_numpy(), "cell": d.argmin(axis=1).astype(np.int32)}
+                {id_col: pdf[id_col].to_numpy(), "cell": d.argmin(axis=1).astype(np.int32)}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(run, IVF_ASSIGN_SCHEMA)
+    return df.select(id_col, vec_col).mapInPandas(run, f"{id_col} long, cell int")
 
 
 def train_ivf_centroids(
@@ -172,7 +170,7 @@ def ivf_cosine_topk(
         )
     else:
         cents = train_ivf_centroids(df, n_cells, seed=seed, id_col=id_col, vec_col=vec_col)
-    cells = ivf_cells(df, cents, id_col, vec_col).withColumnRenamed("vec_id", "_cell_id")
+    cells = ivf_cells(df, cents, id_col, vec_col).withColumnRenamed(id_col, "_cell_id")
     base = df.join(cells, df[id_col] == F.col("_cell_id")).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("b_vec"),

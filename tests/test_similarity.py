@@ -273,3 +273,45 @@ def test_hard_negative_exclusion_drops_same_group_candidates(spark):
         got[["query_id", "neighbor_id", "cosine_sim"]],
         expect[["query_id", "neighbor_id", "cosine_sim"]].reset_index(drop=True),
     )
+
+
+def test_ivf_ops_compose_with_non_default_id_col(spark):
+    """ivf_cells / ivf_cosine_topk / ivfadc keyed by a caller-chosen id column
+    must produce the same results as the default 'vec_id' (the output schema is
+    built from id_col, not hardcoded)."""
+    from lmw_tree_spark.operators.pq import ivfadc_topk, train_pq
+    from lmw_tree_spark.operators.similarity import (
+        ivf_cells,
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _emb_df(spark, n=80)
+    emb2 = emb.withColumnRenamed("vec_id", "doc_id")
+    cents = train_ivf_centroids(emb, n_cells=4, seed=7)
+
+    a = ivf_cells(emb, cents).orderBy("vec_id").toPandas()
+    b = ivf_cells(emb2, cents, id_col="doc_id").orderBy("doc_id").toPandas()
+    assert list(b.columns) == ["doc_id", "cell"]
+    assert (a["cell"].to_numpy() == b["cell"].to_numpy()).all()
+
+    pred = F.col("vec_id") % 20 == 0
+    pred2 = F.col("doc_id") % 20 == 0
+    ta = ivf_cosine_topk(emb, k=3, n_cells=4, n_probe=2, query_pred=pred, seed=7).toPandas()
+    tb = ivf_cosine_topk(
+        emb2, k=3, n_cells=4, n_probe=2, query_pred=pred2, seed=7, id_col="doc_id"
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        ta.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        tb.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+    cb = train_pq(emb, m=4, ksub=8, seed=7)
+    ia = ivfadc_topk(emb, cents, cb, k=3, n_probe=2, query_pred=pred).toPandas()
+    ib = ivfadc_topk(
+        emb2, cents, cb, k=3, n_probe=2, query_pred=pred2, id_col="doc_id"
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        ia.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        ib.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
