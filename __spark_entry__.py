@@ -701,6 +701,38 @@ def q_bloom_membership(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct count (operators/sketches.py:hll_registers): the
+    cardinality of the doc-term table (distinct (doc_id, token) pairs) in a
+    fixed 4096-register sketch — the bounded-memory substitute for an exact
+    count-distinct at 10^12 rows, completing the sketch family (CMS frequency,
+    Bloom membership, HLL cardinality). Registers are pure md5 string/integer
+    algebra and the harmonic sum is exact scaled-integer arithmetic, so the
+    oracle rebuilds the whole sketch AND the estimate bit-for-bit in SQL; the
+    row also carries the exact distinct count and the relative error the
+    estimate achieved (1.6% expected at m=4096)."""
+    from lmw_tree_spark.operators.sketches import hll_estimate, hll_registers
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).select(F.concat_ws(":", "doc_id", "token").alias("item"))
+    est = hll_estimate(hll_registers(items, "item"))
+    exact = items.agg(F.countDistinct("item").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        "m",
+        "nonzero_buckets",
+        "numerator",
+        "hll_estimate",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 relevance top-k (functions/text.py:bm25_topk): corpus triage by
     term relevance — one explode + two bounded hash aggregations, document
@@ -3847,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_tokens": q_regex_tokens,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_membership": q_bloom_membership,
+        "hll_distinct": q_hll_distinct,
         "bm25_topk": q_bm25_topk,
         "pack_sequences": q_pack_sequences,
         "length_deciles": q_length_deciles,
@@ -4584,6 +4617,50 @@ def oracle_sql() -> dict[str, str]:
                    (count(b.pos) = 4)::INT AS maybe_member
             FROM probe p LEFT JOIN bloom b USING (pos)
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "hll_distinct": """
+            WITH items AS (
+                SELECT doc_id::VARCHAR || ':' || tok AS item
+                FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)),
+            hashed AS (
+                SELECT substr(md5('7:' || item), 1, 3) AS bucket,
+                       ltrim(substr(md5('7:' || item), 4, 15), '0') AS stripped
+                FROM items),
+            rhos AS (
+                SELECT bucket,
+                       CASE WHEN stripped = '' THEN 40
+                            ELSE least(4 * (15 - length(stripped)) +
+                                 CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+                                      WHEN substr(stripped, 1, 1) IN ('2', '3') THEN 2
+                                      WHEN substr(stripped, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                                      ELSE 0 END + 1, 40) END AS rho
+                FROM hashed),
+            regs AS (SELECT bucket, max(rho) AS reg FROM rhos GROUP BY bucket),
+            agg AS (
+                SELECT count(*)::BIGINT AS nonzero_buckets,
+                       sum((1::BIGINT << (40 - reg)))::BIGINT AS sumnz
+                FROM regs),
+            est AS (
+                SELECT 4096 AS m, nonzero_buckets,
+                       (sumnz + (4096 - nonzero_buckets) * (1::BIGINT << 40))::BIGINT
+                           AS numerator,
+                       (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 *
+                           (1::BIGINT << 40)::DOUBLE /
+                           (sumnz + (4096 - nonzero_buckets) * (1::BIGINT << 40))::DOUBLE
+                           AS raw,
+                       4096 - nonzero_buckets AS zeros
+                FROM agg),
+            fin AS (
+                SELECT m, nonzero_buckets, numerator,
+                       round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                                  THEN 4096.0 * ln(4096.0 / zeros)
+                                  ELSE raw END, 2) AS hll_estimate
+                FROM est),
+            exact AS (SELECT count(DISTINCT item)::BIGINT AS exact_distinct FROM items)
+            SELECT m, nonzero_buckets, numerator, hll_estimate, exact_distinct,
+                   round(abs(hll_estimate - exact_distinct) / exact_distinct, 4)
+                       AS rel_err
+            FROM fin, exact
         """,
         "bm25_topk": """
             WITH docs AS (

@@ -203,3 +203,94 @@ def histogram_quantiles(
         )
         .orderBy("tenth")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame,
+    item_col: str,
+    p_chars: int = 3,
+    rho_cap: int = 40,
+    seed: int = 7,
+) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007): bucket = first ``p_chars``
+    hex chars of md5 (``m = 16**p_chars`` registers), rho = 1 + leading zero
+    BITS of the next 15 hex chars (60 bits), capped at ``rho_cap``.
+
+    The register build is one bounded ``groupBy(bucket).agg(max(rho))`` — the
+    map-side partials are at most ``m`` rows per task, so the shuffle moves
+    O(partitions * m) rows at any corpus size. ``max`` is idempotent, so the
+    input needs NO pre-``distinct`` (the whole point vs exact count-distinct,
+    whose groupBy key space is the cardinality itself).
+
+    All decisions are string/integer algebra over the md5 hex — no floats, no
+    RNG — so an independent SQL engine replays registers bit-for-bit
+    (the same hash-parity contract as the CMS/Bloom sketches above).
+    Reference tie-in: the scale substitute for the reference's exact distinct
+    counters over signature dims (GeneralExperiments.h:157-201).
+
+    Returns ``(bucket string, reg int)`` — only occupied buckets.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(item_col)))
+    suffix = F.substring(h, p_chars + 1, 15)
+    stripped = F.expr(
+        f"trim(LEADING '0' FROM substring(md5(concat_ws(':', '{seed}', {item_col})), "
+        f"{p_chars + 1}, 15))"
+    )
+    zp = F.lit(15) - F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    digit_lz = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(F.length(stripped) == 0, F.lit(rho_cap)).otherwise(
+        F.least(zp * 4 + digit_lz + 1, F.lit(rho_cap))
+    )
+    return (
+        df.select(
+            F.substring(h, 1, p_chars).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, p_chars: int = 3, rho_cap: int = 40
+) -> DataFrame:
+    """Cardinality estimate from HLL registers — one row:
+    ``(m, nonzero_buckets, numerator, hll_estimate)``.
+
+    The harmonic sum is kept EXACT integer algebra: ``sum(2^-reg)`` is scaled
+    by ``2^rho_cap`` so ``numerator = sum(1 << (rho_cap - reg)) + zeros <<
+    rho_cap`` is a bigint (max ``m * 2^rho_cap`` = 2^52 at the defaults — no
+    float-summation order dependence between engines). The only floats are the
+    final alpha multiply and the small-range linear-counting branch
+    (``m * ln(m / zeros)`` when raw <= 2.5m and zeros > 0), identical formula
+    text on the SQL side.
+    """
+    m = 16**p_chars
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        F.count("*").alias("nonzero_buckets"),
+        F.sum(F.expr(f"shiftleft(1L, {rho_cap} - reg)")).alias("sumnz"),
+    )
+    zeros = F.lit(m) - F.col("nonzero_buckets")
+    numerator = F.col("sumnz") + zeros * F.lit(1 << rho_cap)
+    raw = F.lit(alpha * m * m * float(1 << rho_cap)) / numerator
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("nonzero_buckets").cast("long").alias("nonzero_buckets"),
+        numerator.cast("long").alias("numerator"),
+        F.round(est, 2).alias("hll_estimate"),
+    )

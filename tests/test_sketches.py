@@ -138,3 +138,50 @@ def test_histogram_quantiles_match_exact_ranks(spark):
         # error <= bin_width - 1; the clamp bin is the one exception)
         if bin_of_exact < 255:
             assert got[k]["upper"] >= exact > got[k]["upper"] - 4
+
+
+def test_hll_registers_match_python_reference_and_estimate_accuracy(spark):
+    """Registers must equal a hashlib reference bit-for-bit (the md5 parity
+    contract shared with CMS/Bloom), max must be idempotent under repeats, and
+    the m=4096 estimate must land within 5% on a 6k-cardinality set."""
+    import hashlib
+
+    from lmw_tree_spark.operators.sketches import hll_estimate, hll_registers
+
+    items = [f"item-{i % 6000}" for i in range(20000)]
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    regs = hll_registers(df, "item").toPandas()
+
+    ref = {}
+    for x in set(items):
+        h = hashlib.md5(f"7:{x}".encode()).hexdigest()
+        b, s = h[:3], h[3:18].lstrip("0")
+        if not s:
+            rho = 40
+        else:
+            zp = 15 - len(s)
+            d = int(s[0], 16)
+            dlz = 3 if d == 1 else 2 if d < 4 else 1 if d < 8 else 0
+            rho = min(4 * zp + dlz + 1, 40)
+        ref[b] = max(ref.get(b, 0), rho)
+    assert dict(zip(regs["bucket"], regs["reg"])) == ref
+
+    # repeats don't change registers (no pre-distinct needed)
+    uniq = spark.createDataFrame([(x,) for x in set(items)], "item string")
+    regs_u = hll_registers(uniq, "item").toPandas()
+    assert dict(zip(regs_u["bucket"], regs_u["reg"])) == ref
+
+    est = hll_estimate(hll_registers(df, "item")).toPandas()
+    assert abs(est["hll_estimate"][0] - 6000) / 6000 < 0.05
+
+
+def test_hll_small_range_linear_counting_branch(spark):
+    """At tiny cardinality the raw harmonic estimate undercounts; the
+    linear-counting branch (raw <= 2.5m and zeros > 0) must fire and land
+    within 2% — and stay exact integer state (numerator check)."""
+    from lmw_tree_spark.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(300)], "item string")
+    est = hll_estimate(hll_registers(df, "item")).toPandas().iloc[0]
+    assert est["nonzero_buckets"] <= 300
+    assert abs(est["hll_estimate"] - 300) / 300 < 0.02
