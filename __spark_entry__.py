@@ -733,6 +733,75 @@ def q_hll_distinct(spark, sf_dir):
     )
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py) — 8 merge
+    iterations over the corpus word-frequency table: pair counting is a
+    pure-map explode + bounded groupBy, merge application a zero-shuffle
+    word-local fold (``aggregate`` HOF), the argmax a one-row collect per step
+    (the algorithm's sequential dependency — same driver-loop shape as
+    dense_kmeans). The oracle replays ALL 8 iterations in DuckDB with an
+    INDEPENDENT merge algebra (gaps-and-islands windows instead of a fold) —
+    the two-implementations cross-check pattern of scrub_pii."""
+    from lmw_tree_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(docs, n_merges=8)
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, cnt long"
+    ).orderBy("step")
+
+
+def _bpe_oracle_sql(n_steps: int) -> str:
+    """Unrolled n-step BPE replay: MATERIALIZED CTEs (each words_k feeds three
+    consumers — without materialization the chain re-evaluates exponentially).
+    Merge application uses windows: match runs via pos - row_number, odd
+    parity within a run = merged (greedy leftmost non-overlap), the
+    independent twin of the Spark-side fold."""
+    parts = ["""words_0 AS MATERIALIZED (
+        SELECT word, count(*)::BIGINT AS freq,
+               list_append(list_transform(generate_series(1, length(word)),
+                           i -> substr(word, i, 1)), chr(183)) AS syms
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        WHERE length(word) > 0 GROUP BY word)"""]
+    for k in range(n_steps):
+        parts.append(f"""top_{k} AS MATERIALIZED (
+        SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS cnt
+        FROM words_{k}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+        GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+    pos_{k} AS MATERIALIZED (
+        SELECT word, freq, i AS pos, syms[i] AS sym,
+               CASE WHEN i < len(syms) THEN syms[i+1] END AS nxt
+        FROM words_{k}, unnest(generate_series(1, len(syms))) AS t(i)),
+    md_{k} AS MATERIALIZED (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1 AS merged
+        FROM (SELECT word, pos,
+                     pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+              FROM (SELECT p.word, p.pos FROM pos_{k} p, top_{k} t
+                    WHERE p.sym = t.l AND p.nxt = t.r))),
+    words_{k + 1} AS MATERIALIZED (
+        SELECT o.word, any_value(o.freq) AS freq,
+               list(o.out ORDER BY o.pos) FILTER (o.out IS NOT NULL) AS syms
+        FROM (
+            SELECT p.word, p.freq, p.pos,
+                   CASE WHEN coalesce(m1.merged, false) THEN p.sym || p.nxt
+                        WHEN coalesce(m0.merged, false) THEN NULL
+                        ELSE p.sym END AS out
+            FROM pos_{k} p
+            LEFT JOIN md_{k} m1 ON m1.word = p.word AND m1.pos = p.pos
+            LEFT JOIN md_{k} m0 ON m0.word = p.word AND m0.pos = p.pos - 1) o
+        GROUP BY o.word)""")
+    finals = [
+        f"SELECT {k} AS step, l AS left, r AS right, l || r AS merged, cnt FROM top_{k}"
+        for k in range(n_steps)
+    ]
+    return (
+        "WITH " + ",\n    ".join(parts) + "\n"
+        + " UNION ALL ".join(finals) + " ORDER BY step"
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 relevance top-k (functions/text.py:bm25_topk): corpus triage by
     term relevance — one explode + two bounded hash aggregations, document
@@ -3880,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_membership": q_bloom_membership,
         "hll_distinct": q_hll_distinct,
+        "bpe_train": q_bpe_train,
         "bm25_topk": q_bm25_topk,
         "pack_sequences": q_pack_sequences,
         "length_deciles": q_length_deciles,
@@ -4618,6 +4688,7 @@ def oracle_sql() -> dict[str, str]:
             FROM probe p LEFT JOIN bloom b USING (pos)
             GROUP BY p.doc_id ORDER BY p.doc_id
         """,
+        "bpe_train": _bpe_oracle_sql(8),
         "hll_distinct": """
             WITH items AS (
                 SELECT doc_id::VARCHAR || ':' || tok AS item

@@ -1,0 +1,110 @@
+"""Distributed BPE trainer: merge table and final vocabulary must equal a
+single-machine reference implementation (classic Sennrich ACL16 semantics —
+overlap-inclusive counting, greedy leftmost non-overlapping application,
+ties by count desc then pair asc), at any input partitioning."""
+
+from collections import Counter
+
+from lmw_tree_spark.operators.bpe import END_TOKEN, apply_merge, bpe_train, word_corpus
+
+
+def _ref_bpe(texts, n_merges, end=END_TOKEN):
+    freqs = Counter(w for t in texts for w in t.lower().split(" ") if w)
+    vocab = {w: list(w) + [end] for w in freqs}
+    merges = []
+    for step in range(n_merges):
+        pc = Counter()
+        for w, f in freqs.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        if c < 2:
+            break
+        merges.append((step, l, r, l + r, c))
+        for w in vocab:
+            s, new, i = vocab[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            vocab[w] = new
+    return merges, vocab
+
+
+def test_bpe_matches_reference_merges_and_vocab(spark):
+    texts = [
+        "low low low lower lowest newer newest new",
+        "wider wide new newer newer",
+        "the lowly widow knew the newt",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got_merges, words = bpe_train(df, 10)
+    ref_merges, ref_vocab = _ref_bpe(texts, 10)
+    assert got_merges == ref_merges
+    got_vocab = {
+        r["word"]: list(r["syms"]) for r in words.select("word", "syms").collect()
+    }
+    assert got_vocab == ref_vocab
+    words.unpersist()
+
+
+def test_bpe_greedy_leftmost_nonoverlap(spark):
+    """'aaaa' + merge (a,a) -> ['aa','aa'], 'aaa' -> ['aa','a'] (never three
+    overlapping merges), while COUNTING still sees both positions in 'aaa'."""
+    from lmw_tree_spark.operators.bpe import pair_counts
+
+    df = spark.createDataFrame([("aaaa aaa",)], "text string")
+    w = word_corpus(df)
+    cnt = {
+        (r["left"], r["right"]): r["cnt"] for r in pair_counts(w).collect()
+    }
+    assert cnt[("a", "a")] == 3 + 2  # overlap-inclusive
+    out = {
+        r["word"]: list(r["syms"])
+        for r in apply_merge(w, "a", "a").select("word", "syms").collect()
+    }
+    assert out["aaaa"] == ["aa", "aa", END_TOKEN]
+    assert out["aaa"] == ["aa", "a", END_TOKEN]
+
+
+def test_bpe_partitioning_invariance(spark):
+    texts = ["abc abd abe bcd", "abc abc bcd bce", "xyz abc abd"]
+    df1 = spark.createDataFrame([(t,) for t in texts], "text string").repartition(1)
+    df7 = spark.createDataFrame([(t,) for t in texts], "text string").repartition(7)
+    m1, w1 = bpe_train(df1, 5)
+    m7, w7 = bpe_train(df7, 5)
+    assert m1 == m7
+    v1 = {r["word"]: list(r["syms"]) for r in w1.collect()}
+    v7 = {r["word"]: list(r["syms"]) for r in w7.collect()}
+    assert v1 == v7
+    w1.unpersist()
+    w7.unpersist()
+
+
+def test_bpe_stops_when_no_pair_repeats(spark):
+    """cnt < 2 terminates training early (merging singletons is pointless);
+    a fully-merged single-symbol word must not emit phantom pairs (Spark's
+    sequence(1, 0) is descending, guarded in pair_counts)."""
+    from lmw_tree_spark.operators.bpe import pair_counts
+
+    df = spark.createDataFrame([("ab ab cd",)], "text string")
+    merges, words = bpe_train(df, 50)
+    # 'ab' merges fully (freq 2): a+b, ab+END; then everything left is unique
+    assert [m[1:4] for m in merges][:2] == [
+        ("a", "b", "ab"),
+        ("ab", END_TOKEN, "ab" + END_TOKEN),
+    ]
+    assert len(merges) < 50
+    fully = {r["word"]: list(r["syms"]) for r in words.collect()}
+    assert fully["ab"] == ["ab" + END_TOKEN]
+    # no phantom pair from the size-1 word
+    pcs = {(r["left"], r["right"]) for r in pair_counts(words).collect()}
+    assert all(l is not None and r is not None for l, r in pcs)
+    words.unpersist()
