@@ -238,6 +238,33 @@ def _minhash_production(spark, sf_dir):
     return minhash_lsh_dedup(docs, min_sim=0.5, pair_cap=64)
 
 
+def _hard_negatives_production(spark, sf_dir):
+    """Production-config hard-negative mining (no oracle-exchange
+    materialization): near-dup edges -> components -> group-excluded IVF
+    top-k, as a contrastive-training pipeline runs it."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.dense import kmeans_dense
+    from lmw_tree_spark.operators.similarity import (
+        cosine_neardup_pairs_bounded,
+        ivf_cosine_topk,
+    )
+
+    emb = entry._synthetic_embeddings(spark, 4000).persist()
+    edges = cosine_neardup_pairs_bounded(emb, min_cosine=0.9)
+    comp = connected_components(
+        edges, vertices=emb.select("vec_id"), id_col="vec_id", label_col="grp"
+    )
+    cents = kmeans_dense(emb, k=8, iters=3, init="hash", seed=42)
+    return ivf_cosine_topk(
+        emb, k=3, n_cells=8, n_probe=2,
+        query_pred=F.col("vec_id") % 50 == 0,
+        centroids=cents, exclude_groups=comp,
+    )
+
+
 def _pq_production(spark, sf_dir):
     """Production-config PQ ADC top-k (no oracle-exchange materialization):
     train on the hash-ordered sample, encode, ADC-scan — the compressed-domain
@@ -302,9 +329,11 @@ def run_queries(spark, sf_dir: str) -> dict:
         "crop_dedup", "sharpness_filter", "shard_manifest",
         "url_canonical", "mixture_sample", "domain_cap", "align_filter",
         "ar_bucket", "epoch_repeat",
+        "hll_distinct", "bpe_train", "hard_negatives",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
+    qs["hard_negatives"] = _hard_negatives_production
     qs["pq_ann"] = _pq_production
     qs["srp_neardup"] = _srp_production
     qs["crop_dedup"] = _crop_production
