@@ -1693,6 +1693,64 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_triangle_support(spark, sf_dir):
+    """Per-edge triangle support over the verified image near-dup graph — the
+    corroboration signal k-truss hardening peels on. Spark enumerates each
+    triangle once via degree-oriented wedges (Suri & Vassilvitskii, WWW'11);
+    the oracle counts common neighbors per edge with a DIFFERENT algorithm
+    (symmetric-adjacency intersection join) over the same materialized edge
+    set, so the two supports cross-check each other."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.graph import triangle_supports
+    from lmw_tree_spark.operators.lsh import candidate_edges, verify_edges
+
+    sigs = _fixed_signatures(spark)
+    verified = verify_edges(candidate_edges(sigs, SMALL), sigs, SMALL).where("is_dup")
+    edges = verified.select("src", "dst").persist()
+    _write_exchange(
+        "ktruss",
+        edges=edges.toPandas(),
+        vertices=sigs.select("image_id").toPandas(),
+    )
+    return triangle_supports(edges).orderBy("src", "dst")
+
+
+def q_ktruss_dedup(spark, sf_dir):
+    """Edge-hardened dedup: 3-truss peel (every surviving edge must sit in a
+    triangle of surviving edges) before connected components — the production
+    guard against a single spurious verified pair fusing two dup groups.
+    Groups connected only by uncorroborated edges (pairs, pure chains)
+    dissolve to singletons; clique-backed groups survive intact. The oracle
+    replays the SAME fixed number of peel rounds in SQL (post-fixpoint rounds
+    are no-ops on both sides) and then recomputes components with a
+    recursive-CTE closure from the surviving edge set."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.graph import ktruss
+    from lmw_tree_spark.operators.lsh import candidate_edges, verify_edges
+
+    sigs = _fixed_signatures(spark)
+    verified = verify_edges(candidate_edges(sigs, SMALL), sigs, SMALL).where("is_dup")
+    # Inject deterministic SPURIOUS bridges (the failure mode this operator
+    # exists for): one uncorroborated edge from every 5th dup group
+    # {7k, 7k+1, 7k+2} to the next group's first member. Plain CC would fuse
+    # those group pairs; the 3-truss peel removes the bridges (support 0) and
+    # keeps the clique-backed groups intact.
+    n = F.substring("image_id", 4, 10).cast("long")
+    bridges = sigs.select(
+        F.col("image_id").alias("src"),
+        F.format_string("img%010d", n + 5).alias("dst"),
+    ).where((n % 7 == 2) & ((n / 7).cast("long") % 5 == 0) & (n + 5 < _X_N))
+    edges = verified.select("src", "dst").unionByName(bridges).persist()
+    _write_exchange(
+        "ktruss_cc",
+        edges=edges.toPandas(),
+        vertices=sigs.select("image_id").toPandas(),
+    )
+    hard = ktruss(edges, k=3, max_rounds=3)
+    return connected_components(hard, vertices=sigs).orderBy("image_id")
+
+
 def q_dedup_eval(spark, sf_dir):
     """North-rule evidence as a hash-checked row: dup-pair recall/precision of
     the candidate→verify→CC image pipeline against the generator's planted
@@ -2920,6 +2978,30 @@ def _exchange_oracles() -> dict[str, str]:
     split_e = os.path.join(x, "split", "edges.parquet")
     cc_e = os.path.join(x, "dedup_cc", "edges.parquet")
     cc_v = os.path.join(x, "dedup_cc", "vertices.parquet")
+    kt_e = os.path.join(x, "ktruss", "edges.parquet")
+    kt2_e = os.path.join(x, "ktruss_cc", "edges.parquet")
+    kt2_v = os.path.join(x, "ktruss_cc", "vertices.parquet")
+    # k-truss peel replay (3 fixed rounds, matching the Spark query's
+    # max_rounds — post-fixpoint rounds are no-ops on both sides). Support is
+    # computed by symmetric-adjacency common-neighbor intersection, a
+    # different algorithm from Spark's degree-oriented wedge enumeration.
+    _kt_rounds = []
+    for _i in range(3):
+        _kt_rounds.append(
+            f"""
+            sym{_i} AS (SELECT u, v FROM e{_i} UNION ALL SELECT v, u FROM e{_i}),
+            s{_i} AS (
+                SELECT c.u, c.v, count(*) AS cnt
+                FROM e{_i} c
+                JOIN sym{_i} n1 ON n1.u = c.u
+                JOIN sym{_i} n2 ON n2.u = c.v AND n2.v = n1.v
+                GROUP BY c.u, c.v),
+            e{_i + 1} AS (
+                SELECT e.u, e.v FROM e{_i} e
+                JOIN s{_i} s ON s.u = e.u AND s.v = e.v
+                WHERE s.cnt >= 1)"""
+        )
+    kt_peel = ",".join(_kt_rounds)
     de_e = os.path.join(x, "dedup_eval", "edges.parquet")
     de_v = os.path.join(x, "dedup_eval", "vertices.parquet")
     sv_e = os.path.join(x, "survivors", "edges.parquet")
@@ -3719,6 +3801,35 @@ def _exchange_oracles() -> dict[str, str]:
             SELECT u AS image_id, min(v) AS dup_group
             FROM reach GROUP BY u ORDER BY image_id
         """,
+        "triangle_support": f"""
+            WITH canon AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM read_parquet('{kt_e}') WHERE src <> dst),
+            sym AS (SELECT u, v FROM canon UNION ALL SELECT v, u FROM canon),
+            sup AS (
+                SELECT c.u, c.v, count(*) AS cnt
+                FROM canon c
+                JOIN sym n1 ON n1.u = c.u
+                JOIN sym n2 ON n2.u = c.v AND n2.v = n1.v
+                GROUP BY c.u, c.v)
+            SELECT c.u AS src, c.v AS dst, coalesce(s.cnt, 0) AS support
+            FROM canon c LEFT JOIN sup s ON s.u = c.u AND s.v = c.v
+            ORDER BY src, dst
+        """,
+        "ktruss_dedup": f"""
+            WITH RECURSIVE e0 AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM read_parquet('{kt2_e}') WHERE src <> dst),
+            {kt_peel},
+            symf AS (SELECT u, v FROM e3 UNION SELECT v, u FROM e3),
+            verts AS (SELECT image_id FROM read_parquet('{kt2_v}')),
+            reach(u, v) AS (
+                SELECT image_id, image_id FROM verts
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN symf s ON s.u = r.v)
+            SELECT u AS image_id, min(v) AS dup_group
+            FROM reach GROUP BY u ORDER BY image_id
+        """,
         "cluster_coassign": f"""
             WITH a AS (SELECT image_id, cluster_id FROM read_parquet('{pu_a}')),
             based AS (
@@ -3990,6 +4101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_enforced": q_kmeans_enforced,
         "kmeans_dsquared": q_kmeans_dsquared,
         "dedup_images": q_dedup_images,
+        "triangle_support": q_triangle_support,
+        "ktruss_dedup": q_ktruss_dedup,
         "dedup_eval": q_dedup_eval,
         "dedup_survivors": q_dedup_survivors,
         "cluster_coassign": q_cluster_coassign,
