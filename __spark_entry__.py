@@ -758,6 +758,36 @@ def _bpe_oracle_sql(n_steps: int) -> str:
     Merge application uses windows: match runs via pos - row_number, odd
     parity within a run = merged (greedy leftmost non-overlap), the
     independent twin of the Spark-side fold."""
+    parts = _bpe_cte_parts(n_steps)
+    finals = [
+        f"SELECT {k} AS step, l AS left, r AS right, l || r AS merged, cnt FROM top_{k}"
+        for k in range(n_steps)
+    ]
+    return (
+        "WITH " + ",\n    ".join(parts) + "\n"
+        + " UNION ALL ".join(finals) + " ORDER BY step"
+    )
+
+
+def _bpe_encode_oracle_sql(n_steps: int) -> str:
+    """Encode replay: the same n-step training CTE chain, then join every
+    document word to its final symbol count and roll up per doc."""
+    parts = _bpe_cte_parts(n_steps)
+    return (
+        "WITH " + ",\n    ".join(parts) + f""",
+    docw AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+        WHERE length(word) > 0)
+    SELECT d.doc_id, count(*)::BIGINT AS n_words,
+           sum(len(w.syms))::BIGINT AS n_tokens
+    FROM docw d JOIN words_{n_steps} w USING (word)
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+    )
+
+
+def _bpe_cte_parts(n_steps: int) -> list[str]:
     parts = ["""words_0 AS MATERIALIZED (
         SELECT word, count(*)::BIGINT AS freq,
                list_append(list_transform(generate_series(1, length(word)),
@@ -792,14 +822,22 @@ def _bpe_oracle_sql(n_steps: int) -> str:
             LEFT JOIN md_{k} m1 ON m1.word = p.word AND m1.pos = p.pos
             LEFT JOIN md_{k} m0 ON m0.word = p.word AND m0.pos = p.pos - 1) o
         GROUP BY o.word)""")
-    finals = [
-        f"SELECT {k} AS step, l AS left, r AS right, l || r AS merged, cnt FROM top_{k}"
-        for k in range(n_steps)
-    ]
-    return (
-        "WITH " + ",\n    ".join(parts) + "\n"
-        + " UNION ALL ".join(finals) + " ORDER BY step"
-    )
+    return parts
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLY: train 8 merges, encode every document under the
+    trained vocab — per-doc word and token counts (end-of-word markers
+    included), the cost model data-budget decisions key on. Merges touch only
+    the bounded distinct-word table; docs reach tokens via one equi-join +
+    one rollup (operators/bpe.py:bpe_encode). The oracle replays training
+    with the independent gaps-and-islands algebra AND the encode join."""
+    from lmw_tree_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents").persist()
+    merges, words = bpe_train(docs, n_merges=8)
+    words.unpersist()
+    return bpe_encode(docs, merges).orderBy("doc_id")
 
 
 def q_bm25_topk(spark, sf_dir):
@@ -4061,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "hll_distinct": q_hll_distinct,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "bm25_topk": q_bm25_topk,
         "pack_sequences": q_pack_sequences,
         "length_deciles": q_length_deciles,
@@ -4802,6 +4841,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.doc_id ORDER BY p.doc_id
         """,
         "bpe_train": _bpe_oracle_sql(8),
+        "bpe_encode": _bpe_encode_oracle_sql(8),
         "hll_distinct": """
             WITH items AS (
                 SELECT doc_id::VARCHAR || ':' || tok AS item

@@ -124,6 +124,44 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_token: str = END_TOKEN,
+) -> DataFrame:
+    """Apply a trained merge list → per-document token counts.
+
+    The tokenizer-APPLY step (the cost model every data-budget decision keys
+    on). Merges are applied in training order to the DISTINCT-WORD table —
+    bounded at any corpus size, many orders smaller than the corpus — then one
+    equi-join maps every document word to its encoded length and one groupBy
+    rolls up the doc totals. ``n_tokens`` counts the end-of-word marker, so a
+    word that survives unmerged costs ``len(word) + 1`` (standard '</w>'
+    accounting).
+
+    Zero shuffles beyond the word-table groupBy, the broadcast-able word join,
+    and the final doc rollup; merge application itself is the same
+    whole-stage-codegen fold as training (``apply_merge``)."""
+    words = word_corpus(df, text_col, end_token)
+    for _step, l, r, _m, _c in merges:
+        words = apply_merge(words, l, r)
+    word_costs = words.select("word", F.size("syms").alias("n_toks"))
+    doc_words = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    ).where(F.length("word") > 0)
+    return (
+        doc_words.join(word_costs, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,

@@ -108,3 +108,36 @@ def test_bpe_stops_when_no_pair_repeats(spark):
     pcs = {(r["left"], r["right"]) for r in pair_counts(words).collect()}
     assert all(l is not None and r is not None for l, r in pcs)
     words.unpersist()
+
+
+def test_bpe_encode_matches_reference(spark):
+    from lmw_tree_spark.operators.bpe import bpe_encode
+
+    texts = [
+        "low low low lower lowest newer newest new",
+        "wider wide new newer newer",
+        "the lowly widow knew the newt",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, words = bpe_train(df, 6)
+    words.unpersist()
+    _, ref_vocab = _ref_bpe(texts, 6)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode(df, merges).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.lower().split(" ") if w]
+        want[i] = (len(ws), sum(len(ref_vocab[w]) for w in ws))
+    assert got == want
+
+
+def test_bpe_encode_no_merges_is_chars_plus_marker(spark):
+    from lmw_tree_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([(1, "ab abc")], "doc_id long, text string")
+    row = bpe_encode(df, []).collect()[0]
+    assert (row["n_words"], row["n_tokens"]) == (2, 3 + 4)
