@@ -2584,6 +2584,21 @@ def q_align_filter(spark, sf_dir):
     return crossmodal_alignment(docs, embs, max_hamming=12).orderBy("doc_id")
 
 
+def q_interleave_docs(spark, sf_dir):
+    """MMC4-style interleaved assembly (operators/alignment.py:
+    interleave_assembly): each image goes to its best-aligned document inside
+    its md5 locality bucket (per-image argmin is a partial-agg min(struct),
+    not a window), then each doc keeps its 3 best images ranked
+    (hamming, vec_id). Pure integer algebra end-to-end — the oracle replays
+    both signature stages, the bucket join, the argmin, and the capacity
+    ranking from the raw tables with NO materialized state."""
+    from lmw_tree_spark.operators.alignment import interleave_assembly
+
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    return interleave_assembly(docs, embs, per_doc_cap=3).orderBy("doc_id", "slot")
+
+
 def q_audio_neardup(spark, sf_dir):
     """Audio near-dup groups via quantized RMS-envelope fingerprints
     (sources/multimodal.py:161). The RAW per-window RMS envelope + global
@@ -4163,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "domain_cap": q_domain_cap,
         "align_filter": q_align_filter,
+        "interleave_docs": q_interleave_docs,
         "ar_bucket": q_ar_bucket,
         "shot_detect": q_shot_detect,
         "epoch_repeat": q_epoch_repeat,
@@ -4552,6 +4568,56 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(img_sig, cap_sig) & 4294967295)::INT AS hamming,
                    bit_count(xor(img_sig, cap_sig) & 4294967295) <= 12 AS aligned
             FROM cap JOIN img ON doc_id = vec_id ORDER BY doc_id
+        """,
+        "interleave_docs": """
+            WITH emb AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                       trunc(unnest(embedding) * 1024)::BIGINT AS q
+                FROM embeddings),
+            planes AS (
+                SELECT r.r, j.j,
+                       strpos('0123456789abcdef',
+                              substr(md5('11:' || r.r::VARCHAR || ':'
+                                         || j.j::VARCHAR), 1, 1)) - 9 AS c
+                FROM range(32) r(r), range(64) j(j)),
+            dots AS (
+                SELECT vec_id, r, sum(q * c) AS dot
+                FROM emb JOIN planes USING (j) GROUP BY vec_id, r),
+            img AS (
+                SELECT vec_id,
+                       sum(CASE WHEN dot > 0 THEN 1::BIGINT << r
+                                ELSE 0 END)::BIGINT AS img_sig
+                FROM dots GROUP BY vec_id),
+            toks AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)),
+            votes AS (
+                SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS vote
+                FROM toks, range(32) AS r(j) GROUP BY doc_id, j),
+            cap AS (
+                SELECT doc_id,
+                       sum(CASE WHEN vote > 0 THEN 1::BIGINT << j
+                                ELSE 0 END)::BIGINT AS cap_sig
+                FROM votes GROUP BY doc_id),
+            cand AS (
+                SELECT i.vec_id, c.doc_id,
+                       bit_count(xor(i.img_sig, c.cap_sig) & 4294967295)::INT AS hamming
+                FROM img i JOIN cap c
+                  ON substr(md5(i.vec_id::VARCHAR), 1, 1)
+                   = substr(md5(c.doc_id::VARCHAR), 1, 1)),
+            best AS (
+                SELECT vec_id, doc_id, hamming FROM (
+                    SELECT vec_id, doc_id, hamming,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY hamming, doc_id) AS rn
+                    FROM cand) WHERE rn = 1)
+            SELECT doc_id, vec_id, hamming, slot FROM (
+                SELECT doc_id, vec_id, hamming,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY hamming, vec_id) AS slot
+                FROM best) WHERE slot <= 3
+            ORDER BY doc_id, slot
         """,
         "shard_manifest": """
             SELECT (strpos('0123456789abcdef',

@@ -124,3 +124,72 @@ def crossmodal_alignment(
         .cast("int")
         .alias("hamming"),
     ).withColumn("aligned", (F.col("hamming") <= F.lit(max_hamming)).cast("boolean"))
+
+
+def interleave_assembly(
+    docs: DataFrame,
+    embs: DataFrame,
+    per_doc_cap: int = 3,
+    bucket_chars: int = 1,
+    n_bits: int = 32,
+    seed: int = 11,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MMC4-style interleaved-document assembly (Zhu et al., NeurIPS'23
+    Datasets: place each image at its best-aligned text position, bounded per
+    document): every image is assigned to the best-scoring document in its
+    LOCALITY BUCKET, then each document keeps at most ``per_doc_cap`` images,
+    best first. Output: (doc_id, vec_id, hamming, slot) — slot is the image's
+    1-based position among the document's kept images.
+
+    Locality: candidates are (image, doc) pairs sharing the first
+    ``bucket_chars`` hex chars of md5(id) — the deterministic stand-in for
+    MMC4's same-web-page constraint. Per-image candidate volume is
+    ``n_docs / 16^bucket_chars``: at test scale 1 char (16 buckets) suffices;
+    a 10^12-row corpus raises ``bucket_chars`` like ``shard_chars`` in the
+    shard planner, keeping candidate sets page-sized — the knob IS the scale
+    guard, and the bucket join is a plain equi-join AQE can split.
+
+    Scoring reuses the integer cross-modal scorer (``srp_int_signatures`` vs
+    the caption token SimHash — swap one Arrow kernel for a real CLIP model).
+    The per-image argmin is ``min(struct(hamming, doc_id))`` — a partial
+    aggregation, skew-immune, NOT a window; ties break to the lowest doc_id.
+    The capacity pass ranks each document's won images by (hamming, vec_id) —
+    a window whose partitions hold only the images a single document WON
+    (bounded by the bucket's image count)."""
+    from pyspark.sql import Window
+
+    from lmw_tree_spark.functions.text import token_simhash32
+
+    d = len(embs.select(vec_col).first()[0])
+    planes = int_hyperplanes(d, n_bits=n_bits, seed=seed)
+    img = srp_int_signatures(embs, planes, vec_id, vec_col, out_col="img_sig")
+    cap = token_simhash32(docs, text_col=text_col, id_col=doc_id, out_col="cap_sig")
+    bucket = lambda c: F.substring(F.md5(F.col(c).cast("string")), 1, bucket_chars)
+    mask = (1 << n_bits) - 1
+    cand = img.withColumn("b", bucket(vec_id)).join(
+        cap.withColumn("b", bucket(doc_id)), "b"
+    )
+    scored = cand.select(
+        vec_id,
+        doc_id,
+        F.bit_count(
+            F.col("img_sig").bitwiseXOR(F.col("cap_sig")).bitwiseAND(F.lit(mask))
+        )
+        .cast("int")
+        .alias("hamming"),
+    )
+    best = (
+        scored.groupBy(vec_id)
+        .agg(F.min(F.struct("hamming", doc_id)).alias("w"))
+        .select(vec_id, F.col(f"w.{doc_id}").alias(doc_id), F.col("w.hamming").alias("hamming"))
+    )
+    w = Window.partitionBy(doc_id).orderBy(F.asc("hamming"), F.asc(vec_id))
+    return (
+        best.withColumn("slot", F.row_number().over(w))
+        .where(F.col("slot") <= per_doc_cap)
+        .select(doc_id, vec_id, "hamming", "slot")
+    )

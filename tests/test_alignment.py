@@ -80,3 +80,79 @@ def test_crossmodal_alignment_gate(spark):
         ham = bin((int(row.img_sig) ^ int(row.cap_sig)) & 0xFFFFFFFF).count("1")
         assert row.hamming == ham
         assert row.aligned == (ham <= 16)
+
+
+def _py_simhash32(text):
+    votes = [0] * 32
+    for tok in text.lower().split(" "):
+        if not tok:
+            continue
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        for j in range(32):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    return sum(1 << j for j in range(32) if votes[j] > 0)
+
+
+def test_interleave_assembly_matches_bruteforce(spark):
+    from lmw_tree_spark.operators.alignment import interleave_assembly
+
+    rng = np.random.default_rng(17)
+    n_docs, n_imgs, d, cap = 12, 30, 8, 2
+    texts = [
+        " ".join(rng.choice(["red", "blue", "dog", "cat", "sky", "car"], 5))
+        for _ in range(n_docs)
+    ]
+    vecs = rng.standard_normal((n_imgs, d)).astype(np.float32)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n_imgs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r.doc_id, r.vec_id, r.hamming, r.slot)
+        for r in interleave_assembly(docs, embs, per_doc_cap=cap)
+        .orderBy("doc_id", "slot")
+        .collect()
+    ]
+
+    # brute-force replay with pure-Python signatures + md5 buckets
+    planes = int_hyperplanes(d, n_bits=32, seed=11)
+    img_sig = {i: _py_srp(vecs[i], planes) for i in range(n_imgs)}
+    cap_sig = {i: _py_simhash32(texts[i]) for i in range(n_docs)}
+    bkt = lambda x: hashlib.md5(str(x).encode()).hexdigest()[0]
+    best = {}
+    for i in range(n_imgs):
+        cands = [
+            (bin(img_sig[i] ^ cap_sig[di]).count("1"), di)
+            for di in range(n_docs)
+            if bkt(di) == bkt(i)
+        ]
+        if cands:
+            best[i] = min(cands)
+    per_doc = {}
+    for i, (h, di) in best.items():
+        per_doc.setdefault(di, []).append((h, i))
+    want = []
+    for di in sorted(per_doc):
+        for slot, (h, i) in enumerate(sorted(per_doc[di])[:cap], start=1):
+            want.append((di, i, h, slot))
+    assert got == want
+    assert all(s <= cap for *_, s in got)
+
+
+def test_interleave_assembly_partitioning_invariant(spark):
+    from lmw_tree_spark.operators.alignment import interleave_assembly
+
+    rng = np.random.default_rng(3)
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 4} tok{i % 7} tail") for i in range(20)],
+        "doc_id long, text string",
+    )
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    one = interleave_assembly(docs.repartition(1),
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(1))
+    many = interleave_assembly(docs.repartition(13),
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(7))
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
