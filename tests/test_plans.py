@@ -393,3 +393,34 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_sigs_b")
         spark.sql("DROP TABLE IF EXISTS t_edges_b")
+
+
+def test_triangle_and_ktruss_are_equi_joins_only(spark):
+    """Triangle enumeration: the wedge join and the closing-edge join are hash
+    equi-joins (AQE-splittable) — never CartesianProduct/nested-loop, and no
+    window anywhere (the O(m^1.5) oriented-wedge bound is only real if the
+    plan is pure equi-join + partial agg)."""
+    from lmw_tree_spark.operators.graph import triangle_supports
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)] + [(i, i + 2) for i in range(48)],
+        "src long, dst long",
+    )
+    plan = plan_of(triangle_supports(edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_interleave_argmin_is_partial_agg_not_window(spark):
+    """interleave_assembly: the per-image argmin must be a hash aggregation
+    with a partial (map-side) phase — a window over candidates would break the
+    skew bound; the only window allowed is the per-doc capacity ranking."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["interleave_docs"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "HashAggregate" in plan, plan
