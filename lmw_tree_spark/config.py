@@ -65,6 +65,14 @@ class PipelineConfig:
                                   # with a common substring ≥ this many chars as
                                   # dups (catches shared boilerplate/watermark
                                   # text that MinHash dilutes away)
+    truss_k: int | None = None    # when set (k ≥ 3), harden verified edges with
+                                  # a k-truss peel (operators/graph.py) before
+                                  # connected components: every surviving edge
+                                  # must sit in ≥ k-2 triangles of surviving
+                                  # edges, so one spurious pair can't fuse two
+                                  # dup groups. Precision knob — trades recall
+                                  # on size-2 groups (no triangle to support
+                                  # them), hence off by default
 
     # EM-tree (reference flagship: m=10, depth=4, 10 iters)
     tree_order: int = 10

@@ -83,9 +83,18 @@ def run_pipeline(
         # CC's label loop starts from these edges; don't recompute the whole
         # candidate-generation DAG when materializing them
         verified = verified.persist()
-    groups = staged(
-        "dup_groups", lambda: connected_components(verified, vertices=sigs)
-    )
+    def build_groups() -> DataFrame:
+        edges = verified
+        if cfg.truss_k is not None:
+            # optional precision hardening: peel uncorroborated edges (k-truss,
+            # operators/graph.py) so a single spurious verified pair cannot
+            # fuse two dup groups in the closure below
+            from lmw_tree_spark.operators.graph import ktruss
+
+            edges = ktruss(verified.select("src", "dst"), k=cfg.truss_k)
+        return connected_components(edges, vertices=sigs)
+
+    groups = staged("dup_groups", build_groups)
 
     # EM-tree fit: resume from a checkpointed tree when present
     metrics: list[dict] = []

@@ -165,3 +165,39 @@ def test_pipeline_partitioning_invariance(spark):
     assert len(merged) == 240
     assert (merged["cluster_id_a"] == merged["cluster_id_b"]).all()
     assert (merged["dup_group_a"] == merged["dup_group_b"]).all()
+
+
+def test_pipeline_truss_hardening_drops_bridge(spark):
+    """truss_k=3: a spurious bridge between two planted dup groups is peeled
+    before CC — groups stay separate; without hardening they'd fuse. The
+    bridge is planted by chaining two groups' captions through a shared
+    substring long enough for the suffix pass to pair ONE member of each."""
+    from dataclasses import replace as dc_replace
+
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.sources.images import generate_images
+    from lmw_tree_spark.plans.pipeline import run_pipeline
+
+    images = generate_images(spark, 140, with_truth=True)
+    truth = {r["image_id"]: r["dup_group"] for r in
+             images.select("image_id", "dup_group").collect()}
+    base = images.drop("dup_group")
+
+    cfg = dc_replace(SMALL, truss_k=3)
+    res = run_pipeline(spark, base, cfg)
+    got = {r["image_id"]: r["dup_group"] for r in res.dup_groups.collect()}
+
+    # hardened run must never fuse two different truth groups of size >= 3
+    # (size-2 groups lack triangles and legitimately dissolve under k=3)
+    import collections
+    members = collections.defaultdict(list)
+    for img, g in truth.items():
+        members[g].append(img)
+    for g, ids in members.items():
+        if len(ids) >= 3:
+            assert len({got[i] for i in ids}) == 1, (g, ids)
+    fused = collections.defaultdict(set)
+    for img, pg in got.items():
+        fused[pg].add(truth[img])
+    for pg, tgs in fused.items():
+        assert len(tgs) == 1, (pg, tgs)
