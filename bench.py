@@ -265,6 +265,34 @@ def _hard_negatives_production(spark, sf_dir):
     )
 
 
+def _graph_edges(spark):
+    import __spark_entry__ as entry
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.lsh import candidate_edges, verify_edges
+
+    sigs = entry._fixed_signatures(spark)
+    verified = verify_edges(candidate_edges(sigs, SMALL), sigs, SMALL).where("is_dup")
+    return sigs, verified.select("src", "dst")
+
+
+def _triangle_production(spark, sf_dir):
+    """Production-config triangle support (no oracle-exchange write on the
+    timed path): verified image edges -> per-edge support."""
+    from lmw_tree_spark.operators.graph import triangle_supports
+
+    _sigs, edges = _graph_edges(spark)
+    return triangle_supports(edges)
+
+
+def _ktruss_production(spark, sf_dir):
+    """Production-config edge-hardened dedup: 3-truss peel -> CC."""
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.graph import ktruss
+
+    sigs, edges = _graph_edges(spark)
+    return connected_components(ktruss(edges, k=3, max_rounds=3), vertices=sigs)
+
+
 def _pq_production(spark, sf_dir):
     """Production-config PQ ADC top-k (no oracle-exchange materialization):
     train on the hash-ordered sample, encode, ADC-scan — the compressed-domain
@@ -330,10 +358,13 @@ def run_queries(spark, sf_dir: str) -> dict:
         "url_canonical", "mixture_sample", "domain_cap", "align_filter",
         "ar_bucket", "epoch_repeat",
         "hll_distinct", "bpe_train", "hard_negatives",
+        "bpe_encode", "interleave_docs", "triangle_support", "ktruss_dedup",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
     qs["hard_negatives"] = _hard_negatives_production
+    qs["triangle_support"] = _triangle_production
+    qs["ktruss_dedup"] = _ktruss_production
     qs["pq_ann"] = _pq_production
     qs["srp_neardup"] = _srp_production
     qs["crop_dedup"] = _crop_production
