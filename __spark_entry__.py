@@ -1209,6 +1209,55 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_sq8_recall(spark, sf_dir):
+    """Scalar-quantized (int8) ANN + recall eval (operators/pq.py:sq8_encode /
+    sq8_topk / fixedpoint_topk) — the storage-cheap sibling of PQ: one byte
+    per dimension against the vector's own max-abs scale, Faiss QT_8bit
+    re-expressed as EXACT integer algebra (fixed-point floor(x·2^20), shifted
+    non-negative floor division, centered codes). Both rankings of the eval —
+    SQ8 integer dot and the full-precision fixed-point dot — are integer, so
+    the oracle replays quantization, BOTH top-3 rankings (with the
+    neighbor-asc tie rule), and the per-query intersection counts from the
+    exchanged raw embeddings with NO trusted state (unlike ann_recall, whose
+    centroids are a fitted artifact)."""
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pq import fixedpoint_topk, sq8_topk
+
+    emb = _synthetic_embeddings(spark, _X_N).persist()
+    emb_pdf = emb.toPandas()
+    _write_exchange(
+        "sq8",
+        embeddings=pd.DataFrame(
+            {
+                "vec_id": emb_pdf["vec_id"],
+                "v": [list(map(float, v)) for v in emb_pdf["embedding"]],
+            }
+        ),
+    )
+    pred = F.col("vec_id") % 50 == 0
+    exact = fixedpoint_topk(emb, k=3, query_pred=pred)
+    approx = sq8_topk(emb, k=3, query_pred=pred)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    h = F.coalesce(F.col("hits"), F.lit(0))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            h.cast("long").alias("hits"),
+            F.round(h / 3.0, 4).alias("recall_at_3"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training (CLIP-style): per anchor,
     the top-3 nearest neighbors that are NOT near-duplicates of it — similar
@@ -3013,6 +3062,7 @@ def _exchange_oracles() -> dict[str, str]:
     ivf_c = os.path.join(x, "ivf", "centroids.parquet")
     ar_e = os.path.join(x, "ann_recall", "embeddings.parquet")
     ar_c = os.path.join(x, "ann_recall", "centroids.parquet")
+    sq8_e = os.path.join(x, "sq8", "embeddings.parquet")
     hn_e = os.path.join(x, "hard_negatives", "embeddings.parquet")
     hn_c = os.path.join(x, "hard_negatives", "centroids.parquet")
     hn_g = os.path.join(x, "hard_negatives", "edges.parquet")
@@ -3226,6 +3276,58 @@ def _exchange_oracles() -> dict[str, str]:
                                         c.neighbor_id ASC) AS rank
                     FROM cand c JOIN emb q ON q.vec_id = c.query_id
                                 JOIN emb b ON b.vec_id = c.neighbor_id)
+                WHERE rank <= 3),
+            hits AS (
+                SELECT e.query_id, count(*) AS hits
+                FROM exact e JOIN approx a
+                  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+                GROUP BY e.query_id)
+            SELECT q.query_id,
+                   coalesce(h.hits, 0)::BIGINT AS hits,
+                   round(coalesce(h.hits, 0) / 3.0, 4) AS recall_at_3
+            FROM (SELECT DISTINCT query_id FROM exact) q
+            LEFT JOIN hits h ON h.query_id = q.query_id
+            ORDER BY q.query_id
+        """,
+        "sq8_recall": f"""
+            WITH emb AS (SELECT vec_id, v FROM read_parquet('{sq8_e}')),
+            -- fixed point: floor(x * 2^20) — power-of-two multiply is exact
+            -- in IEEE-754, so these integers are bit-identical to Spark's
+            fx AS (
+                SELECT vec_id,
+                       list_transform(v, x -> CAST(floor(x * 1048576.0)
+                                               AS BIGINT)) AS f
+                FROM emb),
+            -- SQ8 codes: scale = max(1, max|f|); shifted non-negative floor
+            -- division; centered code 2q - 127
+            sc AS (
+                SELECT vec_id, f,
+                       greatest(1, list_max(list_transform(f, x -> abs(x))))
+                           AS scale
+                FROM fx),
+            qc AS (
+                SELECT vec_id,
+                       list_transform(f, x ->
+                           2 * (((x + scale) * 127) // (2 * scale)) - 127)
+                           AS q
+                FROM sc),
+            exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                           row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY list_dot_product(a.f, b.f) DESC,
+                                        b.vec_id ASC) AS rank
+                    FROM fx a JOIN fx b ON b.vec_id != a.vec_id
+                    WHERE a.vec_id % 50 = 0)
+                WHERE rank <= 3),
+            approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                           row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY list_dot_product(a.q, b.q) DESC,
+                                        b.vec_id ASC) AS rank
+                    FROM qc a JOIN qc b ON b.vec_id != a.vec_id
+                    WHERE a.vec_id % 50 = 0)
                 WHERE rank <= 3),
             hits AS (
                 SELECT e.query_id, count(*) AS hits
@@ -3809,6 +3911,53 @@ def _exchange_oracles() -> dict[str, str]:
                    count(*)::BIGINT AS n_frames
             FROM s GROUP BY video_id, shot_id ORDER BY video_id, shot_id
         """,
+        "shot_keyframes": f"""
+            WITH hist AS (SELECT * FROM read_parquet('{shots_h}')),
+            delta AS (
+                SELECT c.video_id, c.frame_idx,
+                       sum(abs(c.cnt - coalesce(p.cnt, 0))) AS l1,
+                       max(CASE WHEN p.cnt IS NOT NULL THEN 1 ELSE 0 END) AS has_prev,
+                       max(c.n_px) AS n_px
+                FROM hist c LEFT JOIN hist p
+                  ON p.video_id = c.video_id
+                 AND p.frame_idx = c.frame_idx - 1
+                 AND p.bin = c.bin
+                GROUP BY c.video_id, c.frame_idx),
+            s AS (
+                SELECT video_id, frame_idx,
+                       (sum(CASE WHEN has_prev = 0 OR l1 * 2 > n_px * 1
+                                 THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY video_id ORDER BY frame_idx)
+                        - 1)::INT AS shot_id
+                FROM delta),
+            hs AS (
+                SELECT h.video_id, h.frame_idx, h.bin, h.cnt, s.shot_id
+                FROM hist h JOIN s
+                  ON s.video_id = h.video_id AND s.frame_idx = h.frame_idx),
+            nf AS (
+                SELECT video_id, shot_id,
+                       count(DISTINCT frame_idx) AS n_frames
+                FROM hs GROUP BY video_id, shot_id),
+            tot AS (
+                SELECT video_id, shot_id, bin, sum(cnt) AS sum_cnt
+                FROM hs GROUP BY video_id, shot_id, bin),
+            sc AS (
+                SELECT hs.video_id, hs.shot_id, hs.frame_idx,
+                       sum(abs(nf.n_frames * hs.cnt - tot.sum_cnt)) AS l1,
+                       max(nf.n_frames) AS n_frames
+                FROM hs
+                JOIN tot ON tot.video_id = hs.video_id
+                        AND tot.shot_id = hs.shot_id AND tot.bin = hs.bin
+                JOIN nf ON nf.video_id = hs.video_id
+                       AND nf.shot_id = hs.shot_id
+                GROUP BY hs.video_id, hs.shot_id, hs.frame_idx)
+            SELECT video_id, shot_id, frame_idx::INT AS keyframe_idx,
+                   l1::BIGINT AS l1, n_frames::BIGINT AS n_frames
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY video_id, shot_id
+                      ORDER BY l1, frame_idx) AS rn FROM sc)
+            WHERE rn = 1 ORDER BY video_id, shot_id
+        """,
         "video_neardup": f"""
             WITH RECURSIVE fe AS (
                 SELECT string_split(src, '#')[1] AS vs,
@@ -4052,6 +4201,31 @@ def q_shot_detect(spark, sf_dir):
     return shot_boundaries(hist).orderBy("video_id", "shot_id")
 
 
+def q_shot_keyframes(spark, sf_dir):
+    """Per-shot keyframe selection (sources/multimodal.py:select_keyframes):
+    after shot detection, pick the frame whose luma histogram is L1-closest
+    to the shot's mean histogram (cross-multiplied to exact integers:
+    min over frames of sum_bins |n_frames·cnt − sum_cnt|, ties → lowest
+    frame_idx). Spark's argmin is a partial-agg min(struct(l1, frame_idx));
+    the oracle re-derives shot segments from the SAME exchanged per-frame
+    histograms (the shot_detect replay) and formulates the argmin
+    INDEPENDENTLY as a row_number window — any disagreement in segmentation,
+    the integer L1, or the tie-break fails the hash. Reference anchor: the
+    per-node representative selection of NodeVisitor.h:19-72, with shots as
+    the nodes."""
+    from lmw_tree_spark.sources.multimodal import (
+        frame_luma_histograms,
+        select_keyframes,
+        shot_boundaries,
+    )
+
+    videos = _synthetic_cut_videos(spark).persist()
+    hist = frame_luma_histograms(videos).persist()
+    _write_exchange("shots", hist=hist.toPandas())
+    shots = shot_boundaries(hist)
+    return select_keyframes(hist, shots).orderBy("video_id", "shot_id")
+
+
 def q_ar_bucket(spark, sf_dir):
     """Aspect-ratio bucketing (operators/pixels.py:assign_ar_buckets) — the
     SDXL multi-aspect training-prep step: nearest-aspect bucket by EXACT
@@ -4181,8 +4355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_docs": q_interleave_docs,
         "ar_bucket": q_ar_bucket,
         "shot_detect": q_shot_detect,
+        "shot_keyframes": q_shot_keyframes,
         "epoch_repeat": q_epoch_repeat,
         "ann_recall": q_ann_recall,
+        "sq8_recall": q_sq8_recall,
         "hard_negatives": q_hard_negatives,
         "cluster_sample": q_cluster_sample,
         "checkpoint_lineage": q_checkpoint_lineage,

@@ -338,6 +338,42 @@ def _sharpness_production(spark, sf_dir):
     return sharpness_stats(generate_images(spark, 2000)).where("keep")
 
 
+def _sq8_production(spark, sf_dir):
+    """Production-config SQ8 recall eval (no oracle-exchange materialization):
+    int8 scalar-quantized vs exact fixed-point top-3 over 4000 vectors —
+    all-JVM integer column algebra."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from lmw_tree_spark.operators.pq import fixedpoint_topk, sq8_topk
+
+    emb = entry._synthetic_embeddings(spark, 4000).persist()
+    pred = F.col("vec_id") % 50 == 0
+    exact = fixedpoint_topk(emb, k=3, query_pred=pred)
+    approx = sq8_topk(emb, k=3, query_pred=pred)
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+
+
+def _keyframes_production(spark, sf_dir):
+    """Production-config shot detection + keyframe selection over 96 clips
+    (no oracle-exchange histogram materialization): decode-heavy Arrow map
+    stage + all-JVM segmentation and argmin algebra."""
+    import __spark_entry__ as entry
+    from lmw_tree_spark.sources.multimodal import (
+        frame_luma_histograms,
+        select_keyframes,
+        shot_boundaries,
+    )
+
+    videos = entry._synthetic_cut_videos(spark, n=96)
+    hist = frame_luma_histograms(videos).persist()
+    return select_keyframes(hist, shot_boundaries(hist))
+
+
 def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry
 
@@ -359,6 +395,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "ar_bucket", "epoch_repeat",
         "hll_distinct", "bpe_train", "hard_negatives",
         "bpe_encode", "interleave_docs", "triangle_support", "ktruss_dedup",
+        "sq8_recall", "shot_keyframes",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
@@ -369,6 +406,8 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["srp_neardup"] = _srp_production
     qs["crop_dedup"] = _crop_production
     qs["sharpness_filter"] = _sharpness_production
+    qs["sq8_recall"] = _sq8_production
+    qs["shot_keyframes"] = _keyframes_production
     out = {}
     for name in names:
         # min-of-2: the first run pays Python-worker spin-up / first-import /

@@ -469,3 +469,62 @@ def shot_boundaries(
             F.col("n_frames").cast("long").alias("n_frames"),
         )
     )
+
+
+def select_keyframes(hist: DataFrame, shots: DataFrame) -> DataFrame:
+    """Per-shot representative frame (keyframe) selection — the step after
+    shot-boundary detection in a video training pipeline: downstream
+    image-side dedup/curation runs on ONE frame per shot instead of every
+    frame, cutting the image stage by the mean shot length.
+
+    The keyframe of a shot is the frame whose luma histogram is closest to
+    the shot's MEAN histogram. To stay in exact integer algebra the mean is
+    cross-multiplied away: minimize ``sum_bins |n_frames·cnt − sum_cnt|``
+    (ties → lowest frame_idx). Every step is an equi-join or a partial
+    aggregation; the argmin is ``min(struct(l1, frame_idx))`` — a map-side
+    combinable agg, NOT a window — so the plan carries no per-video sort and
+    no driver data. Reference anchor: the medoid selection in the reference's
+    cluster writers (NodeVisitor.h:19-72 picks representatives per node); here
+    the "node" is a shot segment.
+
+    Scale shape: frame→shot map comes from exploding the bounded per-shot
+    ranges (one row per frame, same key layout as ``hist``), then two
+    (video_id, shot_id, bin)-keyed equi-joins and two groupBys whose key
+    spaces are the frame table and the shot table — no window over frames,
+    no cross join, no Python."""
+    from pyspark.sql import functions as F
+
+    fmap = shots.select(
+        "video_id",
+        "shot_id",
+        "n_frames",
+        F.explode(F.sequence("start_frame", "end_frame")).alias("frame_idx"),
+    )
+    h = hist.join(fmap, ["video_id", "frame_idx"])
+    totals = h.groupBy("video_id", "shot_id", "bin").agg(
+        F.sum("cnt").alias("sum_cnt")
+    )
+    scored = (
+        h.join(totals, ["video_id", "shot_id", "bin"])
+        .groupBy("video_id", "shot_id", "frame_idx")
+        .agg(
+            F.sum(
+                F.abs(F.col("n_frames") * F.col("cnt") - F.col("sum_cnt"))
+            ).alias("l1"),
+            F.max("n_frames").alias("n_frames"),
+        )
+    )
+    return (
+        scored.groupBy("video_id", "shot_id")
+        .agg(
+            F.min(F.struct("l1", "frame_idx")).alias("best"),
+            F.max("n_frames").alias("n_frames"),
+        )
+        .select(
+            "video_id",
+            "shot_id",
+            F.col("best.frame_idx").alias("keyframe_idx"),
+            F.col("best.l1").cast("long").alias("l1"),
+            F.col("n_frames").cast("long").alias("n_frames"),
+        )
+    )

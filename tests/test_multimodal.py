@@ -252,3 +252,70 @@ def test_shot_boundaries_recover_planted_cuts(spark):
         assert seg.start_frame.tolist() == starts, (k, seg)
         assert seg.n_frames.tolist() == lens
         assert seg.end_frame.tolist() == [s + l - 1 for s, l in zip(starts, lens)]
+
+
+def test_select_keyframes_picks_mean_closest_frame(spark):
+    """select_keyframes returns one row per shot; the keyframe is the frame
+    whose histogram minimizes the cross-multiplied L1 to the shot mean, ties
+    to the lowest frame_idx — checked against a NumPy replay."""
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.sources.multimodal import (
+        encode_video,
+        frame_luma_histograms,
+        select_keyframes,
+        shot_boundaries,
+    )
+
+    def clip(seed, lens, levels=(15, 85, 155, 225)):
+        frames = []
+        for si, ln in enumerate(lens):
+            rng = np.random.default_rng([99, seed, si])
+            lvl = levels[(seed + si) % 4]
+            base = (
+                rng.integers(lvl - 12, lvl + 13, (20, 20, 3))
+                .clip(0, 255)
+                .astype(np.int16)
+            )
+            for f in range(ln):
+                jit = np.random.default_rng([99, seed, si, f]).integers(
+                    -1, 2, base.shape
+                )
+                frames.append((base + jit).clip(0, 255).astype(np.uint8))
+        return encode_video(np.stack(frames), fps=10.0)
+
+    plans = {"a": [4, 3, 5], "b": [2, 6], "c": [7]}
+    rows = [(k, clip(i, lens), "fvid") for i, (k, lens) in enumerate(plans.items())]
+    videos = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    hist = frame_luma_histograms(videos).persist()
+    shots = shot_boundaries(hist)
+    out = select_keyframes(hist, shots).toPandas()
+
+    # one keyframe per shot, keyframe inside its segment
+    shots_pd = shots.toPandas()
+    assert len(out) == len(shots_pd)
+    merged = out.merge(shots_pd, on=["video_id", "shot_id"], suffixes=("", "_s"))
+    assert (merged.keyframe_idx >= merged.start_frame).all()
+    assert (merged.keyframe_idx <= merged.end_frame).all()
+    assert (merged.n_frames == merged.n_frames_s).all()
+
+    # NumPy replay of the argmin over the raw histograms
+    hp = hist.toPandas()
+    for _, s in shots_pd.iterrows():
+        seg = hp[
+            (hp.video_id == s.video_id)
+            & (hp.frame_idx >= s.start_frame)
+            & (hp.frame_idx <= s.end_frame)
+        ]
+        mat = seg.pivot_table(
+            index="frame_idx", columns="bin", values="cnt", aggfunc="sum"
+        ).sort_index()
+        tot = mat.to_numpy().sum(axis=0)
+        l1 = np.abs(s.n_frames * mat.to_numpy() - tot).sum(axis=1)
+        best = mat.index[np.lexsort((mat.index.to_numpy(), l1))[0]]
+        got = out[
+            (out.video_id == s.video_id) & (out.shot_id == s.shot_id)
+        ].iloc[0]
+        assert got.keyframe_idx == best
+        assert got.l1 == int(l1.min())

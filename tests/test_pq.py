@@ -106,3 +106,95 @@ def test_ivfadc_matches_restricted_numpy_reference(spark):
         for r in rows:
             if r["query_id"] == q:
                 assert abs(r["adc_dist"] - adc[r["neighbor_id"]]) < 1e-9
+
+
+def test_sq8_encode_codes_and_bounds(spark):
+    """SQ8 codes are in [-127, 127], scale is max(1, max|floor(x*2^20)|), and
+    the code algebra matches a NumPy replay exactly."""
+    import numpy as np
+
+    from lmw_tree_spark.operators.pq import SQ8_FP_BITS, sq8_encode
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    vecs.append((40, [0.0] * 8))  # zero vector: scale clamps to 1
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in sq8_encode(df).collect()}
+
+    for i, v in vecs:
+        f = np.floor(np.array(v) * (1 << SQ8_FP_BITS)).astype(np.int64)
+        scale = max(1, int(np.abs(f).max()))
+        q = (f + scale) * 127 // (2 * scale)
+        qc = 2 * q - 127
+        r = out[i]
+        assert r["scale"] == scale
+        assert list(r["qcode"]) == qc.tolist()
+        assert all(-127 <= c <= 127 for c in r["qcode"])
+
+
+def test_sq8_topk_matches_numpy_and_recall_reasonable(spark):
+    """sq8_topk and fixedpoint_topk both match NumPy replays (score + ties),
+    and SQ8 recall@3 vs the exact fixed-point ranking is high on smooth
+    synthetic data."""
+    import numpy as np
+
+    from lmw_tree_spark.operators.pq import (
+        SQ8_FP_BITS,
+        fixedpoint_topk,
+        sq8_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((60, 8))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)  # dot == cosine
+    # plant a near-dup next to every query so top-1 has a real margin —
+    # int8 must preserve a 2% perturbation neighbor, not arbitrary noise ranks
+    for qi in range(0, 60, 10):
+        v = x[qi] + 0.02 * rng.standard_normal(8)
+        x[qi + 1] = v / np.linalg.norm(v)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    )
+    pred = __import__("pyspark.sql.functions", fromlist=["col"]).col("vec_id") % 10 == 0
+
+    f = np.floor(x * (1 << SQ8_FP_BITS)).astype(np.int64)
+    scale = np.maximum(1, np.abs(f).max(axis=1, keepdims=True))
+    qc = 2 * ((f + scale) * 127 // (2 * scale)) - 127
+
+    def np_topk(mat, qidx, k=3):
+        got = {}
+        for qi in qidx:
+            s = mat @ mat[qi]
+            order = sorted(
+                (int(j) for j in range(len(mat)) if j != qi),
+                key=lambda j: (-int(s[j]), j),
+            )
+            got[qi] = [(j, int(s[j])) for j in order[:k]]
+        return got
+
+    qidx = [i for i in range(len(x)) if i % 10 == 0]
+    want_exact = np_topk(f, qidx)
+    want_sq8 = np_topk(qc, qidx)
+
+    got_exact = {}
+    for r in fixedpoint_topk(df, k=3, query_pred=pred).collect():
+        got_exact.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["score"])
+        )
+    got_sq8 = {}
+    for r in sq8_topk(df, k=3, query_pred=pred).collect():
+        got_sq8.setdefault(r["query_id"], []).append((r["neighbor_id"], r["score"]))
+
+    assert {q: v for q, v in want_exact.items()} == got_exact
+    assert {q: v for q, v in want_sq8.items()} == got_sq8
+
+    # int8 must keep every planted near-dup at rank 1, same as full precision
+    for q in qidx:
+        assert want_exact[q][0][0] == q + 1
+        assert want_sq8[q][0][0] == q + 1
+    hits = sum(
+        len({j for j, _ in want_exact[q]} & {j for j, _ in want_sq8[q]})
+        for q in qidx
+    )
+    assert hits / (3 * len(qidx)) >= 0.5  # tail ranks of random data drift
