@@ -2166,6 +2166,44 @@ def q_scrub_pii(spark, sf_dir):
     )
 
 
+def q_html_extract(spark, sf_dir):
+    """Crawl-HTML → text extraction (functions/text.py:extract_html_text) —
+    the C4/RefinedWeb step BEFORE every text operator in this engine: drop
+    script/style blocks (contents included — the planted script body contains
+    a bare '>' that a naive tag-strip would leak), block closers → line
+    breaks, strip tags, decode entities (&amp; last, so '&amp;lt;'
+    single-decodes), then the jusText short-line boilerplate gate (≥10 alpha
+    chars). Synthetic pages are composed around each document's text with
+    planted nav/title/footer boilerplate and an entity line; the oracle
+    rebuilds the identical page in SQL and replays the whole chain with
+    DuckDB's RE2 — the scrub_pii two-dialect cross-check, over a much deeper
+    pattern stack."""
+    from lmw_tree_spark.functions.text import extract_html_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit('<html><head><title>Doc '), did,
+        F.lit('</title><style type="text/css">p { color: #333; }</style>'
+              '</head><body>\n'),
+        F.lit('<div class="nav"><a href="/">Home</a> | '
+              '<a href="/about">About</a></div>\n'),
+        F.lit('<script type="text/javascript">var id = '), did,
+        F.lit('; track(id); if (id > 3) { loadAds(); }</script>'),
+        F.lit('<h1>Doc '), did, F.lit('</h1>'),
+        F.lit('<p>'), F.col("text"), F.lit('</p>'),
+        F.lit('<p>Tom &amp; Jerry wrote &quot;ten&nbsp;quick essays&quot; '
+              '&lt;fast&gt; in Bob&#39;s cafe</p>'),
+        F.lit('<p>&copy; 2026</p></body></html>'),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return (
+        extract_html_text(pages)
+        .select("doc_id", "extracted", "n_lines_kept", "n_lines_total")
+        .orderBy("doc_id")
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style line-level dedup (operators/quality.py:line_dedup): drop
     lines occurring in >=2 distinct documents, keep the rest in order. Input:
@@ -4283,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editdist_verify": q_editdist_verify,
         "line_dedup": q_line_dedup,
         "scrub_pii": q_scrub_pii,
+        "html_extract": q_html_extract,
         "regex_tokens": q_regex_tokens,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_membership": q_bloom_membership,
@@ -4901,6 +4940,52 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT
                        AS n_urls
             FROM inj ORDER BY doc_id
+        """,
+        "html_extract": """
+            WITH page AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || doc_id
+                       || '</title><style type="text/css">p { color: #333; }'
+                       || '</style></head><body>' || chr(10)
+                       || '<div class="nav"><a href="/">Home</a> | '
+                       || '<a href="/about">About</a></div>' || chr(10)
+                       || '<script type="text/javascript">var id = ' || doc_id
+                       || '; track(id); if (id > 3) { loadAds(); }</script>'
+                       || '<h1>Doc ' || doc_id || '</h1>'
+                       || '<p>' || text || '</p>'
+                       || '<p>Tom &amp; Jerry wrote &quot;ten&nbsp;quick '
+                       || 'essays&quot; &lt;fast&gt; in Bob&#39;s cafe</p>'
+                       || '<p>&copy; 2026</p></body></html>' AS html
+                FROM documents),
+            t1 AS (SELECT doc_id, regexp_replace(html,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s
+                   FROM page),
+            t2 AS (SELECT doc_id, regexp_replace(s,
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM t1),
+            t3 AS (SELECT doc_id, regexp_replace(s,
+                       '(?i)<(br|/p|/div|/li|/h[1-6]|/tr)[^>]*>', chr(10),
+                       'g') AS s FROM t2),
+            t4 AS (SELECT doc_id, regexp_replace(s, '<[^>]*>', ' ', 'g') AS s
+                   FROM t3),
+            t5 AS (SELECT doc_id,
+                       replace(replace(replace(replace(replace(replace(s,
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')
+                           AS s
+                   FROM t4),
+            lines AS (SELECT doc_id, string_split(s, chr(10)) AS ls FROM t5)
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(
+                           list_filter(ls, x -> len(regexp_replace(x,
+                               '[^A-Za-z]', '', 'g')) >= 10),
+                           x -> trim(regexp_replace(x, '[ \\t]+', ' ', 'g'))),
+                       chr(10)) AS extracted,
+                   len(list_filter(ls, x -> len(regexp_replace(x,
+                       '[^A-Za-z]', '', 'g')) >= 10))::BIGINT AS n_lines_kept,
+                   len(list_filter(ls, x -> len(trim(x)) > 0))::BIGINT
+                       AS n_lines_total
+            FROM lines ORDER BY doc_id
         """,
         "editdist_verify": """
             WITH arr AS (

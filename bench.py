@@ -395,7 +395,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "ar_bucket", "epoch_repeat",
         "hll_distinct", "bpe_train", "hard_negatives",
         "bpe_encode", "interleave_docs", "triangle_support", "ktruss_dedup",
-        "sq8_recall", "shot_keyframes",
+        "sq8_recall", "shot_keyframes", "html_extract",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production

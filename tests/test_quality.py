@@ -298,3 +298,34 @@ def test_domain_quality_gate_rounded_boundary(spark):
     )
     row = domain_quality_gate(df, min_docs=2, min_quality=0.5).collect()[0]
     assert row["avg_quality"] == 0.5 and row["kept"] is True
+
+
+def test_extract_html_text_edge_cases(spark):
+    """Script bodies with bare '>' are removed whole, entities single-decode
+    (&amp;lt; → literal &lt;), short boilerplate lines are dropped, and line
+    counts are exact."""
+    from lmw_tree_spark.functions.text import extract_html_text
+
+    html = (
+        "<html><head><title>T</title>"
+        "<style>p{x:1}</style></head><body>\n"
+        '<div class="nav"><a href="/">Home</a></div>\n'
+        "<script>if (a > b) { naive_strip_would_leak_this(); }</script>"
+        "<p>the quick brown fox jumps over the lazy dog</p>"
+        "<p>escaped entity stays literal here: &amp;lt; but Tom &amp; "
+        "Jerry decodes</p>"
+        "<p>&copy; 2026</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = extract_html_text(df).collect()[0]
+    lines = r["extracted"].split("\n")
+    assert lines[0] == "the quick brown fox jumps over the lazy dog"
+    assert "&lt;" in lines[1]          # single decode, not "<"
+    assert "Tom & Jerry" in lines[1]   # &amp; decodes
+    assert "naive_strip" not in r["extracted"]  # script body gone entirely
+    assert "Home" not in r["extracted"]         # nav boilerplate dropped
+    assert "2026" not in r["extracted"]         # footer dropped
+    assert r["n_lines_kept"] == 2
+    # non-empty pre-filter lines: title+nav glue, script-residue h-line
+    # variants collapse per the break rules — just check kept <= total
+    assert r["n_lines_kept"] <= r["n_lines_total"]
