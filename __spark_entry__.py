@@ -2303,6 +2303,31 @@ def q_dhash_dedup(spark, sf_dir):
     )
 
 
+def q_phash_pixels(spark, sf_dir):
+    """DCT pHash near-dup, derived END-TO-END FROM RAW PIXELS (operators/
+    pixels.py:phash_images): the oracle recomputes integer luma, the 32×32
+    NN downsample, the fixed-point DCT-II (rebuilding the 2^12-scaled cosine
+    table with its OWN cos() — engine-portable by a measured 0.022 rounding
+    margin), the 32nd-smallest-coefficient threshold, the 64-bit pack
+    (HUGEINT two's complement for bit 63), THEN the pigeonhole band algebra
+    and bit_count(xor) verify — all in SQL. Completes the from-pixels
+    perceptual family next to dhash_dedup; the input table's stored phash
+    column (input_hint) is what this stage produces upstream."""
+    from lmw_tree_spark.operators.dedup import simhash_dedup
+    from lmw_tree_spark.operators.pixels import phash_images
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120).persist()
+    _pixels_exchange(images, xname="phash_px")
+    ph = phash_images(images).select(
+        F.substring("image_id", 4, 10).cast("long").alias("doc_id"),
+        F.col("phash").alias("simhash"),
+    )
+    return simhash_dedup(ph, max_dist=6, pair_cap=100_000, sh=ph).orderBy(
+        "src", "dst"
+    )
+
+
 def q_dihedral_dedup(spark, sf_dir):
     """Flip/rotation-invariant perceptual dedup (operators/pixels.py:
     dhash_dihedral): canonical hash = min over the 8 dihedral transforms
@@ -3115,6 +3140,7 @@ def _exchange_oracles() -> dict[str, str]:
     srp_p = os.path.join(x, "srp", "planes.parquet")
     bit_s = os.path.join(x, "bitops", "sigs.parquet")
     crop_px = os.path.join(x, "crop", "pixels.parquet")
+    ph_px = os.path.join(x, "phash_px", "pixels.parquet")
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
     split_e = os.path.join(x, "split", "edges.parquet")
     cc_e = os.path.join(x, "dedup_cc", "edges.parquet")
@@ -3744,6 +3770,76 @@ def _exchange_oracles() -> dict[str, str]:
                     = ((b.simhash >> (b_idx * 16)) & 65535))
             SELECT src, dst, bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
             FROM pairs JOIN dh a ON a.doc_id = src JOIN dh b ON b.doc_id = dst
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            ORDER BY src, dst
+        """,
+        "phash_pixels": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{ph_px}')),
+            dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
+                     FROM pxt GROUP BY image_id),
+            grid AS (
+                SELECT image_id, oi::INT AS oi, oj::INT AS oj,
+                       least((oi * h) // 32, h - 1)::INT AS sy,
+                       least((oj * w) // 32, w - 1)::INT AS sx
+                FROM dims, range(0, 32) a(oi), range(0, 32) b(oj)),
+            lum AS (
+                SELECT g.image_id, g.oi, g.oj,
+                       299*p.r::BIGINT + 587*p.g::BIGINT + 114*p.b::BIGINT
+                           AS yv
+                FROM grid g JOIN pxt p
+                  ON p.image_id = g.image_id AND p.y = g.sy AND p.x = g.sx),
+            -- fixed-point DCT basis rebuilt with DuckDB's own cos(): the
+            -- 2^12 scale has a measured 0.022 min distance to any rounding
+            -- boundary, so this table is bit-identical to the kernel's
+            ct AS (
+                SELECT k::INT AS k, n::INT AS n,
+                       CAST(round(cos(pi() * (2*n + 1) * k / 64) * 4096)
+                            AS BIGINT) AS c
+                FROM range(0, 32) a(k), range(0, 32) b(n)),
+            rowt AS (
+                SELECT l.image_id, cu.k AS u, l.oj,
+                       sum(cu.c * l.yv) AS s
+                FROM lum l JOIN ct cu ON cu.n = l.oi
+                WHERE cu.k < 8
+                GROUP BY l.image_id, cu.k, l.oj),
+            coef AS (
+                SELECT r.image_id, r.u, cv.k AS v, sum(cv.c * r.s) AS d
+                FROM rowt r JOIN ct cv ON cv.n = r.oj
+                WHERE cv.k < 8
+                GROUP BY r.image_id, r.u, cv.k),
+            med AS (
+                SELECT image_id, d AS medv FROM (
+                    SELECT image_id, d,
+                           row_number() OVER (PARTITION BY image_id
+                                              ORDER BY d) AS rn
+                    FROM coef) WHERE rn = 32),
+            bits AS (
+                SELECT c.image_id, (c.u * 8 + c.v)::INT AS k,
+                       CASE WHEN c.d > m.medv THEN 1 ELSE 0 END AS bit
+                FROM coef c JOIN med m ON m.image_id = c.image_id),
+            halves AS (
+                SELECT image_id,
+                       sum(CASE WHEN bit = 1 AND k < 32
+                           THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+                       sum(CASE WHEN bit = 1 AND k >= 32
+                           THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+                FROM bits GROUP BY image_id),
+            ph AS (
+                SELECT CAST(substr(image_id, 4, 10) AS BIGINT) AS doc_id,
+                       (CASE WHEN hv >= 9223372036854775808::HUGEINT
+                             THEN hv - 18446744073709551616::HUGEINT
+                             ELSE hv END)::BIGINT AS simhash
+                FROM (SELECT image_id,
+                             hi::HUGEINT * 4294967296::HUGEINT + lo::HUGEINT AS hv
+                      FROM halves)),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM ph a, ph b, range(4) r(b_idx)
+                WHERE a.doc_id < b.doc_id
+                  AND ((a.simhash >> (b_idx * 16)) & 65535)
+                    = ((b.simhash >> (b_idx * 16)) & 65535))
+            SELECT src, dst, bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
+            FROM pairs JOIN ph a ON a.doc_id = src JOIN ph b ON b.doc_id = dst
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
             ORDER BY src, dst
         """,
@@ -4381,6 +4477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images": q_resize_images,
         "psnr_fidelity": q_psnr_fidelity,
         "dhash_dedup": q_dhash_dedup,
+        "phash_pixels": q_phash_pixels,
         "dihedral_dedup": q_dihedral_dedup,
         "crop_dedup": q_crop_dedup,
         "sharpness_filter": q_sharpness_filter,

@@ -329,6 +329,22 @@ def _crop_production(spark, sf_dir):
     return tile_match_pairs(tile_ahash(images, tile=16), min_shared=2)
 
 
+def _phash_production(spark, sf_dir):
+    """Production-config DCT-pHash near-dup over 2000 images (no
+    oracle-exchange pixel materialization): decode + int64 DCT map stage,
+    then the all-JVM pigeonhole band algebra."""
+    from pyspark.sql import functions as F
+    from lmw_tree_spark.operators.dedup import simhash_dedup
+    from lmw_tree_spark.operators.pixels import phash_images
+    from lmw_tree_spark.sources.images import generate_images
+
+    ph = phash_images(generate_images(spark, 2000)).select(
+        F.substring("image_id", 4, 10).cast("long").alias("doc_id"),
+        F.col("phash").alias("simhash"),
+    )
+    return simhash_dedup(ph, max_dist=6, pair_cap=64)
+
+
 def _sharpness_production(spark, sf_dir):
     """Production-config sharpness/exposure gate over 2000 images — pure map,
     integer Laplacian algebra."""
@@ -395,7 +411,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "ar_bucket", "epoch_repeat",
         "hll_distinct", "bpe_train", "hard_negatives",
         "bpe_encode", "interleave_docs", "triangle_support", "ktruss_dedup",
-        "sq8_recall", "shot_keyframes", "html_extract",
+        "sq8_recall", "shot_keyframes", "html_extract", "phash_pixels",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
@@ -406,6 +422,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["srp_neardup"] = _srp_production
     qs["crop_dedup"] = _crop_production
     qs["sharpness_filter"] = _sharpness_production
+    qs["phash_pixels"] = _phash_production
     qs["sq8_recall"] = _sq8_production
     qs["shot_keyframes"] = _keyframes_production
     out = {}

@@ -590,3 +590,66 @@ def assign_ar_buckets(
         ((slack_x - slack_x % 2) / 2).cast("long").alias("off_x"),
         ((slack_y - slack_y % 2) / 2).cast("long").alias("off_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pHash — DCT perceptual hash, exact-integer formulation
+# ---------------------------------------------------------------------------
+
+PHASH_FBITS = 12  # cos table scale 2^12: min |frac - 0.5| margin ≈ 0.022
+PHASH_SCHEMA = "image_id string, phash bigint"
+
+
+def _dct_table(n: int = 32) -> np.ndarray:
+    """Fixed-point DCT-II basis: T[k][m] = round(cos(π(2m+1)k / 2n) · 2^12)
+    as int64. The table is the ONLY float-derived constant in the pHash and
+    it is engine-portable by margin: the nearest .5 rounding boundary sits
+    ≈0.022 away at this scale (measured over all 1024 entries), ~14 orders of
+    magnitude beyond any libm cos ulp disagreement — so DuckDB's cos()
+    rebuilds the identical integer table and the whole hash replays in SQL.
+    """
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    return np.round(
+        np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * (1 << PHASH_FBITS)
+    ).astype(np.int64)
+
+
+def phash_images(images: DataFrame) -> DataFrame:
+    """DCT perceptual hash (pHash, Krawetz/Zauner) derived END-TO-END from
+    raw pixels in exact integer algebra: decode → integer luma
+    (299r+587g+114b) → 32×32 NN downsample → fixed-point 2-D DCT-II
+    (T·L·Tᵀ, int64 — max |coef| < 2^62, no overflow) → top-left 8×8 block →
+    bit u·8+v set iff coef > the block's 32nd-smallest value (a deterministic
+    order statistic instead of the conventional mean-of-two median, so the
+    tie rule is engine-portable).
+
+    pHash completes the perceptual family: dHash (gradients) is cheap but
+    alias-prone, tile-aHash handles crops, the dihedral orbit handles
+    flips/rotations — DCT low-frequency structure survives blur/re-encode/
+    resize, the transformations re-posts actually undergo. Pure map stage;
+    the input table's stored ``phash`` column (input_hint) is what this
+    operator produces upstream. Reference anchor: TopSig-style dense
+    bit-signature generation (/root/reference/src/lmw/SVector.h:258-263) —
+    same sign-threshold-pack shape, DCT energies instead of random
+    projections."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = _dct_table(32)
+        kbit = np.arange(64, dtype=np.uint64).reshape(8, 8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+                ilum = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+                small = codecs.resize_nn(ilum, 32, 32)
+                block = (t @ small @ t.T)[:8, :8]
+                med = np.sort(block.ravel())[31]
+                bits = (block > med).astype(np.uint64)
+                h64 = np.uint64((bits << kbit).sum(dtype=np.uint64))
+                rows.append((r.image_id, int(np.int64(h64))))
+            yield pd.DataFrame(rows, columns=["image_id", "phash"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, PHASH_SCHEMA)

@@ -362,3 +362,48 @@ def test_ar_bucket_exact_ratio_and_ties(spark):
     # squares → the square bucket, symmetric upscale
     assert (pdf.loc[1, "bucket_id"], pdf.loc[2, "bucket_id"]) == (0, 0)
     assert (pdf.loc[1, "r_w"], pdf.loc[1, "r_h"]) == (1024, 1024)
+
+
+def test_phash_brightness_invariance_and_separation(spark):
+    """phash_images: a mild global brightness shift moves only the DC
+    coefficient, so the hash stays within a small Hamming radius; distinct
+    images land far apart; and the kernel is deterministic across runs."""
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import phash_images
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(6):
+        base = rng.integers(0, 200, (40, 40, 3)).astype(np.int16)
+        # smooth it so low-frequency structure dominates (photo-like)
+        for _ in range(2):
+            base = (
+                base
+                + np.roll(base, 1, 0)
+                + np.roll(base, -1, 0)
+                + np.roll(base, 1, 1)
+                + np.roll(base, -1, 1)
+            ) // 5
+        img = base.clip(0, 255).astype(np.uint8)
+        bright = (base + 6).clip(0, 255).astype(np.uint8)
+        rows.append((f"img-{i}", codecs.encode_png(img), "png"))
+        rows.append((f"img-{i}-b", codecs.encode_png(bright), "png"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+    )
+    got = {r["image_id"]: r["phash"] for r in phash_images(df).collect()}
+    got2 = {r["image_id"]: r["phash"] for r in phash_images(df).collect()}
+    assert got == got2  # deterministic
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for i in range(6):
+        assert ham(got[f"img-{i}"], got[f"img-{i}-b"]) <= 8
+    dists = [
+        ham(got[f"img-{i}"], got[f"img-{j}"])
+        for i in range(6)
+        for j in range(i + 1, 6)
+    ]
+    assert min(dists) > 10  # distinct smooth images stay apart
