@@ -1114,6 +1114,38 @@ def q_phash_dedup(spark, sf_dir):
     )
 
 
+def q_incremental_phash(spark, sf_dir):
+    """Incremental image dedup (operators/dedup.py:
+    simhash_dedup_against_corpus): an incoming shard's phashes vs the STORED
+    phash index of the kept corpus — the daily-ingest shape for images,
+    completing the pair with the text-side `incremental_dedup`. The shard
+    split (new = doc_id % 10 ≥ 8) scatters across the generator's dup
+    triples {7k, 7k+1, 7k+2}, so dozens of groups straddle the boundary and
+    true cross-shard near-dups exist by construction. Hash values are the
+    exchanged trusted state (they ARE the stored column); the oracle
+    independently replays the bit-slice bucket algebra restricted to
+    new×corpus, and the Hamming verify."""
+    from lmw_tree_spark.operators.dedup import simhash_dedup_against_corpus
+    from lmw_tree_spark.sources.images import generate_images
+
+    ph = (
+        generate_images(spark, _X_N)
+        .select(
+            F.substring("image_id", 4, 10).cast("long").alias("doc_id"),
+            F.col("phash").alias("simhash"),
+        )
+        .persist()
+    )
+    corpus = ph.where(F.col("doc_id") % 10 < 8)
+    new = ph.where(F.col("doc_id") % 10 >= 8)
+    _write_exchange(
+        "incphash", corpus=corpus.toPandas(), new=new.toPandas()
+    )
+    return simhash_dedup_against_corpus(new, corpus, max_dist=10).orderBy(
+        "new_id", "corpus_id"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language quota sampling over documents
     (operators/sampling.py): hash-threshold Bernoulli, reproducible across
@@ -3121,6 +3153,8 @@ def _exchange_oracles() -> dict[str, str]:
     inc_mh = os.path.join(x, "incdedup", "minhash.parquet")
     sh = os.path.join(x, "simhash", "simhash.parquet")
     ph = os.path.join(x, "phash", "simhash.parquet")
+    incph_c = os.path.join(x, "incphash", "corpus.parquet")
+    incph_n = os.path.join(x, "incphash", "new.parquet")
     ivf_e = os.path.join(x, "ivf", "embeddings.parquet")
     ivf_c = os.path.join(x, "ivf", "centroids.parquet")
     ar_e = os.path.join(x, "ann_recall", "embeddings.parquet")
@@ -3270,6 +3304,21 @@ def _exchange_oracles() -> dict[str, str]:
             FROM pairs JOIN sh a ON a.doc_id = src JOIN sh b ON b.doc_id = dst
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
             ORDER BY src, dst
+        """,
+        "incremental_phash": f"""
+            WITH cp AS (SELECT doc_id, simhash FROM read_parquet('{incph_c}')),
+            np AS (SELECT doc_id, simhash FROM read_parquet('{incph_n}')),
+            cand AS (
+                SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+                FROM np n, cp c, range(4) r(b_idx)
+                WHERE ((n.simhash >> (b_idx * 16)) & 65535)
+                    = ((c.simhash >> (b_idx * 16)) & 65535))
+            SELECT new_id, corpus_id,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
+            FROM cand JOIN np a ON a.doc_id = new_id
+                      JOIN cp b ON b.doc_id = corpus_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+            ORDER BY new_id, corpus_id
         """,
         "ivf_ann": f"""
             WITH emb AS (SELECT vec_id, v FROM read_parquet('{ivf_e}')),
@@ -4470,6 +4519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "cluster_coassign": q_cluster_coassign,
         "phash_dedup": q_phash_dedup,
+        "incremental_phash": q_incremental_phash,
         # multimodal / sources / streaming (raw-input or manifest exchange)
         "image_stats": q_image_stats,
         "image_patches": q_image_patches,

@@ -480,3 +480,79 @@ def editdist_pairs(
         )
         .where(F.col("edit_sim") >= min_sim)
     )
+
+
+def simhash_dedup_against_corpus(
+    new_sh: DataFrame,
+    corpus_sh: DataFrame,
+    max_dist: int = 6,
+    n_bands: int = 4,
+    max_bucket_df: int | None = None,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Incremental PERCEPTUAL dedup: near-dup (new, corpus) pairs between an
+    incoming shard's 64-bit hashes (SimHash / dHash / pHash — any Hamming
+    family) and the persisted hash index of everything already kept — the
+    image analogue of ``minhash_dedup_against_corpus``, and the daily-ingest
+    shape of the north rule's image pipeline: the corpus side is exactly the
+    input table's stored ``phash`` column, no recompute, no corpus-vs-corpus
+    rerun.
+
+    All-JVM: both sides explode into ``n_bands`` pigeonhole bit-slice keys
+    (bucket equi-join only produces new×corpus candidates), then one exact
+    ``bit_count(xor)`` verify. ``max_bucket_df`` drops corpus-hot buckets
+    (flat/logo-like hash slices) before the join — the same df-guard bound as
+    the text family, since a band shared by b corpus rows multiplies every
+    colliding new row by b. Scale shape: the corpus side shuffles once by
+    (band, key) — at 10^12 rows this is the persisted layout of the index —
+    and the daily shard streams against it. Output (new_id, corpus_id, dist).
+    """
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def slices(df: DataFrame, out_id: str) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col(hash_col), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(arr).alias("s")
+        ).select(out_id, "s.band", "s.key")
+
+    nb = slices(new_sh, "new_id")
+    cb = slices(corpus_sh, "corpus_id")
+    if max_bucket_df is not None:
+        keep = (
+            cb.groupBy("band", "key")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_bucket_df)
+            .select("band", "key")
+        )
+        cb = cb.join(keep, ["band", "key"])
+    cand = nb.join(cb, ["band", "key"]).select("new_id", "corpus_id").distinct()
+    a = new_sh.select(
+        F.col(id_col).alias("new_id"), F.col(hash_col).alias("a_sh")
+    )
+    b = corpus_sh.select(
+        F.col(id_col).alias("corpus_id"), F.col(hash_col).alias("b_sh")
+    )
+    return (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+            .cast("long")
+            .alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

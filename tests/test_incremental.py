@@ -53,3 +53,44 @@ def test_contamination_containment_semantics(spark):
     out = contamination_pairs(train, evals, ngram=3, min_containment=0.5).collect()
     got = {(r["eval_id"], r["train_id"]): r["containment"] for r in out}
     assert got == {(100, 1): 1.0}   # 3 of 3 distinct 3-grams found; clean eval absent
+
+
+def test_simhash_against_corpus_cross_side_only(spark):
+    """simhash_dedup_against_corpus: detects new-vs-corpus near hashes only
+    (never corpus×corpus or new×new), respects max_dist, and the corpus-hot
+    bucket guard drops flooded bands."""
+    from lmw_tree_spark.operators.dedup import simhash_dedup_against_corpus
+
+    def sh(rows):
+        return spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    corpus = sh([
+        (0, 0x1234_5678_9ABC_DEF0),
+        (1, 0x1234_5678_9ABC_DEF3),   # 2 bits from corpus 0 — corpus-side only
+        (2, -42),
+    ])
+    new = sh([
+        (10, 0x1234_5678_9ABC_DEF1),  # 1 bit from corpus 0, 1 bit from 1
+        (11, 0x7777_0000_0000_0000),  # matches nothing
+        (12, -42),                    # exact dup of corpus 2 (negative hash)
+    ])
+    got = {
+        (r["new_id"], r["corpus_id"]): r["dist"]
+        for r in simhash_dedup_against_corpus(new, corpus, max_dist=6).collect()
+    }
+    assert got[(10, 0)] == 1
+    assert got[(10, 1)] == 1
+    assert got[(12, 2)] == 0
+    assert all(n in (10, 12) for n, _ in got)  # only cross-side pairs
+    assert len(got) == 3
+
+    # hot-bucket guard: corpus rows sharing every band with each other make
+    # the bucket df exceed the cap and the candidate disappears
+    hot_corpus = sh([(i, 0x0F0F_0F0F_0F0F_0F0F) for i in range(5)])
+    probe = sh([(99, 0x0F0F_0F0F_0F0F_0F0E)])
+    full = simhash_dedup_against_corpus(probe, hot_corpus, max_dist=6).count()
+    guarded = simhash_dedup_against_corpus(
+        probe, hot_corpus, max_dist=6, max_bucket_df=3
+    ).count()
+    assert full == 5
+    assert guarded == 0
