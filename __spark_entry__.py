@@ -1146,6 +1146,37 @@ def q_incremental_phash(spark, sf_dir):
     )
 
 
+def q_token_budget(spark, sf_dir):
+    """Per-domain TOKEN-budget sampling (operators/sampling.py:
+    token_budget_sample) — fill each domain's slice of a training mix by
+    token count, not document count ("200B tokens of web" is a token quota;
+    a doc cap over-weights long documents). Keep in deterministic (md5, id)
+    order while the running token total ≤ budget. All-integer cumsum algebra
+    over the md5-derived domains, replayed exactly in SQL — the kept row SET
+    and each row's cum_tokens both hash-checked."""
+    from lmw_tree_spark.functions.text import token_count_col
+    from lmw_tree_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("d"),
+            F.substring(
+                F.md5(F.concat(F.lit("dom:"), F.col("doc_id").cast("string"))),
+                1, 1,
+            ),
+            F.lit(".com"),
+        ).alias("domain"),
+        token_count_col("text").alias("n_tokens"),
+    )
+    return (
+        token_budget_sample(base, "domain", 300, salt=1)
+        .select("doc_id", "domain", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language quota sampling over documents
     (operators/sampling.py): hash-threshold Bernoulli, reproducible across
@@ -1239,6 +1270,52 @@ def q_ann_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding-space curation gate (operators/similarity.py:
+    centroid_outlier_filter): drop rows far from their own cluster centroid —
+    the post-clustering outlier-removal step (mislabeled / off-distribution
+    samples live in low-density space). Outliers are PLANTED by scaling
+    md5-chosen vectors ×4 (an exact IEEE power-of-two scale); centroids come
+    from the distributed dense k-means fit (trusted fitted state, as in
+    ivf_ann). Everything downstream is exact fixed-point integer algebra —
+    quantization, squared-L2, argmin with lowest-cell ties, per-cell floor
+    mean, gate — so the oracle replays the ENTIRE decision from the exchanged
+    raw floats and centroids."""
+    import pandas as pd
+
+    from lmw_tree_spark.operators.dense import kmeans_dense
+    from lmw_tree_spark.operators.similarity import centroid_outlier_filter
+
+    emb = _synthetic_embeddings(spark, _X_N)
+    is_out = F.substring(
+        F.md5(F.concat(F.lit("out:"), F.col("vec_id").cast("string"))), 1, 1
+    ).isin(*"01")
+    scaled = emb.select(
+        "vec_id",
+        F.when(
+            is_out, F.transform("embedding", lambda x: x * F.lit(4.0))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    ).persist()
+    # fit on the CLEAN vectors: the centroid index models the distribution
+    # the gate defends (fitting on contaminated data lets dense outlier
+    # clusters capture their own centroid and sail through)
+    cents = kmeans_dense(emb, k=8, iters=3, init="hash", seed=42)
+    pdf = scaled.toPandas()
+    _write_exchange(
+        "outliers",
+        embeddings=pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "v": [list(map(float, v)) for v in pdf["embedding"]],
+            }
+        ),
+        centroids=pd.DataFrame(
+            {"cell": range(len(cents)), "v": [list(map(float, c)) for c in cents]}
+        ),
+    )
+    return centroid_outlier_filter(scaled, cents, mult=2).orderBy("vec_id")
 
 
 def q_sq8_recall(spark, sf_dir):
@@ -3160,6 +3237,8 @@ def _exchange_oracles() -> dict[str, str]:
     ar_e = os.path.join(x, "ann_recall", "embeddings.parquet")
     ar_c = os.path.join(x, "ann_recall", "centroids.parquet")
     sq8_e = os.path.join(x, "sq8", "embeddings.parquet")
+    out_e = os.path.join(x, "outliers", "embeddings.parquet")
+    out_c = os.path.join(x, "outliers", "centroids.parquet")
     hn_e = os.path.join(x, "hard_negatives", "embeddings.parquet")
     hn_c = os.path.join(x, "hard_negatives", "centroids.parquet")
     hn_g = os.path.join(x, "hard_negatives", "edges.parquet")
@@ -3401,6 +3480,39 @@ def _exchange_oracles() -> dict[str, str]:
             FROM (SELECT DISTINCT query_id FROM exact) q
             LEFT JOIN hits h ON h.query_id = q.query_id
             ORDER BY q.query_id
+        """,
+        "embedding_outliers": f"""
+            WITH emb AS (SELECT vec_id, v FROM read_parquet('{out_e}')),
+            cents AS (SELECT cell, v FROM read_parquet('{out_c}')),
+            fx AS (
+                SELECT vec_id,
+                       list_transform(v, x -> CAST(floor(x * 1048576.0)
+                                               AS BIGINT)) AS f
+                FROM emb),
+            cf AS (
+                SELECT cell,
+                       list_transform(v, x -> CAST(floor(x * 1048576.0)
+                                               AS BIGINT)) AS c
+                FROM cents),
+            d2 AS (
+                SELECT fx.vec_id, cf.cell,
+                       CAST(list_sum(list_transform(list_zip(fx.f, cf.c),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)
+                           AS dist2
+                FROM fx CROSS JOIN cf),
+            assigned AS (
+                SELECT vec_id, cell, dist2 FROM (
+                    SELECT vec_id, cell, dist2,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist2 ASC, cell ASC) AS rn
+                    FROM d2) WHERE rn = 1),
+            stats AS (
+                SELECT cell, count(*) AS n_cell, sum(dist2) AS sum_dist2
+                FROM assigned GROUP BY cell)
+            SELECT a.vec_id, a.cell, a.dist2,
+                   (a.dist2 <= 2 * (s.sum_dist2 // s.n_cell)) AS keep
+            FROM assigned a JOIN stats s ON s.cell = a.cell
+            ORDER BY a.vec_id
         """,
         "sq8_recall": f"""
             WITH emb AS (SELECT vec_id, v FROM read_parquet('{sq8_e}')),
@@ -4458,6 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "repetition_filter": q_repetition_filter,
         "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -4545,6 +4658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_repeat": q_epoch_repeat,
         "ann_recall": q_ann_recall,
         "sq8_recall": q_sq8_recall,
+        "embedding_outliers": q_embedding_outliers,
         "hard_negatives": q_hard_negatives,
         "cluster_sample": q_cluster_sample,
         "checkpoint_lineage": q_checkpoint_lineage,
@@ -4818,6 +4932,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, n_docs, avg_quality,
                    (NOT blocked) AND n_docs >= 5 AND avg_quality >= 0.5 AS kept
             FROM stats ORDER BY domain
+        """,
+        "token_budget": """
+            WITH base AS (
+                SELECT doc_id,
+                       'd' || substr(md5('dom:' || doc_id::VARCHAR), 1, 1)
+                           || '.com' AS domain,
+                       len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, domain, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY domain
+                           ORDER BY substr(md5(doc_id::VARCHAR || ':1'), 1, 8),
+                                    doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       )::BIGINT AS cum_tokens
+                FROM base)
+            SELECT doc_id, domain, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 300 ORDER BY doc_id
         """,
         "domain_cap": """
             WITH q AS (

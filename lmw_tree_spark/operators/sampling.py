@@ -213,3 +213,42 @@ def epoch_repeat(
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    budget_tokens: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum TOKEN-budget sampling — the data-recipe step that fills
+    each domain/language's slice of a training run by token count, not
+    document count (what "200B tokens of web, 30B of code" actually means;
+    a doc-count quota like ``domain_cap`` over-weights long documents).
+
+    Keeps documents in deterministic (md5 hash, id) order while the RUNNING
+    token total stays ≤ ``budget_tokens`` — i.e. keep iff
+    ``cumsum(n_tokens) ≤ budget`` including the current row. All-integer
+    algebra over a caller-supplied token count column (compose with
+    ``functions.text.token_count_col`` or ``bpe.bpe_encode`` for the real
+    cost model), so membership is reproducible across partitioning/retries/
+    cluster size and replayable in SQL.
+
+    Scale shape: one cumulative-sum window partitioned by stratum ordered by
+    the hash rank — same skew bound as ``domain_cap``: the window's work is
+    the stratum's row count, so pre-thin pathological strata (e.g.
+    ``domain_cap`` at ``budget // min_doc_tokens`` rows) before the cumsum.
+    Output: the kept rows plus ``cum_tokens``."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(sample_hash_col(F.col(id_col), salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(tokens_col).over(w).cast("long"))
+        .where(F.col("cum_tokens") <= budget_tokens)
+    )

@@ -504,3 +504,74 @@ def centroid_assign(
         .where("rn = 1")
         .select("vec_id", "cluster", "dist")
     )
+
+
+def centroid_outlier_filter(
+    df: DataFrame,
+    centroids,
+    mult: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space curation gate: drop rows that sit far from their own
+    cluster's centroid — the "remove embedding outliers" step (mislabeled /
+    off-distribution / corrupted samples land in low-density space) that
+    DataComp-style pipelines run after clustering.
+
+    EXACT integer algebra end-to-end so the whole gate is SQL-replayable
+    with only the fitted centroids trusted: embeddings and centroids both
+    quantize to fixed point (``floor(x·2^20)`` — IEEE power-of-two scale),
+    the squared L2 to each centroid is an int64 sum (≤ 2^52 at d=32), the
+    assignment is a column-literal ``array_min`` argmin (ties → lowest cell,
+    the `ar_bucket` shape — zero Python, zero shuffle for the assign), and
+    the keep rule compares against the FLOOR mean: keep iff
+    ``dist2 ≤ mult · (sum_dist2_cell // n_cell)`` — integer division instead
+    of a ratio, so no product ever exceeds int64 at any cell size.
+
+    Scale shape: one pure-map projection per row + one k-row broadcast stats
+    join; the only shuffle is the groupBy over ≤ k cells. Output: every row
+    with (cell, dist2, keep).
+    """
+    import numpy as np
+
+    cmat = np.floor(np.asarray(centroids, dtype=np.float64) * float(1 << 20)).astype(
+        np.int64
+    )
+    f = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(1 << 20))).cast("long"),
+    )
+    rows = df.select(F.col(id_col), f.alias("fvec"))
+    cells = []
+    for ci in range(len(cmat)):
+        lit_c = F.array(*[F.lit(int(v)) for v in cmat[ci]])
+        d2 = F.aggregate(
+            F.zip_with("fvec", lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        cells.append(F.struct(d2.alias("dist2"), F.lit(ci).alias("cell")))
+    best = F.array_min(F.array(*cells))
+    assigned = rows.select(id_col, best.alias("best")).select(
+        id_col,
+        F.col("best.cell").alias("cell"),
+        F.col("best.dist2").alias("dist2"),
+    )
+    stats = assigned.groupBy("cell").agg(
+        F.count("*").alias("n_cell"),
+        F.sum("dist2").alias("sum_dist2"),
+    )
+    # integer floor mean via (sum - sum % n) / n — all-int64, exact division
+    floor_mean = (
+        (F.col("sum_dist2") - F.col("sum_dist2") % F.col("n_cell"))
+        / F.col("n_cell")
+    ).cast("long")
+    return (
+        assigned.join(F.broadcast(stats), "cell")
+        .select(
+            id_col,
+            "cell",
+            "dist2",
+            (F.col("dist2") <= F.lit(int(mult)) * floor_mean).alias("keep"),
+        )
+    )

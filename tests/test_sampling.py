@@ -195,3 +195,41 @@ def test_epoch_repeat_partitioning_invariance(spark):
         )
 
     assert run(2).equals(run(13))
+
+
+def test_token_budget_sample_exact_cutoff_and_invariance(spark):
+    """token_budget_sample keeps the hash-order prefix whose running token sum
+    stays within budget — exact NumPy replay, and the kept set is invariant
+    to input partitioning."""
+    import hashlib
+
+    from lmw_tree_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "s%d" % (i % 3), 10 + (i * 7) % 50) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens long")
+    out = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_sample(df, "domain", 120, salt=0).collect()
+    }
+
+    want = {}
+    for dom in ("s0", "s1", "s2"):
+        members = [r for r in rows if r[1] == dom]
+        members.sort(
+            key=lambda r: (hashlib.md5(f"{r[0]}:0".encode()).hexdigest()[:8], r[0])
+        )
+        cum = 0
+        for did, _, nt in members:
+            cum += nt
+            if cum > 120:
+                break
+            want[did] = cum
+    assert out == want
+
+    out2 = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_sample(
+            df.repartition(7), "domain", 120, salt=0
+        ).collect()
+    }
+    assert out2 == want

@@ -315,3 +315,39 @@ def test_ivf_ops_compose_with_non_default_id_col(spark):
         ia.sort_values(["query_id", "rank"]).reset_index(drop=True),
         ib.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_centroid_outlier_filter_exact_gate(spark):
+    """centroid_outlier_filter matches a NumPy fixed-point replay exactly
+    (assignment, dist2, floor-mean gate) and drops planted far points."""
+    import numpy as np
+
+    from lmw_tree_spark.operators.similarity import centroid_outlier_filter
+
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((3, 8))
+    x = np.concatenate(
+        [c + 0.1 * rng.standard_normal((20, 8)) for c in cents]
+        + [(cents[0] + 5.0)[None, :]]  # one far outlier, id 60
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["dist2"], r["keep"])
+        for r in centroid_outlier_filter(df, cents, mult=2).collect()
+    }
+
+    f = np.floor(x * (1 << 20)).astype(np.int64)
+    cf = np.floor(cents * (1 << 20)).astype(np.int64)
+    d2 = ((f[:, None, :] - cf[None, :, :]) ** 2).sum(axis=2)
+    cell = d2.argmin(axis=1)  # unique argmin here; ties impossible at random
+    dist2 = d2[np.arange(len(x)), cell]
+    for ci in range(3):
+        m = cell == ci
+        thr = 2 * (int(dist2[m].sum()) // int(m.sum()))
+        for i in np.where(m)[0]:
+            assert got[i] == (ci, int(dist2[i]), bool(dist2[i] <= thr))
+    assert got[60][2] is False  # the planted far point is dropped
+    assert sum(1 for v in got.values() if not v[2]) <= 3
