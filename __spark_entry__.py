@@ -877,6 +877,35 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_corpus_drift(spark, sf_dir):
+    """Distribution-level CDC (operators/quality.py:corpus_drift): exact
+    total-variation distance between two corpus versions' token
+    distributions plus the top-20 drifting tokens — v2 derives from v1 by
+    the snapshot_diff md5 drop predicate plus an injected token on an
+    md5-chosen subset, so the oracle re-derives BOTH versions independently.
+    The per-token drift term is the cross-multiplied |n1·N2 − n2·N1| in
+    DECIMAL(38,0) (exact at 10^13-token corpora); only the report columns
+    divide and round."""
+    from lmw_tree_spark.operators.quality import corpus_drift
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    drop = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("drop"))),
+        1, 1,
+    )
+    inj = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("inj"))),
+        1, 1,
+    )
+    v2 = docs.where(~drop.isin("0", "1")).select(
+        "doc_id",
+        F.when(inj.isin(*"0123"), F.concat(F.col("text"), F.lit(" zyqdrift")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_drift(docs, v2, top_k=20)
+
+
 def q_length_deciles(spark, sf_dir):
     """Mergeable-histogram decile estimates (operators/sketches.py:
     histogram_quantiles): the distributed substitute for exact percentiles —
@@ -4571,6 +4600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
+        "corpus_drift": q_corpus_drift,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -4932,6 +4962,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, n_docs, avg_quality,
                    (NOT blocked) AND n_docs >= 5 AND avg_quality >= 0.5 AS kept
             FROM stats ORDER BY domain
+        """,
+        "corpus_drift": """
+            WITH v1 AS (SELECT doc_id, text FROM documents),
+            v2 AS (
+                SELECT doc_id,
+                       CASE WHEN substr(md5(doc_id::VARCHAR || ':inj'), 1, 1)
+                                 IN ('0','1','2','3')
+                            THEN text || ' zyqdrift' ELSE text END AS text
+                FROM documents
+                WHERE substr(md5(doc_id::VARCHAR || ':drop'), 1, 1)
+                      NOT IN ('0','1')),
+            c1 AS (
+                SELECT tok, count(*)::BIGINT AS n1 FROM (
+                    SELECT unnest(string_split(lower(text), ' ')) AS tok
+                    FROM v1) WHERE len(tok) > 0 GROUP BY tok),
+            c2 AS (
+                SELECT tok, count(*)::BIGINT AS n2 FROM (
+                    SELECT unnest(string_split(lower(text), ' ')) AS tok
+                    FROM v2) WHERE len(tok) > 0 GROUP BY tok),
+            tots AS (SELECT (SELECT sum(n1) FROM c1) AS t1,
+                            (SELECT sum(n2) FROM c2) AS t2),
+            j AS (
+                SELECT coalesce(c1.tok, c2.tok) AS tok,
+                       coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+                FROM c1 FULL JOIN c2 ON c2.tok = c1.tok),
+            sc AS (
+                SELECT tok, n1, n2,
+                       abs(n1::HUGEINT * t2::HUGEINT
+                           - n2::HUGEINT * t1::HUGEINT) AS num,
+                       t1, t2
+                FROM j, tots),
+            tv AS (SELECT sum(num) AS tvn FROM sc)
+            SELECT tok, n1, n2,
+                   round(CAST(num AS DOUBLE)
+                         / (t1::DOUBLE * t2::DOUBLE), 8) AS share_drift,
+                   round(CAST((SELECT tvn FROM tv) AS DOUBLE)
+                         / (2.0 * t1::DOUBLE * t2::DOUBLE), 8) AS tv_total
+            FROM sc ORDER BY num DESC, tok ASC LIMIT 20
         """,
         "token_budget": """
             WITH base AS (

@@ -267,3 +267,71 @@ def domain_quality_gate(
             & (F.col("avg_quality") >= min_quality)
         ).alias("kept"),
     )
+
+
+def corpus_drift(
+    v1: DataFrame,
+    v2: DataFrame,
+    text: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Token-distribution drift between two corpus builds — the release-gate
+    metric a training-data pipeline checks before swapping corpus versions
+    (did the new crawl/filters shift the language?): exact total-variation
+    distance ``TV = ½ Σ_t |p1(t) − p2(t)|`` plus the top-k drifting tokens.
+
+    Shares are never formed as floats: the per-token term is the cross-
+    multiplied ``|n1·N2 − n2·N1|`` in DECIMAL(38,0) — exact at 10^13-token
+    corpora where an int64 product would overflow — and only the final
+    report columns divide (deterministically, double ÷ double) and round.
+    Scale shape: one explode + one groupBy per version (partial-agg token
+    counts), a full-outer equi-join on token, two scalar totals, and a
+    global top-k (TakeOrdered) — no windows, no driver data beyond k rows
+    and two longs. Complements ``plans/checkpoint.snapshot_diff`` (row-level
+    CDC) with distribution-level CDC."""
+    from lmw_tree_spark.functions.text import tokens_col
+
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(tokens_col(text)).alias("tok"))
+            .where(F.length("tok") > 0)
+            .groupBy("tok")
+            .agg(F.count("*").alias("n"))
+        )
+
+    c1 = counts(v1).withColumnRenamed("n", "n1")
+    c2 = counts(v2).withColumnRenamed("n", "n2")
+    t1 = int(c1.agg(F.sum("n1")).first()[0] or 0)
+    t2 = int(c2.agg(F.sum("n2")).first()[0] or 0)
+    j = (
+        c1.join(c2, "tok", "full")
+        .select(
+            "tok",
+            F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    num = F.abs(
+        F.col("n1").cast(dec) * F.lit(t2).cast(dec)
+        - F.col("n2").cast(dec) * F.lit(t1).cast(dec)
+    )
+    scored = j.withColumn("drift_num", num)
+    tv_num = scored.agg(F.sum("drift_num")).first()[0]
+    denom = float(t1) * float(t2)
+    # final rounding happens in Spark (HALF_UP == DuckDB's away-from-zero for
+    # positive values); Python round() is banker's and would diverge at ties
+    tv_raw = (float(tv_num) / (2.0 * denom)) if denom else 0.0
+    return (
+        scored.orderBy(F.desc("drift_num"), F.asc("tok"))
+        .limit(top_k)
+        .select(
+            "tok",
+            "n1",
+            "n2",
+            F.round(F.col("drift_num").cast("double") / F.lit(denom), 8).alias(
+                "share_drift"
+            ),
+            F.round(F.lit(tv_raw), 8).alias("tv_total"),
+        )
+    )

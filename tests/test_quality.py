@@ -329,3 +329,37 @@ def test_extract_html_text_edge_cases(spark):
     # non-empty pre-filter lines: title+nav glue, script-residue h-line
     # variants collapse per the break rules — just check kept <= total
     assert r["n_lines_kept"] <= r["n_lines_total"]
+
+
+def test_corpus_drift_exact_tv(spark):
+    """corpus_drift: TV distance and per-token drift match an exact integer
+    replay; identical corpora drift zero."""
+    from fractions import Fraction
+
+    from lmw_tree_spark.operators.quality import corpus_drift
+
+    v1 = spark.createDataFrame(
+        [(1, "a a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a b b c"), (2, "b c e e")], "doc_id long, text string"
+    )
+    out = corpus_drift(v1, v2, top_k=10).collect()
+    n1 = {"a": 2, "b": 2, "c": 2, "d": 1}          # N1 = 7
+    n2 = {"a": 1, "b": 3, "c": 2, "e": 2}          # N2 = 8
+    tv = Fraction(0)
+    for t in sorted(set(n1) | set(n2)):
+        tv += abs(
+            Fraction(n1.get(t, 0), 7) - Fraction(n2.get(t, 0), 8)
+        )
+    tv /= 2
+    got = {r["tok"]: r for r in out}
+    assert set(got) == set(n1) | set(n2)
+    for t, r in got.items():
+        assert r["n1"] == n1.get(t, 0) and r["n2"] == n2.get(t, 0)
+        want = abs(n1.get(t, 0) * 8 - n2.get(t, 0) * 7) / (7.0 * 8.0)
+        assert abs(r["share_drift"] - want) < 1e-8
+        assert abs(r["tv_total"] - float(tv)) < 1e-8
+
+    same = corpus_drift(v1, v1, top_k=5).collect()
+    assert all(r["tv_total"] == 0.0 and r["share_drift"] == 0.0 for r in same)
