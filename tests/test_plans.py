@@ -424,3 +424,47 @@ def test_interleave_argmin_is_partial_agg_not_window(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_incremental_phash_equi_join_only(spark):
+    """The shard-vs-corpus perceptual dedup must plan as equi-joins on the
+    bucket key (plus the two hash-verify equi-joins) — never a nested loop:
+    the corpus side is 10^12 rows."""
+    from lmw_tree_spark.operators.dedup import simhash_dedup_against_corpus
+
+    new = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7919).alias("simhash")
+    )
+    corpus = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 104729).alias("simhash")
+    )
+    plan = plan_of(
+        simhash_dedup_against_corpus(new, corpus, max_dist=6, max_bucket_df=64)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_centroid_outlier_assign_is_pure_projection(spark):
+    """The outlier gate's per-row work (quantize + k distances + argmin) is a
+    single zero-shuffle projection; the only Exchange in the whole gate is
+    the ≤k-cell stats groupBy and its broadcast back."""
+    import numpy as np
+
+    from lmw_tree_spark.operators.similarity import centroid_outlier_filter
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 97).cast("double") for i in range(8)])
+        .alias("embedding"),
+    )
+    cents = np.arange(24, dtype=np.float64).reshape(3, 8)
+    out = centroid_outlier_filter(emb, cents, mult=2)
+    plan = plan_of(out)
+    # stats side broadcasts back onto the full table: no sort-merge join
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly one aggregation-shuffle pair (partial+final over cells) plus the
+    # broadcast: no data-sized exchange of the embedding rows
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 1, plan
