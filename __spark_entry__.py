@@ -2834,6 +2834,23 @@ def q_align_filter(spark, sf_dir):
     return crossmodal_alignment(docs, embs, max_hamming=12).orderBy("doc_id")
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """Cross-modal retrieval eval (operators/alignment.py:
+    crossmodal_retrieval_eval) — the CLIP-style recall number the alignment
+    gate is tuned against: per query image, the rank of its OWN caption
+    among ALL captions under the integer scorer (ties → doc_id asc), plus
+    hit@1 / hit@3. Entirely integer algebra: the oracle replays both
+    signature stages, the full ranking, and the hits from the raw
+    documents+embeddings views with NO materialized state."""
+    from lmw_tree_spark.operators.alignment import crossmodal_retrieval_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    return crossmodal_retrieval_eval(
+        docs, embs, query_pred=F.col("vec_id") % 50 == 0, k=3
+    ).orderBy("vec_id")
+
+
 def q_interleave_docs(spark, sf_dir):
     """MMC4-style interleaved assembly (operators/alignment.py:
     interleave_assembly): each image goes to its best-aligned document inside
@@ -4681,6 +4698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "domain_cap": q_domain_cap,
         "align_filter": q_align_filter,
+        "retrieval_eval": q_retrieval_eval,
         "interleave_docs": q_interleave_docs,
         "ar_bucket": q_ar_bucket,
         "shot_detect": q_shot_detect,
@@ -5130,6 +5148,53 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(img_sig, cap_sig) & 4294967295)::INT AS hamming,
                    bit_count(xor(img_sig, cap_sig) & 4294967295) <= 12 AS aligned
             FROM cap JOIN img ON doc_id = vec_id ORDER BY doc_id
+        """,
+        "retrieval_eval": """
+            WITH emb AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                       trunc(unnest(embedding) * 1024)::BIGINT AS q
+                FROM embeddings),
+            planes AS (
+                SELECT r.r, j.j,
+                       strpos('0123456789abcdef',
+                              substr(md5('11:' || r.r::VARCHAR || ':'
+                                         || j.j::VARCHAR), 1, 1)) - 9 AS c
+                FROM range(32) r(r), range(64) j(j)),
+            dots AS (
+                SELECT vec_id, r, sum(q * c) AS dot
+                FROM emb JOIN planes USING (j)
+                WHERE vec_id % 50 = 0
+                GROUP BY vec_id, r),
+            img AS (
+                SELECT vec_id,
+                       sum(CASE WHEN dot > 0 THEN 1::BIGINT << r
+                                ELSE 0 END)::BIGINT AS img_sig
+                FROM dots GROUP BY vec_id),
+            toks AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)),
+            votes AS (
+                SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS vote
+                FROM toks, range(32) AS r(j) GROUP BY doc_id, j),
+            cap AS (
+                SELECT doc_id,
+                       sum(CASE WHEN vote > 0 THEN 1::BIGINT << j
+                                ELSE 0 END)::BIGINT AS cap_sig
+                FROM votes GROUP BY doc_id),
+            sc AS (
+                SELECT i.vec_id, c.doc_id,
+                       bit_count(xor(i.img_sig, c.cap_sig)
+                                 & 4294967295)::INT AS hamming
+                FROM img i CROSS JOIN cap c),
+            rk AS (
+                SELECT vec_id, doc_id,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY hamming, doc_id) AS rnk
+                FROM sc)
+            SELECT vec_id, rnk::INT AS own_rank,
+                   rnk = 1 AS hit_at_1, rnk <= 3 AS hit_at_3
+            FROM rk WHERE doc_id = vec_id ORDER BY vec_id
         """,
         "interleave_docs": """
             WITH emb AS (

@@ -412,7 +412,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "hll_distinct", "bpe_train", "hard_negatives",
         "bpe_encode", "interleave_docs", "triangle_support", "ktruss_dedup",
         "sq8_recall", "shot_keyframes", "html_extract", "phash_pixels",
-        "incremental_phash", "token_budget", "embedding_outliers", "corpus_drift",
+        "incremental_phash", "token_budget", "embedding_outliers", "corpus_drift", "retrieval_eval",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production

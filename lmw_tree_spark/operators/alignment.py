@@ -193,3 +193,58 @@ def interleave_assembly(
         .where(F.col("slot") <= per_doc_cap)
         .select(doc_id, vec_id, "hamming", "slot")
     )
+
+
+def crossmodal_retrieval_eval(
+    docs: DataFrame,
+    embs: DataFrame,
+    query_pred=None,
+    k: int = 3,
+    n_bits: int = 32,
+    seed: int = 11,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """CLIP-style cross-modal retrieval eval — the number an alignment scorer
+    (and its threshold) gets tuned against: for each query image, rank EVERY
+    caption by signature Hamming (ties → doc_id ascending) and report where
+    the image's OWN caption lands (own_rank, hit_at_1, hit_at_k).
+
+    Same integer scorer as ``crossmodal_alignment`` (integer-hyperplane SRP
+    of the embedding vs the caption's 32-bit token SimHash), so the whole
+    eval — both signature stages, the ranking, the tie rule, the hits — is
+    exact integer algebra with no materialized state. Eval-scoped like
+    ``similarity.cosine_topk``: ``query_pred`` bounds the broadcast query
+    side; the caption side is never restricted."""
+    from pyspark.sql import Window
+
+    from lmw_tree_spark.functions.text import token_simhash32
+
+    d = len(embs.select(vec_col).first()[0])
+    planes = int_hyperplanes(d, n_bits=n_bits, seed=seed)
+    queries = embs if query_pred is None else embs.where(query_pred)
+    img = srp_int_signatures(queries, planes, vec_id, vec_col, out_col="img_sig")
+    cap = token_simhash32(docs, text_col=text_col, id_col=doc_id, out_col="cap_sig")
+    mask = (1 << n_bits) - 1
+    scored = F.broadcast(img).crossJoin(cap).select(
+        vec_id,
+        doc_id,
+        F.bit_count(
+            F.col("img_sig").bitwiseXOR(F.col("cap_sig")).bitwiseAND(F.lit(mask))
+        )
+        .cast("int")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy(vec_id).orderBy(F.asc("hamming"), F.asc(doc_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col(doc_id) == F.col(vec_id))
+        .select(
+            vec_id,
+            F.col("rnk").cast("int").alias("own_rank"),
+            (F.col("rnk") == 1).alias("hit_at_1"),
+            (F.col("rnk") <= k).alias(f"hit_at_{k}"),
+        )
+    )

@@ -156,3 +156,57 @@ def test_interleave_assembly_partitioning_invariant(spark):
     many = interleave_assembly(docs.repartition(13),
         spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(7))
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_crossmodal_retrieval_eval_ranks_own_caption(spark):
+    """crossmodal_retrieval_eval: own-caption rank, tie rule, and hit flags
+    match a pure-Python replay of the integer scorer on arbitrary pairs."""
+    import numpy as np
+
+    from lmw_tree_spark.functions.text import token_simhash32
+    from lmw_tree_spark.operators.alignment import (
+        crossmodal_retrieval_eval,
+        int_hyperplanes,
+        srp_int_signatures,
+    )
+
+    rng = np.random.default_rng(21)
+    embs = spark.createDataFrame(
+        [(i, [float(v) for v in rng.standard_normal(64)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join("w%d" % ((i * 13 + t) % 40) for t in range(12)))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    out = crossmodal_retrieval_eval(
+        docs, embs, query_pred=F.col("vec_id") % 10 == 0, k=3
+    ).collect()
+    assert {r["vec_id"] for r in out} == {0, 10, 20}
+
+    # NumPy replay of the ranking
+    planes = int_hyperplanes(64)
+    img = {
+        r["vec_id"]: r["img_sig"]
+        for r in srp_int_signatures(
+            embs, planes, "vec_id", "embedding", out_col="img_sig"
+        ).collect()
+    }
+    cap = {
+        r["doc_id"]: r["cap_sig"]
+        for r in token_simhash32(docs, out_col="cap_sig").collect()
+    }
+    for r in out:
+        q = r["vec_id"]
+        hams = sorted(
+            (bin((img[q] ^ cap[d]) & 0xFFFFFFFF).count("1"), d) for d in cap
+        )
+        want_rank = 1 + [d for _, d in hams].index(q)
+        assert r["own_rank"] == want_rank
+        assert r["hit_at_1"] == (want_rank == 1)
+        assert r["hit_at_3"] == (want_rank <= 3)
