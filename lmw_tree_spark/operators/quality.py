@@ -299,8 +299,10 @@ def corpus_drift(
             .agg(F.count("*").alias("n"))
         )
 
-    c1 = counts(v1).withColumnRenamed("n", "n1")
-    c2 = counts(v2).withColumnRenamed("n", "n2")
+    # each count table feeds both its total and the join — persist the
+    # vocabulary-sized aggregates instead of re-exploding the corpus
+    c1 = counts(v1).withColumnRenamed("n", "n1").persist()
+    c2 = counts(v2).withColumnRenamed("n", "n2").persist()
     t1 = int(c1.agg(F.sum("n1")).first()[0] or 0)
     t2 = int(c2.agg(F.sum("n2")).first()[0] or 0)
     j = (

@@ -529,8 +529,10 @@ def centroid_outlier_filter(
     of a ratio, so no product ever exceeds int64 at any cell size.
 
     Scale shape: one pure-map projection per row + one k-row broadcast stats
-    join; the only shuffle is the groupBy over ≤ k cells. Output: every row
-    with (cell, dist2, keep).
+    join; the only shuffle is the groupBy over ≤ k cells. The argmin is
+    k column-literal expressions — right for coarse gates (k ≤ ~64); for
+    fine-grained cell counts quantize ``dense.assign_dense``'s GEMM argmin
+    instead. Output: every row with (cell, dist2, keep).
     """
     import numpy as np
 
