@@ -342,7 +342,7 @@ def _phash_production(spark, sf_dir):
         F.substring("image_id", 4, 10).cast("long").alias("doc_id"),
         F.col("phash").alias("simhash"),
     )
-    return simhash_dedup(ph, max_dist=6, pair_cap=64)
+    return simhash_dedup(ph, max_dist=6, pair_cap=64, sh=ph)
 
 
 def _sharpness_production(spark, sf_dir):
