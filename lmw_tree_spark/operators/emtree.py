@@ -109,22 +109,19 @@ def _accumulate_pass(
         from pyspark import TaskContext
 
         tree: CentroidTree = tree_bc.value
-        total_sums = total_counts = total_sse = None
+        totals = None
         n_rows = 0
         for pdf in batches:
             if not len(pdf):
                 continue
             s = longs_to_u64(pdf["sig"])
             n_rows += len(s)
-            sums, counts, sse = accumulate_leaves(tree, s)
-            if total_sums is None:
-                total_sums, total_counts, total_sse = sums, counts, sse
-            else:
-                total_sums += sums
-                total_counts += counts
-                total_sse += sse
-        if total_sums is None:
+            # accumulate in place: one running (L, B) array per partition
+            # instead of a fresh full-size temporary + add per Arrow batch
+            totals = accumulate_leaves(tree, s, out=totals)
+        if totals is None:
             return
+        total_sums, total_counts, total_sse = totals
         touched = np.where(total_counts > 0)[0]
         dtype = np.uint16 if n_rows < (1 << 16) else np.uint32
         payload = zlib.compress(

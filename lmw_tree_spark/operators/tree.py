@@ -124,9 +124,16 @@ def _level_pads(tree: CentroidTree) -> list:
     paid once per executor per iteration; the cache never pickles —
     CentroidTree.__getstate__ strips it):
 
-    [0]: level-0 centroids unpacked to ±1 float32, (C0, B)
+    Rows enter the GEMM as 0/1 float32 (one astype pass — 2.3× cheaper than
+    materializing ±1) while centroids stay ±1; the exact ±1·±1 dot is recovered
+    per centroid c as ``2·(rows01 @ c) − Σc``, so each pad carries the
+    per-centroid offset ``coff = Σc / 2`` (Σc is even for even B, so coff is an
+    exact float32 integer; scores stay < 2²⁴, exact).
+
+    [0]: (level-0 centroids ±1 float32 (C0, B), coff (C0,) float32)
     [li≥1]: (kids_pm per parent: list of (m_p, B) float32 ±1 matrices,
-             kid_idx per parent: list of (m_p,) int64 global child indices)
+             kid_idx per parent: list of (m_p,) int64 global child indices,
+             kids_coff per parent: list of (m_p,) float32 offsets)
     """
     cached = tree.__dict__.get("_pads")
     if cached is not None:
@@ -135,31 +142,34 @@ def _level_pads(tree: CentroidTree) -> list:
     def pm(packed: np.ndarray) -> np.ndarray:
         return unpack_bits(packed).astype(np.float32) * 2.0 - 1.0
 
-    pads: list = [pm(tree.levels[0].centroid)]
+    c0 = pm(tree.levels[0].centroid)
+    pads: list = [(c0, c0.sum(axis=1) / np.float32(2.0))]
     for li in range(1, tree.depth):
         lv = tree.levels[li]
         n_parents = len(tree.levels[li - 1].node_id)
         order = np.argsort(lv.parent_idx, kind="stable")
         bounds = np.searchsorted(lv.parent_idx[order], np.arange(n_parents + 1))
         level_pm = pm(lv.centroid)
+        level_coff = level_pm.sum(axis=1) / np.float32(2.0)
         kids_pm = [
             level_pm[order[bounds[p] : bounds[p + 1]]] for p in range(n_parents)
         ]
         kid_idx = [order[bounds[p] : bounds[p + 1]] for p in range(n_parents)]
-        pads.append((kids_pm, kid_idx))
+        kids_coff = [
+            level_coff[order[bounds[p] : bounds[p + 1]]] for p in range(n_parents)
+        ]
+        pads.append((kids_pm, kid_idx, kids_coff))
     tree.__dict__["_pads"] = pads
     return pads
 
 
-def _pm_from_bits(bits_u8: np.ndarray) -> np.ndarray:
-    pm = bits_u8.astype(np.float32)
-    pm *= 2.0
-    pm -= 1.0
-    return pm
+def _rows01_from_bits(bits_u8: np.ndarray) -> np.ndarray:
+    """Unpacked bits as 0/1 float32 GEMM rows (see ``_level_pads`` algebra)."""
+    return bits_u8.astype(np.float32)
 
 
 def descend(
-    tree: CentroidTree, sigs: np.ndarray, row_chunk: int = 8192
+    tree: CentroidTree, sigs: np.ndarray, row_chunk: int = 4096
 ) -> tuple[np.ndarray, np.ndarray]:
     """Assign each row to a leaf by nearest-child descent.
 
@@ -170,9 +180,11 @@ def descend(
     per-parent-group GEMM against that parent's ≤ m children — the reference's
     nearest-child pointer descent (Optimizer.h:91-104) as batched matmuls.
     First-wins argmin tie-breaking matches the reference's sequential scan.
-    Rows are chunked so the unpacked (chunk, B) temporary stays allocator-hot
-    (fresh large pages on this class of machine fault at ~100 MB/s; reused
-    chunk-sized buffers run at memory speed).
+    Rows are chunked so the ±1 float32 chunk (row_chunk × B × 4 B = 64 MB at
+    4096 bits) stays inside this part's 105 MB L3 across all depth levels —
+    each level re-reads the whole chunk matrix, so cache residency beats the
+    bigger-GEMM amortization of larger chunks (measured: 4096 is ~1.5× faster
+    than 8192 per row on the m=10/depth=4 flagship shape).
     """
     n = sigs.shape[0]
     if n < _SMALL_BATCH:
@@ -186,7 +198,7 @@ def descend(
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
         )
-    return _descend_core(tree, sigs, _pm_from_bits(unpack_bits(sigs)))
+    return _descend_core(tree, sigs, _rows01_from_bits(unpack_bits(sigs)))
 
 
 _SMALL_BATCH = 512
@@ -283,7 +295,7 @@ def _level_packed_bucketed(
     semantics are identical to the GEMM path (argmin over children in
     level-array order). Cost ∝ Σ_rows g_row · W words — no ±1 expansion, no
     level-wide gather of the float matrix."""
-    from lmw_tree_spark.functions.bitops import _POP16
+    from lmw_tree_spark.functions.bitops import popcount_sum_last
 
     cent_pad, idx_pad, n_kids = _packed_pads(tree)[li]
     n = len(cur)
@@ -299,8 +311,7 @@ def _level_packed_bucketed(
         kids = cent_pad[:, :g][parents]              # (R, g, W) packed gather
         np.bitwise_xor(kids, sigs[rows][:, None, :], out=kids)
         r = len(rows)
-        halves = kids.view(np.uint16).reshape(r, g, -1)
-        d = _POP16[halves].sum(axis=-1, dtype=np.int64)  # (R, g)
+        d = popcount_sum_last(kids)                  # (R, g) SWAR popcount
         j = d.argmin(axis=1)
         new_cur[rows] = idx_pad[parents, j]
         d_out[rows] = d[np.arange(r), j]
@@ -308,21 +319,26 @@ def _level_packed_bucketed(
 
 
 def _descend_core(
-    tree: CentroidTree, sigs: np.ndarray, bits_pm: np.ndarray
+    tree: CentroidTree, sigs: np.ndarray, rows01: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Adaptive descent core: per level, BLAS GEMMs over ±1 float32 rows for
+    """Adaptive descent core: per level, BLAS GEMMs over 0/1 float32 rows for
     few-parent levels (big groups — arithmetic-throughput bound) and the packed
     fanout-bucketed kernel for many-parent levels (tiny groups — call-overhead
-    and gather bound). Both are exact Hamming argmin with identical first-wins
-    ties, so the split is invisible to results (pinned by tests)."""
-    n = bits_pm.shape[0]
+    and gather bound). GEMM scores are ``rows01 @ c − coff`` = (±1 dot)/2
+    exactly (see ``_level_pads``), so argmax/tie order is identical to the ±1
+    dot and distances are ``B/2 − score``. Both paths are exact Hamming argmin
+    with identical first-wins ties, so the split is invisible to results
+    (pinned by tests)."""
+    n = rows01.shape[0]
     pads = _level_pads(tree)
-    b = np.float32(bits_pm.shape[1])
+    half_b = np.float32(rows01.shape[1] / 2.0)
     dists = np.empty((n, tree.depth), dtype=np.int64)
 
-    dot = bits_pm @ pads[0].T                       # (n, C0)
-    cur = dot.argmax(axis=1).astype(np.int64)       # max dot = min hamming
-    dists[:, 0] = ((b - dot[np.arange(n), cur]) / 2).astype(np.int64)
+    c0, coff0 = pads[0]
+    score = rows01 @ c0.T
+    score -= coff0[None, :]                         # (n, C0), = ±1 dot / 2
+    cur = score.argmax(axis=1).astype(np.int64)     # max score = min hamming
+    dists[:, 0] = (half_b - score[np.arange(n), cur]).astype(np.int64)
 
     sentinel = np.iinfo(np.int64).max
     neg_inf = np.float32(-np.inf)
@@ -331,9 +347,9 @@ def _descend_core(
             cur, d_level = _level_packed_bucketed(tree, li, sigs, cur)
             dists[:, li] = d_level
             continue
-        kids_pm, kid_idx = pads[li]
+        kids_pm, kid_idx, kids_coff = pads[li]
         new_cur = np.full(n, -1, dtype=np.int64)
-        best_dot = np.full(n, neg_inf, dtype=np.float32)
+        best = np.full(n, neg_inf, dtype=np.float32)
         order = np.argsort(cur, kind="stable")
         sorted_cur = cur[order]
         lo = np.searchsorted(sorted_cur, 0)          # skip pruned (-1) rows
@@ -343,20 +359,21 @@ def _descend_core(
         # one gather into parent order per level: group GEMMs then run on
         # contiguous views (per-group fancy indexing re-copies the whole matrix
         # in bad locality and dominates at ~1000 tiny leaf-level groups)
-        sorted_pm = bits_pm[order]
+        sorted01 = rows01[order]
         for k, p in enumerate(present):
             a0, a1 = bounds[k], bounds[k + 1]
             kids = kids_pm[p]
             if kids.shape[0] == 0:                   # parent pruned childless
                 continue
-            gdot = sorted_pm[a0:a1] @ kids.T         # (g, m_p), view slice
-            j = gdot.argmax(axis=1)
+            gsc = sorted01[a0:a1] @ kids.T           # (g, m_p), view slice
+            gsc -= kids_coff[p][None, :]
+            j = gsc.argmax(axis=1)
             rows = order[a0:a1]
             new_cur[rows] = kid_idx[p][j]
-            best_dot[rows] = gdot[np.arange(a1 - a0), j]
+            best[rows] = gsc[np.arange(a1 - a0), j]
         dead = new_cur < 0
-        best_dot[dead] = b                           # placeholder; overwritten below
-        d_level = ((b - best_dot) / 2).astype(np.int64)
+        best[dead] = half_b                          # placeholder; overwritten below
+        d_level = (half_b - best).astype(np.int64)
         d_level[dead] = sentinel
         cur, dists[:, li] = new_cur, d_level
     return cur, dists
@@ -367,8 +384,8 @@ def _descend_from_pm(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Pure-GEMM descent over ±1 float32 rows (compat shim for tests: packs the
     rows back to feed the adaptive core's packed levels)."""
-    sigs = pack_bits((bits_pm > 0).astype(np.uint8))
-    return _descend_core(tree, sigs, bits_pm)
+    bits = (bits_pm > 0).astype(np.uint8)
+    return _descend_core(tree, pack_bits(bits), _rows01_from_bits(bits))
 
 
 # ---------------------------------------------------------------------------
@@ -377,37 +394,62 @@ def _descend_from_pm(
 
 
 def accumulate_leaves(
-    tree: CentroidTree, sigs: np.ndarray
+    tree: CentroidTree,
+    sigs: np.ndarray,
+    out: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One insert pass over a batch: (bit_sums (L, B) int64, counts (L,), sse (L,)).
 
-    Chunked so each chunk's unpacked bits are shared by the descent (as ±1
-    float32) and the accumulation (as uint8 segment sums) without giant
-    temporaries. Segment-sum = sort + per-segment reduction: reductions are
-    memory-read bound (fast) where scatter (np.add.at) and axis-0 reduceat are
-    not; accumulation is half the iteration cost per the reference's own
-    breakdown (/root/reference/src/lmw/SVector.h:313-316).
+    Two passes. Pass A descends every row in cache-sized chunks (the ±1
+    float32 chunk is re-read once per tree level, so it must fit L3). Pass B
+    sorts the WHOLE batch by leaf once and segment-sums the unpacked bits in
+    leaf order — each leaf's (B,) int64 row in ``sums`` is then written by ~one
+    reduction instead of once per chunk; the per-chunk variant re-streamed up
+    to min(chunk, L)×B×8 bytes of the sums array every chunk, which dominated
+    the pass at flagship shape (L≈10⁴, B=4096 ⇒ a 327 MB array). Unpacking
+    twice (pass A for the GEMM matrix, pass B in sorted order) costs ~0.8 µs/row
+    — noise next to the saved traffic. Accumulation is half the iteration cost
+    per the reference's own breakdown (/root/reference/src/lmw/SVector.h:313-316).
+
+    ``out`` accumulates in place across calls (the caller's per-partition
+    running totals), avoiding a full (L, B) temporary + add per Arrow batch.
     """
     n = sigs.shape[0]
     n_leaves = tree.n_leaves
     b = sigs.shape[1] * 64
-    sums = np.zeros((n_leaves, b), dtype=np.int64)
-    counts = np.zeros(n_leaves, dtype=np.int64)
-    sse = np.zeros(n_leaves, dtype=np.float64)
-    # 8192 rows x 4096 bits: 32 MB uint8 + 128 MB ±1 float32 per worker —
-    # measured ~7-10% faster than 4096 (amortizes the ~1k leaf-level group GEMMs
-    # per chunk) while staying allocator-hot
-    chunk = 8192
+    if out is None:
+        sums = np.zeros((n_leaves, b), dtype=np.int64)
+        counts = np.zeros(n_leaves, dtype=np.int64)
+        sse = np.zeros(n_leaves, dtype=np.float64)
+    else:
+        sums, counts, sse = out
+    chunk = 4096  # 64 MB ±1 float32 — L3-resident across levels (see descend)
+
+    # Pass A: leaf assignment + leaf distance for every row.
+    leaf_pos = np.empty(n, dtype=np.int64)
+    leaf_d = np.empty(n, dtype=np.int64)
     for lo in range(0, n, chunk):
         chunk_sigs = sigs[lo : lo + chunk]
-        bits = unpack_bits(chunk_sigs)
         if len(chunk_sigs) < _SMALL_BATCH:
-            leaf_pos, dists = _descend_small(tree, chunk_sigs)
+            lp, dists = _descend_small(tree, chunk_sigs)
         else:
-            leaf_pos, dists = _descend_core(tree, chunk_sigs, _pm_from_bits(bits))
-        order = np.argsort(leaf_pos, kind="stable")
-        sorted_bits = bits[order]
-        sp = leaf_pos[order]
+            lp, dists = _descend_core(
+                tree, chunk_sigs, _rows01_from_bits(unpack_bits(chunk_sigs))
+            )
+        leaf_pos[lo : lo + chunk] = lp
+        leaf_d[lo : lo + chunk] = dists[:, -1]
+
+    counts += np.bincount(leaf_pos, minlength=n_leaves)
+    fd = leaf_d.astype(np.float64)
+    sse += np.bincount(leaf_pos, weights=fd * fd, minlength=n_leaves)
+
+    # Pass B: one global leaf-order sort, then chunked segment sums. A leaf
+    # spanning a chunk boundary just gets two += into its row.
+    order = np.argsort(leaf_pos, kind="stable")
+    for lo in range(0, n, chunk):
+        rows = order[lo : lo + chunk]
+        sorted_bits = unpack_bits(sigs[rows])
+        sp = leaf_pos[rows]
         uniq, starts = np.unique(sp, return_index=True)
         ends = np.append(starts[1:], len(sp))
         sizes = ends - starts
@@ -422,9 +464,6 @@ def accumulate_leaves(
             pos = (starts[sel][:, None] + np.arange(g)[None, :]).ravel()
             grp = sorted_bits[pos].reshape(len(sel), int(g), -1)
             sums[uniq[sel]] += grp.sum(axis=1, dtype=np.int64)
-        counts += np.bincount(leaf_pos, minlength=n_leaves)
-        leaf_d = dists[:, -1].astype(np.float64)
-        sse += np.bincount(leaf_pos, weights=leaf_d * leaf_d, minlength=n_leaves)
     return sums, counts, sse
 
 

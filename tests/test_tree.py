@@ -128,7 +128,6 @@ def test_descend_small_and_blas_paths_agree():
     from lmw_tree_spark.operators.tree import (
         _descend_from_pm,
         _descend_small,
-        _pm_from_bits,
         tsvq_init,
     )
 
@@ -136,7 +135,8 @@ def test_descend_small_and_blas_paths_agree():
     sigs = rng.integers(0, 2**63, (600, 8), dtype=np.uint64)
     tree = tsvq_init(sigs[:300], 5, 3, 1, 9)
     small_pos, small_d = _descend_small(tree, sigs)
-    blas_pos, blas_d = _descend_from_pm(tree, _pm_from_bits(unpack_bits(sigs)))
+    pm = unpack_bits(sigs).astype(np.float32) * 2.0 - 1.0
+    blas_pos, blas_d = _descend_from_pm(tree, pm)
     np.testing.assert_array_equal(small_pos, blas_pos)
     np.testing.assert_array_equal(small_d, blas_d)
 
