@@ -26,6 +26,7 @@ NumPy reference loop used in oracle tests:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -203,13 +204,15 @@ def descend(
 
 _SMALL_BATCH = 512
 
-# A level is processed in the packed domain (fanout-bucketed XOR + LUT popcount)
-# once it has at least this many parents: many parents ⇒ tiny per-parent row
-# groups ⇒ the per-group BLAS calls and the level-wide ±1 gather are overhead-
-# dominated, while the packed path's cost is one vectorized pass per distinct
-# fanout. Few-parent levels (big row groups) stay on BLAS GEMMs, which win on
-# arithmetic throughput there.
-_PACKED_LEVEL_MIN_PARENTS = 256
+# A level is processed in the packed domain (fanout-bucketed XOR + SWAR
+# popcount) once it has at least this many parents: many parents ⇒ tiny
+# per-parent row groups ⇒ the per-group BLAS calls and the level-wide gather
+# are overhead-dominated, while the packed path's cost is one vectorized pass
+# per distinct fanout. Few-parent levels (big row groups) stay on BLAS GEMMs,
+# which win on arithmetic throughput there. Env-tunable for A/B runs on
+# machines with different bandwidth/compute balance (read at import in every
+# Python worker, so it applies executor-side too).
+_PACKED_LEVEL_MIN_PARENTS = int(os.environ.get("LMW_PACKED_MIN_PARENTS", "256"))
 
 _HUGE = np.int64(1) << np.int64(60)
 
