@@ -112,13 +112,36 @@ def _accumulate_pass(
         reshape per batch) instead of pandas materializing one small ndarray
         object PER ROW — at 2M rows/iteration the object churn alone was a
         measurable slice of the insert pass. The view is read-only; every
-        kernel below only gathers from it."""
+        kernel below only gathers from it.
+
+        Batch views are BUFFERED and accumulated once per ~1M rows rather than
+        once per ~10k-row Arrow batch: ``accumulate_leaves``'s pass B streams
+        the whole (L, B) int64 sums array per CALL (~65 MB at the flagship
+        2k-leaf shape), so per-batch calls re-streamed it ~100× per million
+        rows — measured as the dominant term of the Spark insert pass once the
+        descent kernel was cache-tuned. The vstack copy this buys is 512 B/row,
+        ~200× cheaper than the sums traffic it replaces; peak buffer memory is
+        min(partition, 1M rows) ≈ 512 MB worst case, bounded by the input
+        partition size a 100 TB run already controls."""
         import pyarrow as pa
         from pyspark import TaskContext
 
         tree: CentroidTree = tree_bc.value
         totals = None
         n_rows = 0
+        views: list[np.ndarray] = []
+        buf_rows = 0
+        flush_rows = 1 << 20
+
+        def flush() -> None:
+            nonlocal totals, views, buf_rows
+            if not views:
+                return
+            s = views[0] if len(views) == 1 else np.vstack(views)
+            totals = accumulate_leaves(tree, s, out=totals)
+            views = []
+            buf_rows = 0
+
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -131,9 +154,11 @@ def _accumulate_pass(
                 flat = values.to_numpy(zero_copy_only=False)
             s = flat.view(np.uint64).reshape(rb.num_rows, w)
             n_rows += rb.num_rows
-            # accumulate in place: one running (L, B) array per partition
-            # instead of a fresh full-size temporary + add per Arrow batch
-            totals = accumulate_leaves(tree, s, out=totals)
+            views.append(s)
+            buf_rows += rb.num_rows
+            if buf_rows >= flush_rows:
+                flush()
+        flush()
         if totals is None:
             return
         total_sums, total_counts, total_sse = totals
@@ -164,14 +189,39 @@ def _accumulate_pass(
     n_leaves, n_bits = tree.n_leaves, tree.levels[-1].centroid.shape[1] * 64
 
     def _combine_blobs(payloads) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Merge partition blobs into the full (L, B) totals.
+
+        Decompress + deserialize + widen runs in a THREAD pool — zlib and the
+        NumPy astype inner loop both release the GIL, and at the flagship
+        shape each blob costs ~100 ms of that prep (measured: the serial loop
+        was ~4 s of an 8.5 s iteration at 32 partitions, i.e. the single
+        largest term once the executor kernel was cache-tuned). Only the
+        scatter-adds stay serial (they all target the same output arrays);
+        a fully-touched blob — the common case when every partition sees all
+        leaves — adds with a plain ``+=`` instead of a fancy-index gather."""
+        from concurrent.futures import ThreadPoolExecutor
+
         sums = np.zeros((n_leaves, n_bits), dtype=np.int64)
         counts = np.zeros(n_leaves, dtype=np.int64)
         sse = np.zeros(n_leaves, dtype=np.float64)
-        for blob in payloads:
+        payloads = list(payloads)
+
+        def prep(blob):
             touched, cnt, ss, bsums = pickle.loads(zlib.decompress(blob))
-            sums[touched] += bsums.astype(np.int64)
-            counts[touched] += cnt
-            sse[touched] += ss
+            return touched, cnt, ss, bsums.astype(np.int64)
+
+        if not payloads:
+            return sums, counts, sse
+        with ThreadPoolExecutor(max_workers=min(16, len(payloads))) as pool:
+            for touched, cnt, ss, bsums in pool.map(prep, payloads):
+                if len(touched) == n_leaves:
+                    sums += bsums
+                    counts += cnt
+                    sse += ss
+                else:
+                    sums[touched] += bsums
+                    counts[touched] += cnt
+                    sse[touched] += ss
         return sums, counts, sse
 
     blob_df = sigs.select("sig").mapInArrow(partial, KEYED_ACC_SCHEMA)

@@ -170,7 +170,7 @@ def _rows01_from_bits(bits_u8: np.ndarray) -> np.ndarray:
 
 
 def descend(
-    tree: CentroidTree, sigs: np.ndarray, row_chunk: int = 4096
+    tree: CentroidTree, sigs: np.ndarray, row_chunk: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Assign each row to a leaf by nearest-child descent.
 
@@ -181,13 +181,16 @@ def descend(
     per-parent-group GEMM against that parent's ≤ m children — the reference's
     nearest-child pointer descent (Optimizer.h:91-104) as batched matmuls.
     First-wins argmin tie-breaking matches the reference's sequential scan.
-    Rows are chunked so the ±1 float32 chunk (row_chunk × B × 4 B = 64 MB at
-    4096 bits) stays inside this part's 105 MB L3 across all depth levels —
-    each level re-reads the whole chunk matrix, so cache residency beats the
-    bigger-GEMM amortization of larger chunks (measured: 4096 is ~1.5× faster
-    than 8192 per row on the m=10/depth=4 flagship shape).
+    Rows are chunked so the ±1 float32 chunk (row_chunk × B × 4 B = 16 MB at
+    4096 bits with the default 1024) stays cache-resident across all depth
+    levels — each level re-reads the whole chunk matrix plus one gathered
+    copy, so cache residency beats the bigger-GEMM amortization of larger
+    chunks at every parallelism level (sweep in ``_DESCEND_CHUNK``'s comment;
+    tools/ab_descend_chunk.py reproduces it).
     """
     n = sigs.shape[0]
+    if row_chunk is None:
+        row_chunk = _DESCEND_CHUNK
     if n < _SMALL_BATCH:
         return _descend_small(tree, sigs)
     if n > row_chunk:
@@ -213,6 +216,18 @@ _SMALL_BATCH = 512
 # machines with different bandwidth/compute balance (read at import in every
 # Python worker, so it applies executor-side too).
 _PACKED_LEVEL_MIN_PARENTS = int(os.environ.get("LMW_PACKED_MIN_PARENTS", "256"))
+
+# Rows per descent chunk. The ±1 float32 chunk matrix is re-read once per tree
+# level, so it should fit the cache share of ONE WORKER — under 32 concurrent
+# workers sharing one L3, that share is L3/32, not L3. Swept with
+# tools/ab_descend_chunk.py at the flagship geometry (2M×4096-bit, ~2k
+# leaves): 1024 rows (16 MB float32) beats 4096 at EVERY parallelism level —
+# 1 worker 56.4k vs 41.0k sigs/s, 8 workers 224k vs 193k, 32 workers 435k vs
+# 254k — because the per-level re-reads and the level gathers stay
+# cache-resident instead of streaming through (shared) DRAM. Env-tunable for
+# A/B on machines with different core/cache balance (read at import in every
+# Python worker, so it applies executor-side too).
+_DESCEND_CHUNK = int(os.environ.get("LMW_DESCEND_CHUNK", "1024"))
 
 _HUGE = np.int64(1) << np.int64(60)
 
@@ -426,7 +441,7 @@ def accumulate_leaves(
         sse = np.zeros(n_leaves, dtype=np.float64)
     else:
         sums, counts, sse = out
-    chunk = 4096  # 64 MB ±1 float32 — L3-resident across levels (see descend)
+    chunk = _DESCEND_CHUNK  # ±1 float32 chunk cache-resident across levels (see descend)
 
     # Pass A: leaf assignment + leaf distance for every row.
     leaf_pos = np.empty(n, dtype=np.int64)
