@@ -1684,6 +1684,42 @@ def q_cluster_coassign(spark, sf_dir):
     )
 
 
+def q_cluster_labels(spark, sf_dir):
+    """Cluster summarization: top-3 caption tokens per EM-tree leaf (count desc,
+    token asc ties) — the reference's cluster-inspection output (its Wikipedia
+    runs print per-cluster document titles; ClusterWriter,
+    EMTreeExperiments.h cluster dumps). The leaf assignment is trusted state
+    (its descent is hash-replayed by emtree_images); the oracle replays the
+    tokenize -> count -> rank algebra in SQL from the materialized
+    (cluster_id, caption) pairs."""
+    from pyspark.sql import Window
+
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.emtree import assign, em_tree_fit
+
+    sigs = _fixed_signatures(spark)
+    fit = em_tree_fit(sigs, SMALL)
+    a = (
+        assign(sigs, fit.tree)
+        .select("image_id", "cluster_id")
+        .join(sigs.select("image_id", "caption"), "image_id")
+    )
+    _write_exchange(
+        "cluster_labels", assign=a.select("image_id", "cluster_id", "caption").toPandas()
+    )
+    toks = a.select(
+        "cluster_id", F.explode(F.split("caption", " ")).alias("token")
+    )
+    counts = toks.groupBy("cluster_id", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("cluster_id", "rank", "token", "cnt")
+        .orderBy("cluster_id", "rank")
+    )
+
+
 def q_ktree_images(spark, sf_dir):
     """K-tree hybrid (reference ClueWeb recipe, JournalPaperExperiments.h:548-614):
     online K-tree build seeds the distributed assignment. The grown tree (depth 4
@@ -3332,6 +3368,7 @@ def _exchange_oracles() -> dict[str, str]:
     de_v = os.path.join(x, "dedup_eval", "vertices.parquet")
     sv_e = os.path.join(x, "survivors", "edges.parquet")
     pu_a = os.path.join(x, "coassign", "assign.parquet")
+    cl_a = os.path.join(x, "cluster_labels", "assign.parquet")
     leaf_assign = (
         "SELECT image_id, node_id AS cluster_id, d::DOUBLE AS distance "
         "FROM a{d} ORDER BY image_id"
@@ -4389,6 +4426,23 @@ def _exchange_oracles() -> dict[str, str]:
                    round(sum((n_cl = 1)::INT)::DOUBLE / count(*), 4) AS intact_rate
             FROM groups
         """,
+        "cluster_labels": f"""
+            WITH a AS (SELECT cluster_id, caption FROM read_parquet('{cl_a}')),
+            toks AS (
+                SELECT cluster_id, unnest(string_split(caption, ' ')) AS token
+                FROM a),
+            counts AS (
+                SELECT cluster_id, token, count(*)::BIGINT AS cnt
+                FROM toks GROUP BY cluster_id, token),
+            ranked AS (
+                SELECT cluster_id, token, cnt,
+                       row_number() OVER (
+                           PARTITION BY cluster_id
+                           ORDER BY cnt DESC, token ASC)::BIGINT AS rank
+                FROM counts)
+            SELECT cluster_id, rank, token, cnt
+            FROM ranked WHERE rank <= 3 ORDER BY cluster_id, rank
+        """,
         "dedup_survivors": f"""
             WITH RECURSIVE sym AS (
                 SELECT src AS u, dst AS v FROM read_parquet('{sv_e}')
@@ -4678,6 +4732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": q_dedup_eval,
         "dedup_survivors": q_dedup_survivors,
         "cluster_coassign": q_cluster_coassign,
+        "cluster_labels": q_cluster_labels,
         "phash_dedup": q_phash_dedup,
         "incremental_phash": q_incremental_phash,
         # multimodal / sources / streaming (raw-input or manifest exchange)
