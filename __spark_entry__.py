@@ -359,6 +359,19 @@ def q_quality_score(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_BLOCKLIST = ["slow", "scan", "hash"]  # deterministic stand-in bad-word list
+
+
+def q_safety_filter(spark, sf_dir):
+    """C4-style blocklist safety gate (Raffel et al. 2020 §2.2): exact
+    token-membership count against a fixed bad-word list + keep decision.
+    Map-only projection; the oracle recomputes the same token algebra."""
+    from lmw_tree_spark.functions.text import safety_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    return safety_gate(docs, _BLOCKLIST, max_hits=0).orderBy("doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     from lmw_tree_spark.functions.text import lang_id
 
@@ -4668,6 +4681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
+        "safety_filter": q_safety_filter,
         "repetition_filter": q_repetition_filter,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -4874,6 +4888,17 @@ def oracle_sql() -> dict[str, str]:
                          + (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.0 END) * 0.25
                          + least(n / 20.0, 1.0) * 0.25, 4) AS quality
             FROM q ORDER BY doc_id
+        """,
+        "safety_filter": f"""
+            SELECT doc_id,
+                   len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+                   len(list_filter(string_split(lower(text), ' '),
+                       t -> t IN ({', '.join(repr(w) for w in _BLOCKLIST)})))::BIGINT
+                       AS n_flagged,
+                   (len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ({', '.join(repr(w) for w in _BLOCKLIST)}))) <= 0)::INT
+                       AS keep
+            FROM documents ORDER BY doc_id
         """,
         "repetition_filter": """
             WITH arrs AS (

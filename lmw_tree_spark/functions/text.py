@@ -61,6 +61,34 @@ def stopword_hits_col(lang: str, text: str | Column = "text") -> Column:
     ).cast("long")
 
 
+def blocklist_hits_col(words: list[str], text: str | Column = "text") -> Column:
+    """Number of tokens that match a safety blocklist (C4-style "bad words"
+    gate, Raffel et al. 2020 §2.2: documents with any blocklist token are
+    dropped). Exact token-set membership over the whitespace tokens — the
+    same algebra as :func:`stopword_hits_col`, so DuckDB replays it with
+    len(list_filter(string_split(...), t -> t IN (...)))."""
+    toks = tokens_col(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def safety_gate(
+    df: DataFrame,
+    words: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Blocklist curation gate: per-document flagged-token count and a keep
+    decision (``n_flagged <= max_hits``). Pure JVM expressions — a map-only
+    projection with no shuffle at any corpus size."""
+    return df.select(
+        id_col,
+        token_count_col(text).alias("n_tokens"),
+        blocklist_hits_col(words, text).alias("n_flagged"),
+        (blocklist_hits_col(words, text) <= max_hits).cast("int").alias("keep"),
+    )
+
+
 def quality_score_col(text: str | Column = "text") -> Column:
     """Deterministic quality score in [0,1]: blend of alpha ratio, token-length
     sanity (mean token length in [3,10]) and length saturation (≥ 20 tokens)."""

@@ -363,3 +363,25 @@ def test_corpus_drift_exact_tv(spark):
 
     same = corpus_drift(v1, v1, top_k=5).collect()
     assert all(r["tv_total"] == 0.0 and r["share_drift"] == 0.0 for r in same)
+
+
+def test_safety_gate_blocklist_counts(spark):
+    from lmw_tree_spark.functions.text import safety_gate
+
+    rows = [
+        (0, "clean words only here"),
+        (1, "one bad token lurks"),
+        (2, "bad bad words and more bad"),
+        (3, "badge is not bad token bad"),  # substring 'bad' in 'badge' must NOT hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in safety_gate(df, ["bad", "lurks"]).collect()}
+    assert out[0]["n_flagged"] == 0 and out[0]["keep"] == 1
+    assert out[1]["n_flagged"] == 2 and out[1]["keep"] == 0
+    assert out[2]["n_flagged"] == 3 and out[2]["keep"] == 0
+    assert out[3]["n_flagged"] == 2 and out[3]["keep"] == 0
+    assert out[3]["n_tokens"] == 6
+    # max_hits loosens the gate, counts unchanged
+    loose = {r["doc_id"]: r.asDict() for r in
+             safety_gate(df, ["bad", "lurks"], max_hits=2).collect()}
+    assert loose[1]["keep"] == 1 and loose[2]["keep"] == 0
