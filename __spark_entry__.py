@@ -372,6 +372,18 @@ def q_safety_filter(spark, sf_dir):
     return safety_gate(docs, _BLOCKLIST, max_hits=0).orderBy("doc_id")
 
 
+def q_curation_funnel(spark, sf_dir):
+    """Composed curation funnel: per-stage keep counts for exact-dedup
+    survivor -> blocklist safety -> quality floor -> length gate, each stage
+    reusing its standalone operator's exact algebra. Single shuffle
+    (fingerprint window) + 4-row aggregate; the oracle recomputes the same
+    cascade in SQL CTEs."""
+    from lmw_tree_spark.operators.quality import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_funnel(docs, _BLOCKLIST).orderBy("stage_ord")
+
+
 def q_lang_id(spark, sf_dir):
     from lmw_tree_spark.functions.text import lang_id
 
@@ -4682,6 +4694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "safety_filter": q_safety_filter,
+        "curation_funnel": q_curation_funnel,
         "repetition_filter": q_repetition_filter,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -4899,6 +4912,40 @@ def oracle_sql() -> dict[str, str]:
                         t -> t IN ({', '.join(repr(w) for w in _BLOCKLIST)}))) <= 0)::INT
                        AS keep
             FROM documents ORDER BY doc_id
+        """,
+        "curation_funnel": f"""
+            WITH flags AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                               ' +', ' ', 'g'))) AS fp,
+                       (len(list_filter(string_split(lower(text), ' '),
+                            t -> t IN ({', '.join(repr(w) for w in _BLOCKLIST)}))) = 0)::INT
+                           AS safe,
+                       (length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE
+                            / length(text) * 0.5
+                        + (CASE WHEN (length(text) - (len(string_split(lower(text), ' ')) - 1))::DOUBLE
+                                     / len(string_split(lower(text), ' ')) BETWEEN 3 AND 10
+                                THEN 1.0 ELSE 0.0 END) * 0.25
+                        + least(len(string_split(lower(text), ' ')) / 20.0, 1.0) * 0.25
+                        >= 0.5)::INT AS hq,
+                       (len(string_split(lower(text), ' ')) >= 20)::INT AS lenok
+                FROM documents),
+            k AS (
+                SELECT (doc_id = min(doc_id) OVER (PARTITION BY fp))::INT AS k1,
+                       safe, hq, lenok
+                FROM flags),
+            agg AS (
+                SELECT count(*)::BIGINT AS n0,
+                       sum(k1)::BIGINT AS n1,
+                       sum(k1 * safe)::BIGINT AS n2,
+                       sum(k1 * safe * hq)::BIGINT AS n3,
+                       sum(k1 * safe * hq * lenok)::BIGINT AS n4
+                FROM k)
+            SELECT 1::BIGINT AS stage_ord, 'exact_dedup' AS stage, n0 AS n_in, n1 AS n_kept FROM agg
+            UNION ALL SELECT 2, 'safety', n1, n2 FROM agg
+            UNION ALL SELECT 3, 'quality', n2, n3 FROM agg
+            UNION ALL SELECT 4, 'length', n3, n4 FROM agg
+            ORDER BY stage_ord
         """,
         "repetition_filter": """
             WITH arrs AS (

@@ -337,3 +337,82 @@ def corpus_drift(
             F.round(F.lit(tv_raw), 8).alias("tv_total"),
         )
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    blocklist: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Composed corpus-curation funnel: exact-dedup survivor -> blocklist
+    safety gate -> quality-score floor -> minimum-length gate, reported as one
+    row per stage with (stage_ord, stage, n_in, n_kept).
+
+    This is the report every training-data pipeline publishes with a release
+    (C4 / RefinedWeb / Gopher each document per-filter removal counts). Each
+    stage reuses the exact algebra of its standalone operator (fingerprint_col,
+    blocklist_hits_col, quality_score_col, token_count_col), so the funnel is
+    consistent with the per-document queries and the whole thing is one
+    fingerprint groupBy plus map-side flags — a single shuffle at any corpus
+    size, then a 4-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    from lmw_tree_spark.functions.text import (
+        blocklist_hits_col,
+        fingerprint_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    flags = docs.select(
+        F.col(id_col),
+        fingerprint_col(text).alias("fp"),
+        (blocklist_hits_col(blocklist, text) == 0).cast("int").alias("safe"),
+        (quality_score_col(text) >= min_quality).cast("int").alias("hq"),
+        (token_count_col(text) >= min_tokens).cast("int").alias("lenok"),
+    )
+    # survivor = lowest id per fingerprint group (exact_dedup's canonical rule)
+    w = Window.partitionBy("fp")
+    k = flags.select(
+        (F.col(id_col) == F.min(id_col).over(w)).cast("int").alias("k1"),
+        "safe",
+        "hq",
+        "lenok",
+    ).select(
+        "k1",
+        (F.col("k1") * F.col("safe")).alias("k2"),
+        (F.col("k1") * F.col("safe") * F.col("hq")).alias("k3"),
+        (F.col("k1") * F.col("safe") * F.col("hq") * F.col("lenok")).alias("k4"),
+    )
+    agg = k.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum("k1").cast("long").alias("n1"),
+        F.sum("k2").cast("long").alias("n2"),
+        F.sum("k3").cast("long").alias("n3"),
+        F.sum("k4").cast("long").alias("n4"),
+    )
+    # one aggregate row -> 4 stage rows via inline(): the scan+shuffle runs
+    # ONCE (a unionAll of four selects over agg would re-run the whole plan
+    # per branch)
+    stages = [
+        (1, "exact_dedup", "n0", "n1"),
+        (2, "safety", "n1", "n2"),
+        (3, "quality", "n2", "n3"),
+        (4, "length", "n3", "n4"),
+    ]
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(ord_).cast("long").alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                F.col(nin).alias("n_in"),
+                F.col(nkept).alias("n_kept"),
+            )
+            for ord_, name, nin, nkept in stages
+        ]
+    )
+    return agg.select(F.inline(structs))
