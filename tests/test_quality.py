@@ -385,3 +385,22 @@ def test_safety_gate_blocklist_counts(spark):
     loose = {r["doc_id"]: r.asDict() for r in
              safety_gate(df, ["bad", "lurks"], max_hits=2).collect()}
     assert loose[1]["keep"] == 1 and loose[2]["keep"] == 0
+
+
+def test_curation_funnel_counts(spark):
+    from lmw_tree_spark.operators.quality import curation_funnel
+
+    long_good = " ".join(f"tok{i}" for i in range(25))        # 25 tokens, clean
+    rows = [
+        (0, long_good),                    # survives everything
+        (1, long_good),                    # exact dup of 0 -> dropped at stage 1
+        (2, long_good + " verboten"),      # blocklisted -> dropped at stage 2
+        (3, "short but clean text here"),  # 5 tokens: passes safety, fails length
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["stage"]: r.asDict() for r in curation_funnel(df, ["verboten"]).collect()}
+    assert out["exact_dedup"]["n_in"] == 4 and out["exact_dedup"]["n_kept"] == 3
+    assert out["safety"]["n_in"] == 3 and out["safety"]["n_kept"] == 2
+    # doc 3's quality: alpha 1.0*0.5 + len_ok 0.25 + sat 5/20*0.25 -> 0.8125 >= 0.5
+    assert out["quality"]["n_in"] == 2 and out["quality"]["n_kept"] == 2
+    assert out["length"]["n_in"] == 2 and out["length"]["n_kept"] == 1
