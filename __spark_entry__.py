@@ -384,6 +384,22 @@ def q_curation_funnel(spark, sf_dir):
     return curation_funnel(docs, _BLOCKLIST).orderBy("stage_ord")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-shape model-based quality filter (operators/classifier.py):
+    hashed uni+bigram features -> broadcast weight-table join -> per-doc
+    linear score + keep decision (exact BIGINT threshold on the logit;
+    sigmoid is monotonic so the decision is identical). Weights are the
+    deterministic synthetic table so DuckDB replays the model verbatim."""
+    from lmw_tree_spark.operators.classifier import (
+        classifier_scores,
+        synthetic_weight_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = synthetic_weight_table(spark, 512)
+    return classifier_scores(docs, w, n_buckets=512, tau=0).orderBy("doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     from lmw_tree_spark.functions.text import lang_id
 
@@ -4695,6 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "safety_filter": q_safety_filter,
         "curation_funnel": q_curation_funnel,
+        "quality_classifier": q_quality_classifier,
         "repetition_filter": q_repetition_filter,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -4912,6 +4929,33 @@ def oracle_sql() -> dict[str, str]:
                         t -> t IN ({', '.join(repr(w) for w in _BLOCKLIST)}))) <= 0)::INT
                        AS keep
             FROM documents ORDER BY doc_id
+        """,
+        "quality_classifier": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+                FROM documents),
+            grams AS (
+                SELECT doc_id, g FROM toks, unnest(ts) AS u(g)
+                UNION ALL
+                SELECT doc_id, ts[i] || '_' || ts[i+1] AS g
+                FROM toks, unnest(generate_series(1, len(ts) - 1)) AS r(i)
+                WHERE len(ts) >= 2),
+            feats AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS bucket
+                FROM grams),
+            w AS (
+                SELECT range AS bucket, (range * 2654435761) % 1001 - 500 AS weight
+                FROM range(512)),
+            scored AS (
+                SELECT doc_id, count(*)::BIGINT AS n_feats,
+                       sum(weight)::BIGINT AS total_weight
+                FROM feats JOIN w USING (bucket)
+                GROUP BY doc_id)
+            SELECT doc_id, n_feats, total_weight,
+                   (total_weight > 0)::INT AS keep
+            FROM scored ORDER BY doc_id
         """,
         "curation_funnel": f"""
             WITH flags AS (

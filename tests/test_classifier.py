@@ -1,0 +1,89 @@
+"""Hashed-ngram linear classifier vs an independent hashlib/python oracle."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from lmw_tree_spark.operators.classifier import (
+    classifier_scores,
+    hashed_ngram_features,
+    synthetic_weight_table,
+)
+
+D = 256
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _weight(bucket: int) -> int:
+    return (bucket * 2654435761) % 1001 - 500
+
+
+def _expected(text: str):
+    toks = [t for t in text.lower().split(" ") if t]
+    grams = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+    buckets = [_h32(g) % D for g in grams]
+    total = sum(_weight(b) for b in buckets)
+    return len(grams), total
+
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "spark spark spark spark"),          # repeated token: bag semantics
+    (3, "singleton"),                         # one token -> no bigrams
+    (4, "  padded   with   extra   spaces "),  # empty-token filtering
+    (5, "The quick brown fox jumps over the lazy dog"),  # dup of 1
+]
+
+
+def test_scores_match_python_oracle(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    w = synthetic_weight_table(spark, D)
+    out = {
+        r["doc_id"]: (r["n_feats"], r["total_weight"], r["keep"])
+        for r in classifier_scores(df, w, n_buckets=D).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    for doc_id, text in DOCS:
+        n, total = _expected(text)
+        assert out[doc_id][0] == n, (doc_id, out[doc_id], n)
+        assert out[doc_id][1] == total, (doc_id, out[doc_id], total)
+        assert out[doc_id][2] == int(total > 0)
+    assert out[1] == out[5]  # identical text, identical score
+
+
+def test_single_token_doc_has_no_bigrams(spark):
+    df = spark.createDataFrame([(3, "singleton")], "doc_id long, text string")
+    feats = hashed_ngram_features(df, n_buckets=D).collect()
+    assert len(feats) == 1
+    assert feats[0]["bucket"] == _h32("singleton") % D
+
+
+def test_tau_threshold_is_exact_integer_compare(spark):
+    # craft tau so keep flips exactly at total_weight == tau * n_feats
+    df = spark.createDataFrame(DOCS[:1], "doc_id long, text string")
+    w = synthetic_weight_table(spark, D)
+    n, total = _expected(DOCS[0][1])
+    assert total % n != 0 or total // n  # sanity: non-degenerate
+    tau_eq = total // n
+    row = classifier_scores(df, w, n_buckets=D, tau=tau_eq).collect()[0]
+    assert row["keep"] == int(total > tau_eq * n)
+    row2 = classifier_scores(df, w, n_buckets=D, tau=tau_eq + 1).collect()[0]
+    assert row2["keep"] == int(total > (tau_eq + 1) * n)
+
+
+def test_plan_broadcasts_weights_and_stays_jvm(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    w = synthetic_weight_table(spark, D)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        classifier_scores(df, w, n_buckets=D).explain()
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
