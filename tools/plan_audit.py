@@ -53,6 +53,7 @@ AUDITED = [
     ("band_self_join", False, "the one data-sized shuffle the design allows: equi-join on band key"),
     ("dedup_images", False, "full flagship dedup: 4 bucket modalities -> verify -> CC, equi-joins throughout"),
     ("curation_funnel", False, "composed 4-gate funnel in ONE conditional-sum pass (single shuffle)"),
+    ("quality_classifier", False, "hashed-ngram featurize is a pure map; weight table broadcasts; one per-doc sum shuffle"),
     ("token_budget", False, "per-domain cumsum-to-budget: one window per domain partition"),
     ("hard_negatives", False, "3-stage IVF composition stays equi-join + window, no cross join"),
     ("bm25_topk", False, "tf-idf join keyed by token; per-query top-k window"),
