@@ -400,6 +400,26 @@ def q_quality_classifier(spark, sf_dir):
     return classifier_scores(docs, w, n_buckets=512, tau=0).orderBy("doc_id")
 
 
+def q_classifier_train(spark, sf_dir):
+    """Distributed Naive Bayes trainer for the quality classifier
+    (operators/classifier.nb_train_weights): hashed uni+bigram features,
+    grouped class counts (exact BIGINT), smoothed log-likelihood-ratio weight
+    rounded to 4 digits. Pseudo-labels come from the deterministic md5 split
+    so the oracle replays the entire fit — features, counts, AND weights."""
+    from lmw_tree_spark.operators.classifier import nb_train_weights
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label",
+        (
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("label"))), 1, 1
+            )
+            < "8"
+        ).cast("int"),
+    )
+    return nb_train_weights(docs, n_buckets=512).orderBy("bucket")
+
+
 def q_lang_id(spark, sf_dir):
     from lmw_tree_spark.functions.text import lang_id
 
@@ -4712,6 +4732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "safety_filter": q_safety_filter,
         "curation_funnel": q_curation_funnel,
         "quality_classifier": q_quality_classifier,
+        "classifier_train": q_classifier_train,
         "repetition_filter": q_repetition_filter,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -4956,6 +4977,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_feats, total_weight,
                    (total_weight > 0)::INT AS keep
             FROM scored ORDER BY doc_id
+        """,
+        "classifier_train": """
+            WITH labeled AS (
+                SELECT doc_id, text,
+                       CASE WHEN substr(md5(doc_id::VARCHAR || ':label'), 1, 1) < '8'
+                            THEN 1 ELSE 0 END AS y
+                FROM documents),
+            toks AS (
+                SELECT doc_id, y,
+                       list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+                FROM labeled),
+            grams AS (
+                SELECT y, g FROM toks, unnest(ts) AS u(g)
+                UNION ALL
+                SELECT y, ts[i] || '_' || ts[i+1] AS g
+                FROM toks, unnest(generate_series(1, len(ts) - 1)) AS r(i)
+                WHERE len(ts) >= 2),
+            feats AS (
+                SELECT y,
+                       CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS bucket
+                FROM grams),
+            counts AS (
+                SELECT bucket, sum(y)::BIGINT AS pos_cnt, sum(1 - y)::BIGINT AS neg_cnt
+                FROM feats GROUP BY bucket),
+            spine AS (SELECT range::INT AS bucket FROM range(512)),
+            dense AS (
+                SELECT s.bucket,
+                       coalesce(c.pos_cnt, 0)::BIGINT AS pos_cnt,
+                       coalesce(c.neg_cnt, 0)::BIGINT AS neg_cnt
+                FROM spine s LEFT JOIN counts c ON s.bucket = c.bucket),
+            tot AS (SELECT sum(pos_cnt) AS pt, sum(neg_cnt) AS nt FROM dense)
+            SELECT bucket, pos_cnt, neg_cnt,
+                   round(ln((pos_cnt + 1)::DOUBLE / (pt + 512))
+                         - ln((neg_cnt + 1)::DOUBLE / (nt + 512)), 4) AS weight
+            FROM dense, tot ORDER BY bucket
         """,
         "curation_funnel": f"""
             WITH flags AS (

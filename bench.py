@@ -413,7 +413,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "bpe_encode", "interleave_docs", "triangle_support", "ktruss_dedup",
         "sq8_recall", "shot_keyframes", "html_extract", "phash_pixels",
         "incremental_phash", "token_budget", "embedding_outliers", "corpus_drift", "retrieval_eval",
-        "safety_filter", "curation_funnel", "quality_classifier",
+        "safety_filter", "curation_funnel", "quality_classifier", "classifier_train",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production

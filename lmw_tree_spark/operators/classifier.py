@@ -93,6 +93,74 @@ def hashed_ngram_features(
     )
 
 
+def nb_train_weights(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """TRAIN the linear model: multinomial Naive Bayes log-likelihood-ratio
+    weights over the same hashed uni+bigram buckets (the classic fastText-era
+    baseline trainer — NB weights ARE a linear model over bag features, and
+    training is nothing but two grouped counts, so it distributes as a single
+    aggregation pass; cf. Wang & Manning 2012, NBSVM).
+
+    ``label_col`` is 1 for the high-quality seed corpus, 0 for the rest.
+    Output: ``(bucket int, pos_cnt bigint, neg_cnt bigint, weight double)``
+    for EVERY bucket in [0, n_buckets) (dense — unseen buckets get the
+    smoothed prior ratio), where::
+
+        weight = round( ln((pos_cnt+1)/(pos_tot+D)) −
+                        ln((neg_cnt+1)/(neg_tot+D)), 4 )
+
+    Counts are exact BIGINTs; the one float (ln) is rounded to 4 digits —
+    the repo's standard float-parity contract with the DuckDB oracle.
+
+    Scale notes: one data-sized shuffle (groupBy bucket, map-side partial
+    counts, key cardinality = n_buckets so partials are tiny); the class
+    totals and the dense bucket spine live on D-row model-sized frames —
+    the unpartitioned window runs over D rows, never over data.
+    """
+    feats = hashed_ngram_features(df, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
+    labeled = feats.join(
+        F.broadcast(df.select(F.col(id_col), F.col(label_col).cast("int").alias("_y"))),
+        id_col,
+    )
+    counts = labeled.groupBy("bucket").agg(
+        F.sum("_y").cast("long").alias("pos_cnt"),
+        F.sum(1 - F.col("_y")).cast("long").alias("neg_cnt"),
+    )
+    spine = df.sparkSession.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    dense = (
+        # counts is ≤ n_buckets rows (model-sized) — broadcast it so the dense
+        # spine fill never shuffles
+        spine.join(F.broadcast(counts), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("pos_cnt", F.lit(0)).cast("long").alias("pos_cnt"),
+            F.coalesce("neg_cnt", F.lit(0)).cast("long").alias("neg_cnt"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()  # D model rows, not data rows — bounded
+    dense = dense.withColumn("_pos_tot", F.sum("pos_cnt").over(w_all)).withColumn(
+        "_neg_tot", F.sum("neg_cnt").over(w_all)
+    )
+    d = F.lit(float(n_buckets))
+    return dense.select(
+        "bucket",
+        "pos_cnt",
+        "neg_cnt",
+        F.round(
+            F.log((F.col("pos_cnt") + 1) / (F.col("_pos_tot") + d))
+            - F.log((F.col("neg_cnt") + 1) / (F.col("_neg_tot") + d)),
+            4,
+        ).alias("weight"),
+    )
+
+
 def classifier_scores(
     df: DataFrame,
     weights: DataFrame,

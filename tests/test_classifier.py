@@ -87,3 +87,44 @@ def test_plan_broadcasts_weights_and_stays_jvm(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_nb_train_matches_python_oracle(spark):
+    import math
+
+    from lmw_tree_spark.operators.classifier import nb_train_weights
+
+    labeled = [(i, t, 1 if i % 2 else 0) for i, t in DOCS]
+    df = spark.createDataFrame(labeled, "doc_id long, text string, label int")
+    out = {r["bucket"]: r for r in nb_train_weights(df, n_buckets=D).collect()}
+    assert set(out) == set(range(D))  # dense spine
+
+    # independent python oracle
+    pos, neg = {}, {}
+    for doc_id, text, y in labeled:
+        toks = [t for t in text.lower().split(" ") if t]
+        grams = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        for g in grams:
+            b = _h32(g) % D
+            (pos if y else neg)[b] = (pos if y else neg).get(b, 0) + 1
+    pt, nt = sum(pos.values()), sum(neg.values())
+    for b in range(D):
+        pc, nc = pos.get(b, 0), neg.get(b, 0)
+        w = round(math.log((pc + 1) / (pt + D)) - math.log((nc + 1) / (nt + D)), 4)
+        assert out[b]["pos_cnt"] == pc and out[b]["neg_cnt"] == nc, b
+        assert abs(out[b]["weight"] - w) < 1e-9, (b, out[b]["weight"], w)
+
+
+def test_nb_weights_feed_scorer(spark):
+    from lmw_tree_spark.operators.classifier import nb_train_weights
+
+    labeled = [(i, t, 1 if i % 2 else 0) for i, t in DOCS]
+    df = spark.createDataFrame(labeled, "doc_id long, text string, label int")
+    w = nb_train_weights(df, n_buckets=D).select(
+        "bucket", (F.round(F.col("weight") * 1000).cast("int")).alias("weight")
+    )
+    scored = classifier_scores(df.drop("label"), w, n_buckets=D).collect()
+    assert len(scored) == len(DOCS)
+    # docs seen only in the positive class must score positive (and vice versa)
+    by_id = {r["doc_id"]: r for r in scored}
+    assert by_id[3]["total_weight"] != 0  # singleton doc gets the smoothed ratio

@@ -54,6 +54,7 @@ AUDITED = [
     ("dedup_images", False, "full flagship dedup: 4 bucket modalities -> verify -> CC, equi-joins throughout"),
     ("curation_funnel", False, "composed 4-gate funnel in ONE conditional-sum pass (single shuffle)"),
     ("quality_classifier", False, "hashed-ngram featurize is a pure map; weight table broadcasts; one per-doc sum shuffle"),
+    ("classifier_train", False, "NB fit = one grouped count keyed by bucket; totals/window on the D-row model frame only"),
     ("token_budget", False, "per-domain cumsum-to-budget: one window per domain partition"),
     ("hard_negatives", False, "3-stage IVF composition stays equi-join + window, no cross join"),
     ("bm25_topk", False, "tf-idf join keyed by token; per-query top-k window"),
