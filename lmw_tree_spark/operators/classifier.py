@@ -176,6 +176,10 @@ def classifier_scores(
     ``weights`` must cover every bucket in ``[0, n_buckets)`` (inner join —
     a missing bucket would silently drop features; ``synthetic_weight_table``
     and any exported hashed model are dense by construction).
+
+    A document with no tokens yields no feature rows and is therefore ABSENT
+    from the output (not scored keep=0) — compose after a length gate, or
+    left-join back to the corpus if absent-means-drop isn't what you want.
     """
     feats = hashed_ngram_features(df, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
     scored = feats.join(F.broadcast(weights), "bucket").groupBy(id_col).agg(
