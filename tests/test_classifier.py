@@ -128,3 +128,23 @@ def test_nb_weights_feed_scorer(spark):
     # docs seen only in the positive class must score positive (and vice versa)
     by_id = {r["doc_id"]: r for r in scored}
     assert by_id[3]["total_weight"] != 0  # singleton doc gets the smoothed ratio
+
+
+def test_nasty_inputs_match_python_oracle(spark):
+    nasty = [
+        (10, "héllo wörld héllo"),
+        (11, "tab\tstays inside token"),
+        (12, "emoji 🙂 token 🙂"),
+        (13, "MIXED Case TOKENS mixed case tokens"),
+        (14, "a " * 50 + "b"),                 # 51 tokens, heavy repeats
+        (15, "x" * 300 + " short"),            # very long token
+    ]
+    df = spark.createDataFrame(nasty, "doc_id long, text string")
+    w = synthetic_weight_table(spark, D)
+    out = {
+        r["doc_id"]: (r["n_feats"], r["total_weight"])
+        for r in classifier_scores(df, w, n_buckets=D).collect()
+    }
+    for doc_id, text in nasty:
+        n, total = _expected(text)
+        assert out[doc_id] == (n, total), (doc_id, out[doc_id], (n, total))
