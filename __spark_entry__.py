@@ -708,6 +708,24 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_dbscan_embeddings(spark, sf_dir):
+    """DBSCAN density clustering over the embedding column (Ester et al., KDD
+    1996) — the density-family twin of the centroid clusterers: cosine ≥ 0.35
+    eps-graph through the EXACT bounded ball-cover join, core iff ≥ 3
+    eps-neighbors, clusters = connected components of the core-core subgraph
+    labeled by min member id, border points adopt the min cluster among their
+    core neighbors, noise = -1. Unlike the centroid family it leaves outliers
+    unlabeled instead of force-assigning them — the curation shape for
+    unknown-cluster-count corpora. Deterministic at any parallelism (min-label
+    rules replace classic DBSCAN's scan-order border ties)."""
+    from lmw_tree_spark.operators.density import dbscan_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dbscan_embeddings(
+        emb, min_cosine=0.35, min_core_neighbors=3
+    ).orderBy("vec_id")
+
+
 def q_vocab_stats(spark, sf_dir):
     """Corpus vocabulary stats — the tokenizer-prep aggregation of a training-data
     pipeline: top 20 tokens by document frequency (ties → token asc)."""
@@ -4762,6 +4780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_dims": q_reduce_dims,
         "group_size_histogram": q_group_size_histogram,
         "embedding_neardup": q_embedding_neardup,
+        "dbscan_embeddings": q_dbscan_embeddings,
         "simhash_knn": q_simhash_knn,
         "semantic_dedup": q_semantic_dedup,
         "vocab_stats": q_vocab_stats,
@@ -5726,6 +5745,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 4) >= 0.42
             ORDER BY src, dst
+        """,
+        "dbscan_embeddings": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[]), 4) >= 0.35),
+            sym AS (SELECT src AS id, dst AS nb FROM pairs
+                    UNION ALL SELECT dst, src FROM pairs),
+            core AS (SELECT id FROM sym GROUP BY id HAVING count(*) >= 3),
+            core_edges AS (
+                SELECT p.src AS u, p.dst AS v FROM pairs p
+                JOIN core c1 ON c1.id = p.src JOIN core c2 ON c2.id = p.dst),
+            csym AS (SELECT u, v FROM core_edges UNION SELECT v, u FROM core_edges),
+            reach(u, v) AS (
+                SELECT id, id FROM core
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN csym s ON s.u = r.v),
+            comp AS (SELECT u AS id, min(v) AS cluster FROM reach GROUP BY u),
+            border AS (
+                SELECT s.id, min(c.cluster) AS cluster
+                FROM sym s JOIN comp c ON c.id = s.nb
+                WHERE s.id NOT IN (SELECT id FROM core)
+                GROUP BY s.id)
+            SELECT e.vec_id,
+                   CASE WHEN comp.id IS NOT NULL THEN 'core'
+                        WHEN border.id IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   coalesce(comp.cluster, border.cluster, -1)::BIGINT AS cluster
+            FROM embeddings e
+            LEFT JOIN comp ON comp.id = e.vec_id
+            LEFT JOIN border ON border.id = e.vec_id
+            ORDER BY e.vec_id
         """,
         "simhash_knn": """
             WITH toks AS (

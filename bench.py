@@ -402,7 +402,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "token_jaccard", "editdist_verify",
         "simhash32", "minhash_sql",
         "suffix_pairs", "cosine_topk", "centroid_assign", "dense_kmeans",
-        "embedding_neardup", "minhash_lsh_dedup",
+        "embedding_neardup", "dbscan_embeddings", "minhash_lsh_dedup",
         "simhash_dedup", "ivf_ann", "pq_ann", "srp_neardup",
         "user_sessions", "events_hourly",
         "semantic_dedup", "vocab_stats", "group_size_histogram", "reduce_dims",
