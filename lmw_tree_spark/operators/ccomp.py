@@ -52,24 +52,25 @@ def connected_components(
         )
         stepped = labels.join(nbr_min, "id", "left").select(
             "id",
+            F.col("label").alias("_prev"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
         # pointer jumping: label(v) ← label(label(v)) — makes convergence
         # logarithmic in component diameter instead of linear (path-graph case)
-        jump = stepped.select(F.col("id").alias("label"), F.col("label").alias("jlabel"))
-        new_labels = (
-            stepped.join(jump, "label", "left")
-            .select("id", F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"))
+        jump = stepped.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
+        new_with_prev = (
+            stepped.join(jump.withColumnRenamed("jid", "label"), "label", "left")
+            .select(
+                "id",
+                "_prev",
+                F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # convergence check is a FILTER over the frame just materialized (the
+        # old label rode along as _prev) — no extra old-vs-new join/shuffle
+        changed = new_with_prev.where(F.col("label") != F.col("_prev")).limit(1).count()
+        labels = new_with_prev.select("id", "label")
         if changed == 0:
             break
 
