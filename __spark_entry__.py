@@ -23,6 +23,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _sweep_perm_values() -> str:
+    """The lsh_band_sweep oracle's VALUES literal — the SAME 24 (a, b)
+    permutation constants the Spark side broadcasts (operators/lsh.py:
+    SWEEP_PERMS), so both engines derive identical band keys."""
+    from lmw_tree_spark.operators.lsh import SWEEP_PERMS
+
+    return ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(SWEEP_PERMS)
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle exchange — makes the clustering/LSH family DuckDB-checkable
 # ---------------------------------------------------------------------------
@@ -4735,6 +4746,75 @@ def q_ar_bucket(spark, sf_dir):
     return assign_ar_buckets(dims, id_col="doc_id").orderBy("doc_id")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Exact Efraimidis–Spirakis weighted sampling without replacement
+    (operators/sampling.py:weighted_sample) — quality-weighted training-subset
+    selection. The ES key u^(1/w) is computed through the max-stability
+    identity (max of w hash-uniforms has the same t^w CDF), so the whole
+    draw is integer algebra: Spark's transform-over-sequence map stage and
+    the DuckDB list_transform replay agree bit-for-bit — no ln/pow float
+    crosses the engine boundary. Weight = 1 + min(9, n_chars div 256)
+    (longer docs up-weighted, 10 levels), k = 100, selection is a
+    distributed top-k (TakeOrderedAndProject), never a global sort."""
+    from lmw_tree_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.withColumn(
+        "weight",
+        (F.lit(1) + F.least(F.lit(9), F.expr("n_chars div 256"))).cast("int"),
+    )
+    return weighted_sample(w, k=100, weight_col="weight").select(
+        "doc_id", "weight", "es_key"
+    ).orderBy("doc_id")
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout planning + manifest pruning estimate
+    (operators/layout.py) — the storage-layout step that makes per-file
+    min/max stats prune multi-dimensional predicates at 100 TB (what
+    Delta/Iceberg OPTIMIZE ZORDER BY writes). Buckets: bx = length bucket
+    (n_chars div 128, capped 15), by = shard-key bucket (doc_id % 256 div
+    16); 8-bit Morton interleave, 16 equal-z-range files; manifest rows
+    carry per-file count + min/max of both raw columns, and ``scan_x`` is
+    the planner's overlap test for ``n_chars BETWEEN 256 AND 511`` — on a
+    Z-ordered layout most files report scan_x = 0. Pure integer shift/mask
+    algebra end-to-end."""
+    from lmw_tree_spark.operators.layout import prune_estimate, zorder_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr("least(15, n_chars div 128)").cast("int").alias("bx"),
+        (F.col("doc_id") % 256).alias("y"),
+    ).withColumn("by", F.expr("y div 16").cast("int"))
+    m = zorder_manifest(b, "bx", "by", "n_chars", "y", n_files=16, bits=4)
+    return prune_estimate(m, 256, 511, on="x").orderBy("file_id")
+
+
+def q_lsh_band_sweep(spark, sf_dir):
+    """MinHash band-configuration tuner (operators/lsh.py:band_config_sweep)
+    — one pass over 24 shared permutations measures every (rows-per-band,
+    bands) config's collision profile (multi-buckets, candidate-pair
+    workload, docs reaching the verifier), the sizing run a 10^12-row dedup
+    does on a sample before committing its LSH config. Candidate pairs are
+    COUNTED from bucket sizes (n*(n-1) div 2), never materialized. The
+    oracle replays the identical minhash + band-key algebra from the same
+    24 (a, b) literals."""
+    from lmw_tree_spark.functions.text import token_hash32_col
+    from lmw_tree_spark.operators.lsh import band_config_sweep
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .select("doc_id", token_hash32_col(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    return band_config_sweep(toks).orderBy("rows_per_band")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "subset_semi_join": q_subset_semi_join,
@@ -4832,6 +4912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,
+        "weighted_sample": q_weighted_sample,
+        "zorder_layout": q_zorder_layout,
+        "lsh_band_sweep": q_lsh_band_sweep,
         "url_canonical": q_url_canonical,
         "mixture_sample": q_mixture_sample,
         "domain_quality": q_domain_quality,
@@ -5491,6 +5574,82 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY hamming, vec_id) AS slot
                 FROM best) WHERE slot <= 3
             ORDER BY doc_id, slot
+        """,
+        "weighted_sample": """
+            WITH w AS (
+                SELECT doc_id,
+                       (1 + least(9, n_chars // 256))::INT AS weight
+                FROM documents),
+            keys AS (
+                SELECT doc_id, weight,
+                       list_max(list_transform(range(1, weight + 1),
+                           j -> CAST(('0x' || substr(md5('es0:' ||
+                                doc_id::VARCHAR || ':' || j::VARCHAR),
+                                1, 13)) AS BIGINT))) AS es_key
+                FROM w)
+            SELECT * FROM (
+                SELECT doc_id, weight, es_key
+                FROM keys ORDER BY es_key DESC, doc_id LIMIT 100)
+            ORDER BY doc_id
+        """,
+        "zorder_layout": """
+            WITH b AS (
+                SELECT doc_id, n_chars,
+                       least(15, n_chars // 128) AS bx,
+                       (doc_id % 256) AS y,
+                       (doc_id % 256) // 16 AS byy
+                FROM documents),
+            z AS (
+                SELECT *,
+                       (((bx >> 0) & 1) * 2 + ((byy >> 0) & 1) * 1
+                      + ((bx >> 1) & 1) * 8 + ((byy >> 1) & 1) * 4
+                      + ((bx >> 2) & 1) * 32 + ((byy >> 2) & 1) * 16
+                      + ((bx >> 3) & 1) * 128 + ((byy >> 3) & 1) * 64) AS zc
+                FROM b),
+            f AS (SELECT *, ((zc * 16) >> 8)::INT AS file_id FROM z)
+            SELECT file_id, count(*)::BIGINT AS n_rows,
+                   min(n_chars) AS min_x, max(n_chars) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y,
+                   (max(n_chars) >= 256 AND min(n_chars) <= 511)::INT AS scan_x
+            FROM f GROUP BY file_id ORDER BY file_id
+        """,
+        "lsh_band_sweep": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)),
+            perms(p_idx, a, b) AS (VALUES {_sweep_perm_values()}),
+            mh AS (
+                SELECT doc_id, p_idx, min((h * a + b) % 2147483647) AS mh
+                FROM toks CROSS JOIN perms GROUP BY doc_id, p_idx),
+            cfg(rows_per_band) AS (VALUES (2), (4), (6), (8)),
+            bk AS (
+                SELECT doc_id, rows_per_band, p_idx // rows_per_band AS band,
+                       mh, p_idx
+                FROM mh CROSS JOIN cfg
+                WHERE p_idx < 24 - (24 % rows_per_band)),
+            keys AS (
+                SELECT doc_id, rows_per_band, band,
+                       string_agg(mh::VARCHAR, ',' ORDER BY p_idx) AS bkey
+                FROM bk GROUP BY doc_id, rows_per_band, band),
+            multi AS (
+                SELECT rows_per_band, band, bkey, count(*) AS n
+                FROM keys GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+            stats AS (
+                SELECT rows_per_band, count(*)::BIGINT AS n_multi_buckets,
+                       sum((n * (n - 1)) // 2)::BIGINT AS cand_pairs
+                FROM multi GROUP BY 1),
+            db AS (
+                SELECT k.rows_per_band,
+                       count(DISTINCT k.doc_id)::BIGINT AS n_docs_bucketed
+                FROM keys k
+                JOIN multi m USING (rows_per_band, band, bkey)
+                GROUP BY 1)
+            SELECT s.rows_per_band,
+                   ((24 - 24 % s.rows_per_band) / s.rows_per_band)::INT AS n_bands,
+                   s.n_multi_buckets, s.cand_pairs, d.n_docs_bucketed
+            FROM stats s JOIN db d USING (rows_per_band)
+            ORDER BY rows_per_band
         """,
         "shard_manifest": """
             SELECT (strpos('0123456789abcdef',

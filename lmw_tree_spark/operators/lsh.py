@@ -329,3 +329,120 @@ def verify_edges(edges: DataFrame, sigs: DataFrame, cfg: PipelineConfig) -> Data
             | (F.col("caption_sim") >= cfg.caption_alone_min)
         )
     return scored.withColumn("is_dup", is_dup)
+
+
+# 24 fixed universal-hash permutations (h*a + b) mod M31 for the SQL-portable
+# band-sweep tuner — primes chosen once; both the Spark side and any SQL oracle
+# embed the same literals, so band keys agree bit-for-bit across engines.
+SWEEP_PERMS: list[tuple[int, int]] = [
+    (1299721, 11), (2750161, 97), (4256233, 193), (5800079, 389),
+    (7368787, 769), (8960453, 1543), (10570841, 3079), (12195257, 6151),
+    (13834103, 12289), (15485863, 24593), (17148757, 49157), (18822473, 98317),
+    (20506903, 196613), (22199981, 393241), (23902343, 786433), (25612637, 1572869),
+    (27330337, 3145739), (29055301, 6291469), (30786791, 12582917), (32524387, 25165843),
+    (34267481, 50331653), (36015361, 100663319), (37768697, 201326611), (39526393, 402653189),
+]
+_M31 = 2147483647
+
+
+def band_config_sweep(
+    tok_hashes: DataFrame,
+    configs: tuple[int, ...] = (2, 4, 6, 8),
+    id_col: str = "doc_id",
+    hash_col: str = "h",
+) -> DataFrame:
+    """MinHash band-configuration tuner — the sizing pass a 100-TB dedup run
+    does FIRST: on a sample, measure every candidate (rows-per-band r, bands
+    b = 24//r) config's bucket collision profile in ONE job, then pick the r
+    whose S-curve threshold ``(1/b)^(1/r)`` sits at the target similarity
+    before committing the full-corpus config (Broder resemblance LSH;
+    Leskovec/Rajaraman/Ullman ch.3 tuning construction).
+
+    Input: distinct ``(id, token-hash)`` pairs (``functions.text.
+    token_hash32_col`` output). All 24 ``SWEEP_PERMS`` minhashes are computed
+    once and reused by every config — the sweep costs ONE minhash pass +
+    one bounded groupBy per config, not a re-run per candidate r.
+
+    Output per config: rows_per_band, n_bands, n_multi_buckets (band buckets
+    holding >= 2 docs), cand_pairs (sum over buckets of C(n,2) — the
+    verification workload this config would enqueue), n_docs_bucketed
+    (distinct docs appearing in any multi-bucket = docs that would reach the
+    verifier).
+
+    Scale shape: the perm table (24 rows) and the config/band map (<= 24*4
+    rows) broadcast; minhash is one groupBy(id, perm) with map-side combine;
+    band keys one groupBy(id, r, band); bucket stats one groupBy(r, band,
+    key). Nothing is quadratic — cand_pairs is COUNTED from bucket sizes,
+    the pairs are never materialized."""
+    spark = tok_hashes.sparkSession
+    perms = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(SWEEP_PERMS)],
+        "p_idx int, a long, b long",
+    )
+    mh = (
+        tok_hashes.crossJoin(F.broadcast(perms))
+        .groupBy(id_col, "p_idx")
+        .agg(
+            F.min(
+                (F.col(hash_col) * F.col("a") + F.col("b")) % F.lit(_M31)
+            ).alias("mh")
+        )
+    )
+    cfg_map = spark.createDataFrame(
+        [
+            (r, p, p // r)
+            for r in configs
+            for p in range(24 - 24 % r)
+        ],
+        "rows_per_band int, p_idx int, band int",
+    )
+    band_keys = (
+        mh.join(F.broadcast(cfg_map), "p_idx")
+        .groupBy(id_col, "rows_per_band", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p_idx", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("bkey")
+        )
+    )
+    # band_keys feeds both the bucket stats and the docs-reaching-verifier
+    # count — persist so the minhash pass runs once, not twice.
+    band_keys = band_keys.persist()
+    multi = (
+        band_keys.groupBy("rows_per_band", "band", "bkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+    )
+    stats = multi.groupBy("rows_per_band").agg(
+        F.count("*").cast("long").alias("n_multi_buckets"),
+        F.sum(F.expr("(n * (n - 1)) div 2")).cast("long").alias("cand_pairs"),
+    )
+    # docs that reach the verifier: semi-join rows back to the multi buckets,
+    # then a distributed distinct — never an array rollup (a hot bucket at
+    # corpus scale would otherwise pack every member id into one agg row).
+    docs_bucketed = (
+        band_keys.join(
+            multi.select("rows_per_band", "band", "bkey"),
+            ["rows_per_band", "band", "bkey"],
+            "left_semi",
+        )
+        .select("rows_per_band", id_col)
+        .distinct()
+        .groupBy("rows_per_band")
+        .agg(F.count("*").cast("long").alias("n_docs_bucketed"))
+    )
+    stats = stats.join(docs_bucketed, "rows_per_band")
+    n_bands = (F.lit(24) - F.lit(24) % F.col("rows_per_band")) / F.col(
+        "rows_per_band"
+    )
+    return stats.select(
+        "rows_per_band",
+        n_bands.cast("int").alias("n_bands"),
+        "n_multi_buckets",
+        "cand_pairs",
+        "n_docs_bucketed",
+    )

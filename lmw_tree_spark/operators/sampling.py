@@ -215,6 +215,81 @@ def epoch_repeat(
     )
 
 
+def es_key_col(
+    id_col: Column, weight_col: Column, salt: int = 0, max_weight: int = 64
+) -> Column:
+    """The Efraimidis–Spirakis weighted-sampling key as EXACT integer algebra.
+
+    ES (Efraimidis & Spirakis, IPL 2006) samples k items without replacement
+    with inclusion proportional to weight by ranking items on
+    ``key_i = u_i^(1/w_i)``. Computing that key needs ``pow``/``ln`` — floats
+    whose last ulp differs between libm implementations, so a cross-engine
+    hash check could flip on a boundary row. This uses the max-stability
+    identity instead: for integer ``w``, ``max(u_1..u_w)`` has CDF
+    ``t^w = P(u^(1/w) <= t)`` — the SAME distribution as the ES key — so
+    ranking by the max of ``w`` independent hash-uniforms IS the ES scheme,
+    with every comparison on 52-bit integers. No float ever crosses an
+    engine boundary; Spark and any SQL engine with ``md5`` agree bit-for-bit.
+
+    Per-row cost is ``w`` md5 calls, capped at ``max_weight``; real-valued or
+    unbounded weights should be quantized to <= ``max_weight`` levels first
+    (the cap bounds the RESOLUTION of the weighting, not correctness). The
+    column is a pure map — no shuffle, no UDF (``transform`` over
+    ``sequence`` runs inside whole-stage codegen)."""
+    w = F.greatest(F.least(weight_col.cast("int"), F.lit(max_weight)), F.lit(1))
+    return F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda j: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(f"es{salt}"),
+                            id_col.cast("string"),
+                            j.cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    max_weight: int = 64,
+) -> DataFrame:
+    """Quality-weighted sampling WITHOUT replacement — the data-recipe step
+    that draws a fixed-size training subset biased toward high-quality
+    documents (weights from a quality classifier / heuristic score), where
+    ``stratified_sample``'s per-stratum fractions are too coarse.
+
+    Exact Efraimidis–Spirakis top-k (see ``es_key_col``): keep the k rows
+    with the largest integer ES keys, ties broken by id. Deterministic in
+    ``(id, weight, salt)`` — reproducible across partitioning, retries, and
+    cluster size, and replayable bit-for-bit in SQL.
+
+    Scale shape: key is a pure map stage; the selection is
+    ``orderBy(...).limit(k)`` = TakeOrderedAndProject, a distributed
+    per-partition top-k + driver merge of k-row heaps — no global sort, no
+    full shuffle, driver memory O(k)."""
+    key = es_key_col(F.col(id_col), F.col(weight_col), salt, max_weight)
+    return (
+        df.withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     strata_col: str,

@@ -188,3 +188,53 @@ def test_verify_corroboration_rule_semantics(spark):
         for r in verify_edges(edges, sigs, legacy).collect()
     }
     assert got1[("a", "b")] is True  # any single vote sufficed before
+
+
+# ---------------------------------------------------------------------------
+# band_config_sweep (one-pass LSH config tuner)
+# ---------------------------------------------------------------------------
+
+
+def test_band_config_sweep_matches_bruteforce(spark):
+    import hashlib
+    from collections import Counter
+
+    from lmw_tree_spark.operators.lsh import SWEEP_PERMS, band_config_sweep
+
+    M = 2147483647
+    texts = {}
+    for i in range(40):
+        base = [f"tok{j}_{i % 8}" for j in range(12)]  # 8 dup families of 5
+        texts[i] = base + [f"uniq{i}"]
+    rows = [(i, h) for i, toks in texts.items()
+            for h in {int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks}]
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+
+    got = {
+        r["rows_per_band"]: r
+        for r in band_config_sweep(df, configs=(2, 4, 8)).collect()
+    }
+
+    mh = {
+        i: [min((h * a + b) % M for h in {hh for d, hh in rows if d == i})
+            for (a, b) in SWEEP_PERMS]
+        for i in texts
+    }
+    for r in (2, 4, 8):
+        buckets = Counter()
+        members = {}
+        for i, sig in mh.items():
+            for band in range(24 // r):
+                key = (band, tuple(sig[band * r:(band + 1) * r]))
+                buckets[key] += 1
+                members.setdefault(key, set()).add(i)
+        multi = {k: n for k, n in buckets.items() if n >= 2}
+        want_pairs = sum(n * (n - 1) // 2 for n in multi.values())
+        want_docs = len(set().union(*[members[k] for k in multi])) if multi else 0
+        assert got[r]["n_multi_buckets"] == len(multi)
+        assert got[r]["cand_pairs"] == want_pairs
+        assert got[r]["n_docs_bucketed"] == want_docs
+        assert got[r]["n_bands"] == 24 // r
+    # the tuner's whole point: fewer rows per band -> looser threshold ->
+    # at least as many candidate pairs
+    assert got[2]["cand_pairs"] >= got[4]["cand_pairs"] >= got[8]["cand_pairs"]

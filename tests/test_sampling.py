@@ -233,3 +233,77 @@ def test_token_budget_sample_exact_cutoff_and_invariance(spark):
         ).collect()
     }
     assert out2 == want
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis–Spirakis via the max-stability identity)
+# ---------------------------------------------------------------------------
+
+
+def _es_key_ref(doc_id: int, weight: int, salt: int = 0) -> int:
+    """NumPy-free Python replay of es_key_col: max of w 52-bit md5 uniforms."""
+    return max(
+        int(hashlib.md5(f"es{salt}:{doc_id}:{j}".encode()).hexdigest()[:13], 16)
+        for j in range(1, max(1, weight) + 1)
+    )
+
+
+def test_weighted_sample_matches_reference(spark):
+    from lmw_tree_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1 + i % 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, weight int")
+    got = weighted_sample(df, k=50, weight_col="weight", salt=3).toPandas()
+    keys = {i: _es_key_ref(i, w, salt=3) for i, w in rows}
+    want = sorted(rows, key=lambda t: (-keys[t[0]], t[0]))[:50]
+    assert list(got.sort_values("es_key", ascending=False)["doc_id"]) == [
+        i for i, _ in want
+    ]
+    for _, r in got.iterrows():
+        assert int(r["es_key"]) == keys[int(r["doc_id"])]
+
+
+def test_weighted_sample_partitioning_invariance(spark):
+    from lmw_tree_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1 + (i * 7) % 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, weight int")
+    one = set(
+        r["doc_id"] for r in weighted_sample(df.coalesce(1), 64, "weight").collect()
+    )
+    many = set(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(16), 64, "weight").collect()
+    )
+    assert one == many and len(one) == 64
+
+
+def test_weighted_sample_weight_monotone(spark):
+    """Inclusion frequency grows with weight: across many salts, weight-8 docs
+    must enter the sample far more often than weight-1 docs (distributional
+    check of the ES property; exact per-draw math is covered by the replay)."""
+    from lmw_tree_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1 if i < 500 else 8) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, weight int").cache()
+    low = high = 0
+    for salt in range(5):
+        got = weighted_sample(df, 100, "weight", salt=salt).toPandas()
+        low += int((got["weight"] == 1).sum())
+        high += int((got["weight"] == 8).sum())
+    df.unpersist()
+    # E[high share] = 8/9 per slot; demand a loose 3x dominance
+    assert high > 3 * low, (high, low)
+
+
+def test_weighted_sample_weight_cap(spark):
+    """Weights above max_weight clamp: key equals the max_weight key exactly."""
+    from lmw_tree_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 1000), (2, 64)], "doc_id long, weight int")
+    got = (
+        weighted_sample(df, 2, "weight", max_weight=64)
+        .toPandas()
+        .set_index("doc_id")["es_key"]
+    )
+    assert got[1] == _es_key_ref(1, 64) and got[2] == _es_key_ref(2, 64)
