@@ -4746,6 +4746,41 @@ def q_ar_bucket(spark, sf_dir):
     return assign_ar_buckets(dims, id_col="doc_id").orderBy("doc_id")
 
 
+def q_classifier_auc(spark, sf_dir):
+    """Closes the classifier family's loop: NB-train on md5 pseudo-labels
+    (the classifier_train fit), quantize weights to exact BIGINT
+    milli-weights (round(w*10000) — integral up to float dust, so both
+    engines land the same integer), score every document with the linear
+    model, then exact tied-rank Mann-Whitney AUC of score vs label
+    (operators/classifier.rank_auc — doubled-rank integer algebra, cumsum
+    over the per-score aggregate only). The oracle replays the ENTIRE chain:
+    features, grouped counts, smoothed weights, quantization, per-doc sums,
+    tie-group ranks, and the final ratio."""
+    from lmw_tree_spark.operators.classifier import (
+        classifier_scores,
+        nb_train_weights,
+        rank_auc,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label",
+        (
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("label"))), 1, 1
+            )
+            < "8"
+        ).cast("int"),
+    )
+    wts = nb_train_weights(docs, n_buckets=512)
+    iw = wts.select(
+        "bucket", F.round(F.col("weight") * 10000).cast("long").alias("weight")
+    )
+    scored = classifier_scores(docs, iw, n_buckets=512).join(
+        docs.select("doc_id", "label"), "doc_id"
+    )
+    return rank_auc(scored, score_col="total_weight", label_col="label")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Exact Efraimidis–Spirakis weighted sampling without replacement
     (operators/sampling.py:weighted_sample) — quality-weighted training-subset
@@ -4912,6 +4947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,
+        "classifier_auc": q_classifier_auc,
         "weighted_sample": q_weighted_sample,
         "zorder_layout": q_zorder_layout,
         "lsh_band_sweep": q_lsh_band_sweep,
@@ -5574,6 +5610,64 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY hamming, vec_id) AS slot
                 FROM best) WHERE slot <= 3
             ORDER BY doc_id, slot
+        """,
+        "classifier_auc": """
+            WITH labeled AS (
+                SELECT doc_id, text,
+                       CASE WHEN substr(md5(doc_id::VARCHAR || ':label'), 1, 1) < '8'
+                            THEN 1 ELSE 0 END AS y
+                FROM documents),
+            toks AS (
+                SELECT doc_id, y,
+                       list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+                FROM labeled),
+            grams AS (
+                SELECT doc_id, y, g FROM toks, unnest(ts) AS u(g)
+                UNION ALL
+                SELECT doc_id, y, ts[i] || '_' || ts[i+1] AS g
+                FROM toks, unnest(generate_series(1, len(ts) - 1)) AS r(i)
+                WHERE len(ts) >= 2),
+            feats AS (
+                SELECT doc_id, y,
+                       CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS bucket
+                FROM grams),
+            counts AS (
+                SELECT bucket, sum(y)::BIGINT AS pos_cnt, sum(1 - y)::BIGINT AS neg_cnt
+                FROM feats GROUP BY bucket),
+            spine AS (SELECT range::INT AS bucket FROM range(512)),
+            dense AS (
+                SELECT s.bucket,
+                       coalesce(c.pos_cnt, 0)::BIGINT AS pos_cnt,
+                       coalesce(c.neg_cnt, 0)::BIGINT AS neg_cnt
+                FROM spine s LEFT JOIN counts c ON s.bucket = c.bucket),
+            tot AS (SELECT sum(pos_cnt) AS pt, sum(neg_cnt) AS nt FROM dense),
+            iw AS (
+                SELECT bucket,
+                       round(round(ln((pos_cnt + 1)::DOUBLE / (pt + 512))
+                                   - ln((neg_cnt + 1)::DOUBLE / (nt + 512)), 4)
+                             * 10000)::BIGINT AS w
+                FROM dense, tot),
+            scoredocs AS (
+                SELECT f.doc_id, max(f.y) AS label, sum(i.w)::BIGINT AS score
+                FROM feats f JOIN iw i USING (bucket) GROUP BY f.doc_id),
+            per AS (
+                SELECT score, count(*)::BIGINT AS cnt, sum(label)::BIGINT AS pos
+                FROM scoredocs GROUP BY score),
+            cum AS (
+                SELECT *, coalesce(sum(cnt) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+                FROM per),
+            agg AS (
+                SELECT sum(pos * (2 * c + cnt + 1))::BIGINT AS r2pos,
+                       sum(pos)::BIGINT AS n_pos,
+                       sum(cnt - pos)::BIGINT AS n_neg
+                FROM cum)
+            SELECT n_pos, n_neg,
+                   (r2pos - n_pos * (n_pos + 1))::BIGINT AS auc_num,
+                   (2 * n_pos * n_neg)::BIGINT AS auc_den,
+                   round((r2pos - n_pos * (n_pos + 1))::DOUBLE
+                         / (2 * n_pos * n_neg), 6) AS auc
+            FROM agg
         """,
         "weighted_sample": """
             WITH w AS (

@@ -190,3 +190,58 @@ def classifier_scores(
         "keep",
         (F.col("total_weight") > F.lit(int(tau)) * F.col("n_feats")).cast("int"),
     )
+
+
+def rank_auc(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """Exact ROC-AUC of a score column against binary labels — the eval step
+    that closes the classifier loop (train -> score -> measure) before a
+    filter threshold is committed for a full-corpus run.
+
+    Uses the tied-rank Mann-Whitney identity: with ranks averaged over tie
+    groups, ``AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)``. All
+    counting runs on the per-score aggregate, in doubled-rank integers so
+    half-ranks never materialize: a tie group of ``cnt`` rows preceded by
+    ``c`` rows has twice-average-rank ``2c + cnt + 1``, giving
+    ``auc_num = sum(pos * (2c + cnt + 1)) - n_pos(n_pos+1)`` over
+    ``auc_den = 2 * n_pos * n_neg`` — exact BIGINTs any engine reproduces;
+    the single float division happens once, rounded to 6, for display.
+
+    Scale shape: one data-sized groupBy(score) with map-side combine; the
+    rank cumsum window runs over the per-score aggregate — bounded by the
+    score codomain (integer logits here), never by the data — partitioned by
+    a constant to make the deliberate single-partition explicit. Quantize
+    near-continuous scores before calling (the aggregate IS the scalability
+    contract).
+
+    Output: one row ``(n_pos, n_neg, auc_num, auc_den, auc)``.
+    """
+    from pyspark.sql import Window
+
+    per = scored.groupBy(score_col).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(label_col).cast("long").alias("pos"),
+    )
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = per.withColumn("c", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    agg = per.agg(
+        F.sum(F.col("pos") * (2 * F.col("c") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("r2pos"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    num = F.col("r2pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = 2 * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        num.cast("long").alias("auc_num"),
+        den.cast("long").alias("auc_den"),
+        F.round(num.cast("double") / den, 6).alias("auc"),
+    )

@@ -148,3 +148,50 @@ def test_nasty_inputs_match_python_oracle(spark):
     for doc_id, text in nasty:
         n, total = _expected(text)
         assert out[doc_id] == (n, total), (doc_id, out[doc_id], (n, total))
+
+
+# ---------------------------------------------------------------------------
+# rank_auc (exact tied-rank Mann-Whitney AUC)
+# ---------------------------------------------------------------------------
+
+
+def _auc_bruteforce(pairs):
+    """AUC by direct pair counting: wins + half-ties over pos x neg pairs."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    num = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    return num / (len(pos) * len(neg))
+
+
+def test_rank_auc_matches_bruteforce_with_ties(spark):
+    from lmw_tree_spark.operators.classifier import rank_auc
+
+    # heavy ties: scores drawn from a small codomain
+    rows = [(i, (i * 7) % 5, 1 if (i * 13) % 3 == 0 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, label int")
+    got = rank_auc(df, "score", "label").collect()[0]
+    want = _auc_bruteforce([(s, y) for _, s, y in rows])
+    assert got["auc_den"] == 2 * got["n_pos"] * got["n_neg"]
+    assert got["auc_num"] / got["auc_den"] == want  # exact rational equality
+    assert abs(got["auc"] - round(want, 6)) < 1e-12
+
+
+def test_rank_auc_perfect_and_inverted(spark):
+    from lmw_tree_spark.operators.classifier import rank_auc
+
+    perfect = [(i, i, 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(perfect, "doc_id long, score long, label int")
+    assert rank_auc(df, "score", "label").collect()[0]["auc"] == 1.0
+    inverted = [(i, -i, 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(inverted, "doc_id long, score long, label int")
+    assert rank_auc(df, "score", "label").collect()[0]["auc"] == 0.0
+
+
+def test_rank_auc_partitioning_invariance(spark):
+    from lmw_tree_spark.operators.classifier import rank_auc
+
+    rows = [(i, (i * 31) % 17, i % 2) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, label int")
+    a = rank_auc(df.coalesce(1), "score", "label").collect()[0]
+    b = rank_auc(df.repartition(16), "score", "label").collect()[0]
+    assert a == b
