@@ -60,6 +60,10 @@ AUDITED = [
     ("bm25_topk", False, "tf-idf join keyed by token; per-query top-k window"),
     ("stream_dedup", False, "stateful dedup replay vs batch groupBy (bounded trigger)"),
     ("interleave_docs", False, "bucketed argmin is a partial agg, capacity ranking a bounded window"),
+    ("weighted_sample", False, "ES keys are a pure map (transform over sequence); selection is TakeOrderedAndProject top-k, no global sort"),
+    ("zorder_layout", False, "Morton code pure map; manifest one groupBy(file_id) with #files result rows"),
+    ("lsh_band_sweep", True, "BNLJ is the intentional 24-row broadcast perm-table cross join; all rollups are bounded groupBys, pairs counted never materialized"),
+    ("classifier_auc", False, "rank cumsum window runs over the per-score aggregate, never data rows"),
 ]
 
 JOIN_RE = re.compile(
