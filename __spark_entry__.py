@@ -3427,6 +3427,7 @@ def _exchange_oracles() -> dict[str, str]:
     crop_px = os.path.join(x, "crop", "pixels.parquet")
     ph_px = os.path.join(x, "phash_px", "pixels.parquet")
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
+    ent_px = os.path.join(x, "entropy", "pixels.parquet")
     split_e = os.path.join(x, "split", "edges.parquet")
     cc_e = os.path.join(x, "dedup_cc", "edges.parquet")
     cc_v = os.path.join(x, "dedup_cc", "vertices.parquet")
@@ -3893,6 +3894,23 @@ def _exchange_oracles() -> dict[str, str]:
             SELECT image_id, pc, pc_inv, pc_xor, bit170,
                    (pc + 1 - bit170)::BIGINT AS pc_set
             FROM agg ORDER BY image_id
+        """,
+        "entropy_filter": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{ent_px}')),
+            hist AS (
+                SELECT image_id,
+                       (299 * r::BIGINT + 587 * g::BIGINT + 114 * b::BIGINT)
+                           // 1000 AS bin,
+                       count(*)::BIGINT AS cnt
+                FROM pxt GROUP BY 1, 2),
+            ag AS (
+                SELECT image_id, sum(cnt)::BIGINT AS n_px,
+                       sum(cnt * log2(cnt)) AS s
+                FROM hist GROUP BY image_id)
+            SELECT image_id, n_px,
+                   round(log2(n_px) - s / n_px, 4) AS entropy,
+                   (round(log2(n_px) - s / n_px, 4) >= 3.0)::INT AS keep
+            FROM ag ORDER BY image_id
         """,
         "image_stats": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{px}')),
@@ -4746,6 +4764,41 @@ def q_ar_bucket(spark, sf_dir):
     return assign_ar_buckets(dims, id_col="doc_id").orderBy("doc_id")
 
 
+def q_entropy_filter(spark, sf_dir):
+    """Low-information image gate (operators/pixels.py:entropy_gate) — the
+    curation step that drops solid placeholders / blank thumbnails before
+    signatures: 256-bin integer-luma histogram (exact counts from the Arrow
+    decode kernel) → Shannon entropy ≥ 3.0 bits. The corpus is the shared
+    120 generated images (all high-entropy, keep=1) plus 8 planted
+    low-information images — 4 solid colors (H=0) and 4 two-tone stripes
+    (H≈1) — so both branches of the decision are hash-checked. The oracle
+    rebuilds the histogram from RAW materialized pixels and replays binning,
+    entropy, and decision."""
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import entropy_gate, luma_histogram
+    from lmw_tree_spark.sources import codecs
+    from lmw_tree_spark.sources.images import generate_images
+
+    flats = []
+    for i in range(8):
+        px = np.full((16, 16, 3), 32 * i, dtype=np.uint8)
+        if i >= 4:  # two-tone horizontal stripes: entropy ~1 bit
+            px[::2] = 255 - 32 * i
+        flats.append((f"flat_{i:02d}", codecs.encode_png(px), "png"))
+    planted = spark.createDataFrame(
+        pd.DataFrame(flats, columns=["image_id", "bytes", "fmt"])
+    )
+    images = (
+        generate_images(spark, 120).select("image_id", "bytes", "fmt")
+        .unionByName(planted)
+        .persist()
+    )
+    _pixels_exchange(images, xname="entropy")
+    return entropy_gate(luma_histogram(images), min_bits=3.0).orderBy("image_id")
+
+
 def q_classifier_auc(spark, sf_dir):
     """Closes the classifier family's loop: NB-train on md5 pseudo-labels
     (the classifier_train fit), quantize weights to exact BIGINT
@@ -4948,6 +5001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,
         "classifier_auc": q_classifier_auc,
+        "entropy_filter": q_entropy_filter,
         "weighted_sample": q_weighted_sample,
         "zorder_layout": q_zorder_layout,
         "lsh_band_sweep": q_lsh_band_sweep,

@@ -100,29 +100,35 @@ def run_flagship(master: str, shuffle_partitions: int, n_images: int) -> dict:
 
         # dup-pair recall/precision vs generator ground truth (north rule
         # >= 0.99) — evidenced at BENCH scale, not just the pytest config.
-        # Outside the timed section; pair sets are computed driver-side from
-        # the two (id, group) maps (groups are tiny: <= 3 members each).
-        import collections
-        import itertools
+        # Outside the timed section, and computed DISTRIBUTED (within-group
+        # self-joins on the group key — groups are tiny, <= 3 members, so the
+        # joins are linear): the earlier driver-side pair-set version pulled
+        # two n-row frames through toPandas and died at the 8M-image probe.
+        from pyspark.sql import functions as F
 
-        truth_pdf = images.select("image_id", "dup_group").toPandas()
-        pred_pdf = groups.toPandas()
+        def pair_df(df, group_col):
+            a, b = df.alias("a"), df.alias("b")
+            return (
+                a.join(
+                    b,
+                    (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+                    & (F.col("a.image_id") < F.col("b.image_id")),
+                )
+                .select(
+                    F.col("a.image_id").alias("src"),
+                    F.col("b.image_id").alias("dst"),
+                )
+            )
 
-        def pair_set(ids_by_group):
-            return {
-                p
-                for ids in ids_by_group.values()
-                for p in itertools.combinations(sorted(ids), 2)
-            }
-
-        tg, pg = collections.defaultdict(list), collections.defaultdict(list)
-        for r in truth_pdf.itertuples():
-            tg[r.dup_group].append(r.image_id)
-        for r in pred_pdf.itertuples():
-            pg[r.dup_group].append(r.image_id)
-        tp, pp = pair_set(tg), pair_set(pg)
-        recall = len(tp & pp) / max(len(tp), 1)
-        precision = len(tp & pp) / max(len(pp), 1)
+        tp_df = pair_df(
+            images.where("dup_group >= 0").select("image_id", "dup_group"),
+            "dup_group",
+        ).persist()
+        pp_df = pair_df(groups, "dup_group").persist()
+        n_tp, n_pp = tp_df.count(), pp_df.count()
+        n_hit = tp_df.join(pp_df, ["src", "dst"]).count()
+        recall = n_hit / max(n_tp, 1)
+        precision = n_hit / max(n_pp, 1)
 
         return {
             "t_signatures": round(t_sig, 2),
@@ -134,7 +140,7 @@ def run_flagship(master: str, shuffle_partitions: int, n_images: int) -> dict:
             "leaves": fit.tree.n_leaves,
             "dup_pair_recall": round(recall, 4),
             "dup_pair_precision": round(precision, 4),
-            "n_true_pairs": len(tp),
+            "n_true_pairs": n_tp,
         }
     finally:
         spark.stop()

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from lmw_tree_spark.sources import codecs
 
@@ -653,3 +654,61 @@ def phash_images(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["image_id", "phash"])
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, PHASH_SCHEMA)
+
+
+HIST_SCHEMA = "image_id string, bin int, cnt long"
+
+
+def luma_histogram(images: DataFrame) -> DataFrame:
+    """Per-image 256-bin integer-luma histogram — the feature under the
+    low-information gate (and any palette/contrast analysis): decode →
+    integer BT.601 luma ``(299r + 587g + 114b) div 1000`` → exact bin counts.
+    One fixed-width long-format row per occupied bin, all integers, so any
+    SQL engine rebuilds the histogram from raw pixels bit-for-bit.
+
+    Pure Arrow map stage: no shuffle, output ≤256 rows per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+                lum = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+                bins, cnts = np.unique(lum.ravel(), return_counts=True)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": r.image_id,
+                            "bin": bins.astype(np.int32),
+                            "cnt": cnts.astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, HIST_SCHEMA)
+
+
+def entropy_gate(hist: DataFrame, min_bits: float = 3.0) -> DataFrame:
+    """Low-information image gate — drop near-constant / flat-gradient images
+    (solid placeholders, blank thumbnails) before they pollute signatures:
+    keep iff the luma-histogram Shannon entropy is at least ``min_bits``
+    (8-bit luma caps at 8 bits; solid color = 0).
+
+    Entropy from exact counts via ``H = log2(n) − (Σ c·log2 c)/n`` — one log
+    per occupied bin, rounded to 4 digits (the repo's float-parity contract;
+    the keep decision compares the ROUNDED value so no ulp flips it). Scale
+    shape: one groupBy(image_id) over ≤256-row groups, all JVM built-ins."""
+    g = hist.groupBy("image_id").agg(
+        F.sum("cnt").cast("long").alias("n_px"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("_s"),
+    )
+    ent = F.round(F.log2("n_px") - F.col("_s") / F.col("n_px"), 4)
+    return g.select(
+        "image_id",
+        "n_px",
+        ent.alias("entropy"),
+        (ent >= F.lit(min_bits)).cast("int").alias("keep"),
+    )

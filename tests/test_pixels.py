@@ -407,3 +407,56 @@ def test_phash_brightness_invariance_and_separation(spark):
         for j in range(i + 1, 6)
     ]
     assert min(dists) > 10  # distinct smooth images stay apart
+
+
+# ---------------------------------------------------------------------------
+# luma_histogram + entropy_gate (low-information image gate)
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_gate_solid_stripes_and_noise(spark):
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import entropy_gate, luma_histogram
+    from lmw_tree_spark.sources import codecs
+
+    rng = np.random.default_rng(7)
+    solid = np.full((16, 16, 3), 80, dtype=np.uint8)
+    stripes = solid.copy()
+    stripes[::2] = 200  # exactly two luma values, 50/50 -> H = 1 bit
+    noise = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8).astype(np.uint8)
+    rows = [
+        ("solid", codecs.encode_png(solid), "png"),
+        ("stripes", codecs.encode_png(stripes), "png"),
+        ("noise", codecs.encode_png(noise), "png"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"]))
+    out = entropy_gate(luma_histogram(df), min_bits=3.0).toPandas().set_index("image_id")
+    assert out.loc["solid", "entropy"] == 0.0 and out.loc["solid", "keep"] == 0
+    assert out.loc["stripes", "entropy"] == 1.0 and out.loc["stripes", "keep"] == 0
+    assert out.loc["noise", "entropy"] > 5.0 and out.loc["noise", "keep"] == 1
+    assert int(out["n_px"].iloc[0]) == 256
+
+
+def test_luma_histogram_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import luma_histogram
+    from lmw_tree_spark.sources import codecs
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8).astype(np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame([("a", codecs.encode_png(px), "png")],
+                     columns=["image_id", "bytes", "fmt"])
+    )
+    got = {
+        (r["bin"]): r["cnt"] for r in luma_histogram(df).collect()
+    }
+    lum = (299 * px[..., 0].astype(np.int64)
+           + 587 * px[..., 1].astype(np.int64)
+           + 114 * px[..., 2].astype(np.int64)) // 1000
+    bins, cnts = np.unique(lum.ravel(), return_counts=True)
+    assert got == dict(zip(bins.tolist(), cnts.tolist()))
