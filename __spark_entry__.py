@@ -3428,6 +3428,7 @@ def _exchange_oracles() -> dict[str, str]:
     ph_px = os.path.join(x, "phash_px", "pixels.parquet")
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
     ent_px = os.path.join(x, "entropy", "pixels.parquet")
+    lb_px = os.path.join(x, "letterbox", "pixels.parquet")
     split_e = os.path.join(x, "split", "edges.parquet")
     cc_e = os.path.join(x, "dedup_cc", "edges.parquet")
     cc_v = os.path.join(x, "dedup_cc", "vertices.parquet")
@@ -3894,6 +3895,43 @@ def _exchange_oracles() -> dict[str, str]:
             SELECT image_id, pc, pc_inv, pc_xor, bit170,
                    (pc + 1 - bit170)::BIGINT AS pc_set
             FROM agg ORDER BY image_id
+        """,
+        "letterbox_crop": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{lb_px}')),
+            dims AS (SELECT image_id, max(x) + 1 AS w, max(y) + 1 AS h
+                     FROM pxt GROUP BY image_id),
+            rowflat AS (
+                SELECT image_id, y,
+                       (max(r) = min(r) AND max(g) = min(g)
+                        AND max(b) = min(b)) AS flat
+                FROM pxt GROUP BY image_id, y),
+            colflat AS (
+                SELECT image_id, x,
+                       (max(r) = min(r) AND max(g) = min(g)
+                        AND max(b) = min(b)) AS flat
+                FROM pxt GROUP BY image_id, x),
+            rl AS (
+                SELECT d.image_id,
+                       coalesce(min(y) FILTER (NOT flat), d.h) AS top,
+                       CASE WHEN count(*) FILTER (NOT flat) = 0 THEN 0
+                            ELSE d.h - 1 - max(y) FILTER (NOT flat) END AS bottom
+                FROM rowflat f JOIN dims d USING (image_id)
+                GROUP BY d.image_id, d.h),
+            cl AS (
+                SELECT d.image_id,
+                       coalesce(min(x) FILTER (NOT flat), d.w) AS lft,
+                       CASE WHEN count(*) FILTER (NOT flat) = 0 THEN 0
+                            ELSE d.w - 1 - max(x) FILTER (NOT flat) END AS rgt
+                FROM colflat f JOIN dims d USING (image_id)
+                GROUP BY d.image_id, d.w)
+            SELECT d.image_id, d.w::INT AS w, d.h::INT AS h,
+                   rl.top::INT AS crop_top, rl.bottom::INT AS crop_bottom,
+                   cl.lft::INT AS crop_left, cl.rgt::INT AS crop_right,
+                   greatest(d.w - cl.lft - cl.rgt, 0)::INT AS inner_w,
+                   greatest(d.h - rl.top - rl.bottom, 0)::INT AS inner_h,
+                   (rl.top + rl.bottom + cl.lft + cl.rgt > 0)::INT AS has_letterbox
+            FROM dims d JOIN rl USING (image_id) JOIN cl USING (image_id)
+            ORDER BY d.image_id
         """,
         "entropy_filter": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{ent_px}')),
@@ -4764,6 +4802,49 @@ def q_ar_bucket(spark, sf_dir):
     return assign_ar_buckets(dims, id_col="doc_id").orderBy("doc_id")
 
 
+def q_letterbox_crop(spark, sf_dir):
+    """Letterbox/pillarbox margin detection (operators/pixels.py:
+    letterbox_crop) — crop normalization before perceptual hashing, so a
+    padded re-upload dedups against its original. The corpus is the shared
+    120 generated images (noise rows, no flat margins) plus 6 planted frames:
+    black top/bottom bars, side bars, all-four bars, and one fully solid
+    image (inner box 0×0). The Arrow kernel computes run lengths in NumPy;
+    the oracle re-derives them with a DIFFERENT formulation — per-row/column
+    constancy by grouped min=max over the raw materialized pixels, then
+    min/max of the non-flat indices — so kernel and algebra cross-check."""
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import letterbox_crop
+    from lmw_tree_spark.sources import codecs
+    from lmw_tree_spark.sources.images import generate_images
+
+    rng = np.random.default_rng(23)
+    planted = []
+    specs = [
+        ("lb_tb", 3, 3, 0, 0), ("lb_tb2", 5, 2, 0, 0),
+        ("lb_lr", 0, 0, 4, 4), ("lb_lr2", 0, 0, 2, 6),
+        ("lb_all", 2, 2, 3, 3), ("lb_solid", 0, 0, 0, 0),
+    ]
+    for name, t, b, l, rr in specs:
+        px = np.zeros((20, 24, 3), dtype=np.uint8)
+        if name != "lb_solid":
+            inner = rng.integers(1, 256, size=(20 - t - b, 24 - l - rr, 3))
+            px[t:20 - b or None, l:24 - rr or None] = inner.astype(np.uint8)
+        planted.append((name, codecs.encode_png(px), "png"))
+    images = (
+        generate_images(spark, 120).select("image_id", "bytes", "fmt")
+        .unionByName(
+            spark.createDataFrame(
+                pd.DataFrame(planted, columns=["image_id", "bytes", "fmt"])
+            )
+        )
+        .persist()
+    )
+    _pixels_exchange(images, xname="letterbox")
+    return letterbox_crop(images).orderBy("image_id")
+
+
 def q_entropy_filter(spark, sf_dir):
     """Low-information image gate (operators/pixels.py:entropy_gate) — the
     curation step that drops solid placeholders / blank thumbnails before
@@ -5002,6 +5083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "classifier_auc": q_classifier_auc,
         "entropy_filter": q_entropy_filter,
+        "letterbox_crop": q_letterbox_crop,
         "weighted_sample": q_weighted_sample,
         "zorder_layout": q_zorder_layout,
         "lsh_band_sweep": q_lsh_band_sweep,

@@ -712,3 +712,58 @@ def entropy_gate(hist: DataFrame, min_bits: float = 3.0) -> DataFrame:
         ent.alias("entropy"),
         (ent >= F.lit(min_bits)).cast("int").alias("keep"),
     )
+
+
+LETTERBOX_SCHEMA = (
+    "image_id string, w int, h int, crop_top int, crop_bottom int, "
+    "crop_left int, crop_right int, inner_w int, inner_h int, has_letterbox int"
+)
+
+
+def letterbox_crop(images: DataFrame) -> DataFrame:
+    """Letterbox / pillarbox margin detection — the crop-normalization step
+    before perceptual hashing (a padded re-upload of an image must dedup
+    against the original, so bars come off before pHash; same pre-step video
+    pipelines run on frames). A row (column) is FLAT iff every channel is
+    constant across it; each crop is the run length of flat rows/columns from
+    that edge. All-exact integer comparisons — no tolerance knob, no float:
+    synthetic bars are exactly constant, and a real-codec deployment would
+    quantize before this test rather than loosen it.
+
+    Output per image: the four crop widths, the inner content box
+    (``inner_w/h`` = 0 for an entirely flat image), and ``has_letterbox``.
+    Pure Arrow map stage — no shuffle, fixed-width output rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def runlen(flat: np.ndarray) -> tuple[int, int]:
+            if flat.all():
+                return len(flat), 0
+            nz = np.flatnonzero(~flat)
+            return int(nz[0]), int(len(flat) - 1 - nz[-1])
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(bytes(r.bytes), r.fmt)
+                h, w, _ = px.shape
+                row_flat = (px == px[:, :1, :]).all(axis=(1, 2))
+                col_flat = (px == px[:1, :, :]).all(axis=(0, 2))
+                top, bottom = runlen(row_flat)
+                left, right = runlen(col_flat)
+                iw, ih = max(w - left - right, 0), max(h - top - bottom, 0)
+                rows.append(
+                    (r.image_id, w, h, top, bottom, left, right, iw, ih,
+                     int(top + bottom + left + right > 0))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "w", "h", "crop_top", "crop_bottom",
+                    "crop_left", "crop_right", "inner_w", "inner_h",
+                    "has_letterbox",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, LETTERBOX_SCHEMA)

@@ -460,3 +460,38 @@ def test_luma_histogram_matches_numpy(spark):
            + 114 * px[..., 2].astype(np.int64)) // 1000
     bins, cnts = np.unique(lum.ravel(), return_counts=True)
     assert got == dict(zip(bins.tolist(), cnts.tolist()))
+
+
+def test_letterbox_crop_geometry(spark):
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import letterbox_crop
+    from lmw_tree_spark.sources import codecs
+
+    rng = np.random.default_rng(3)
+
+    def frame(name, h, w, t, b, l, r):
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        if h - t - b > 0 and w - l - r > 0:
+            px[t:h - b or None, l:w - r or None] = rng.integers(
+                1, 256, size=(h - t - b, w - l - r, 3)
+            ).astype(np.uint8)
+        return (name, codecs.encode_png(px), "png")
+
+    rows = [
+        frame("tb", 20, 24, 3, 5, 0, 0),
+        frame("lr", 20, 24, 0, 0, 4, 2),
+        frame("all4", 16, 16, 1, 2, 3, 4),
+        frame("none", 12, 12, 0, 0, 0, 0),
+        frame("solid", 10, 14, 10, 0, 14, 0),  # fully flat
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"]))
+    got = letterbox_crop(df).toPandas().set_index("image_id")
+    assert tuple(got.loc["tb", ["crop_top", "crop_bottom", "crop_left", "crop_right"]]) == (3, 5, 0, 0)
+    assert tuple(got.loc["lr", ["crop_top", "crop_bottom", "crop_left", "crop_right"]]) == (0, 0, 4, 2)
+    assert tuple(got.loc["all4", ["crop_top", "crop_bottom", "crop_left", "crop_right"]]) == (1, 2, 3, 4)
+    assert got.loc["all4", "inner_w"] == 9 and got.loc["all4", "inner_h"] == 13
+    assert got.loc["none", "has_letterbox"] == 0
+    assert got.loc["solid", "inner_w"] == 0 and got.loc["solid", "inner_h"] == 0
+    assert got.loc["solid", "crop_top"] == 10 and got.loc["solid", "crop_left"] == 14
