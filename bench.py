@@ -380,6 +380,26 @@ def _sq8_production(spark, sf_dir):
     )
 
 
+def _entropy_production(spark, sf_dir):
+    """Production-config low-information gate over 2000 images (no
+    oracle-exchange pixel materialization): decode + 256-bin integer luma
+    histogram map stage, entropy + keep decision in JVM column algebra."""
+    from lmw_tree_spark.operators.pixels import entropy_gate, luma_histogram
+    from lmw_tree_spark.sources.images import generate_images
+
+    return entropy_gate(luma_histogram(generate_images(spark, 2000)))
+
+
+def _letterbox_production(spark, sf_dir):
+    """Production-config letterbox/pillarbox crop detection over 2000 images
+    (no oracle-exchange pixel materialization): pure Arrow map stage, run
+    lengths of flat rows/columns in NumPy, fixed-width output rows."""
+    from lmw_tree_spark.operators.pixels import letterbox_crop
+    from lmw_tree_spark.sources.images import generate_images
+
+    return letterbox_crop(generate_images(spark, 2000))
+
+
 def _keyframes_production(spark, sf_dir):
     """Production-config shot detection + keyframe selection over 96 clips
     (no oracle-exchange histogram materialization): decode-heavy Arrow map
@@ -420,6 +440,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "sq8_recall", "shot_keyframes", "html_extract", "phash_pixels",
         "incremental_phash", "token_budget", "embedding_outliers", "corpus_drift", "retrieval_eval",
         "safety_filter", "curation_funnel", "quality_classifier", "classifier_train",
+        "entropy_filter", "letterbox_crop",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
@@ -433,6 +454,8 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["phash_pixels"] = _phash_production
     qs["sq8_recall"] = _sq8_production
     qs["shot_keyframes"] = _keyframes_production
+    qs["entropy_filter"] = _entropy_production
+    qs["letterbox_crop"] = _letterbox_production
     out = {}
     for name in names:
         # min-of-2: the first run pays Python-worker spin-up / first-import /

@@ -64,6 +64,8 @@ AUDITED = [
     ("zorder_layout", False, "Morton code pure map; manifest one groupBy(file_id) with #files result rows"),
     ("lsh_band_sweep", True, "BNLJ is the intentional 24-row broadcast perm-table cross join; all rollups are bounded groupBys, pairs counted never materialized"),
     ("classifier_auc", False, "rank cumsum window runs over the per-score aggregate, never data rows"),
+    ("entropy_filter", False, "decode+histogram pure Arrow map; entropy + gate all-JVM column algebra, zero joins"),
+    ("letterbox_crop", False, "pure Arrow map stage — run lengths in the decode kernel, fixed-width rows, zero shuffles"),
 ]
 
 JOIN_RE = re.compile(
