@@ -3429,6 +3429,7 @@ def _exchange_oracles() -> dict[str, str]:
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
     ent_px = os.path.join(x, "entropy", "pixels.parquet")
     lb_px = os.path.join(x, "letterbox", "pixels.parquet")
+    pad_px = os.path.join(x, "padded", "pixels.parquet")
     split_e = os.path.join(x, "split", "edges.parquet")
     cc_e = os.path.join(x, "dedup_cc", "edges.parquet")
     cc_v = os.path.join(x, "dedup_cc", "vertices.parquet")
@@ -3932,6 +3933,101 @@ def _exchange_oracles() -> dict[str, str]:
                    (rl.top + rl.bottom + cl.lft + cl.rgt > 0)::INT AS has_letterbox
             FROM dims d JOIN rl USING (image_id) JOIN cl USING (image_id)
             ORDER BY d.image_id
+        """,
+        "padded_dedup": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{pad_px}')),
+            dims AS (SELECT image_id, max(x) + 1 AS w, max(y) + 1 AS h
+                     FROM pxt GROUP BY image_id),
+            rowflat AS (
+                SELECT image_id, y,
+                       (max(r) = min(r) AND max(g) = min(g)
+                        AND max(b) = min(b)) AS flat
+                FROM pxt GROUP BY image_id, y),
+            colflat AS (
+                SELECT image_id, x,
+                       (max(r) = min(r) AND max(g) = min(g)
+                        AND max(b) = min(b)) AS flat
+                FROM pxt GROUP BY image_id, x),
+            rl AS (
+                SELECT d.image_id,
+                       coalesce(min(y) FILTER (NOT flat), d.h) AS top,
+                       CASE WHEN count(*) FILTER (NOT flat) = 0 THEN 0
+                            ELSE d.h - 1 - max(y) FILTER (NOT flat) END AS bot
+                FROM rowflat f JOIN dims d USING (image_id)
+                GROUP BY d.image_id, d.h),
+            cl AS (
+                SELECT d.image_id,
+                       coalesce(min(x) FILTER (NOT flat), d.w) AS lft,
+                       CASE WHEN count(*) FILTER (NOT flat) = 0 THEN 0
+                            ELSE d.w - 1 - max(x) FILTER (NOT flat) END AS rgt
+                FROM colflat f JOIN dims d USING (image_id)
+                GROUP BY d.image_id, d.w),
+            -- fully-flat fallback mirrors the kernel: no content -> no crop
+            crops AS (
+                SELECT image_id, w, h,
+                       CASE WHEN degen THEN 0 ELSE top END AS top,
+                       CASE WHEN degen THEN 0 ELSE lft END AS lft,
+                       CASE WHEN degen THEN h ELSE h - top - bot END AS ih,
+                       CASE WHEN degen THEN w ELSE w - lft - rgt END AS iw
+                FROM (SELECT d.image_id, d.w, d.h, rl.top, rl.bot,
+                             cl.lft, cl.rgt,
+                             (d.h - rl.top - rl.bot <= 0
+                              OR d.w - cl.lft - cl.rgt <= 0) AS degen
+                      FROM dims d JOIN rl USING (image_id)
+                                  JOIN cl USING (image_id))),
+            grid AS (
+                SELECT image_id, oi::INT AS oi, oj::INT AS oj,
+                       (top + least((oi * ih) // 32, ih - 1))::INT AS sy,
+                       (lft + least((oj * iw) // 32, iw - 1))::INT AS sx
+                FROM crops, range(0, 32) a(oi), range(0, 32) b(oj)),
+            lum AS (
+                SELECT g.image_id, g.oi, g.oj,
+                       299*p.r::BIGINT + 587*p.g::BIGINT + 114*p.b::BIGINT
+                           AS yv
+                FROM grid g JOIN pxt p
+                  ON p.image_id = g.image_id AND p.y = g.sy AND p.x = g.sx),
+            ct AS (
+                SELECT k::INT AS k, n::INT AS n,
+                       CAST(round(cos(pi() * (2*n + 1) * k / 64) * 4096)
+                            AS BIGINT) AS c
+                FROM range(0, 32) a(k), range(0, 32) b(n)),
+            rowt AS (
+                SELECT l.image_id, cu.k AS u, l.oj, sum(cu.c * l.yv) AS s
+                FROM lum l JOIN ct cu ON cu.n = l.oi
+                WHERE cu.k < 8 GROUP BY l.image_id, cu.k, l.oj),
+            coef AS (
+                SELECT r.image_id, r.u, cv.k AS v, sum(cv.c * r.s) AS d
+                FROM rowt r JOIN ct cv ON cv.n = r.oj
+                WHERE cv.k < 8 GROUP BY r.image_id, r.u, cv.k),
+            med AS (
+                SELECT image_id, d AS medv FROM (
+                    SELECT image_id, d,
+                           row_number() OVER (PARTITION BY image_id
+                                              ORDER BY d) AS rn
+                    FROM coef) WHERE rn = 32),
+            bits AS (
+                SELECT c.image_id, (c.u * 8 + c.v)::INT AS k,
+                       CASE WHEN c.d > m.medv THEN 1 ELSE 0 END AS bit
+                FROM coef c JOIN med m ON m.image_id = c.image_id),
+            halves AS (
+                SELECT image_id,
+                       sum(CASE WHEN bit = 1 AND k < 32
+                           THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+                       sum(CASE WHEN bit = 1 AND k >= 32
+                           THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+                FROM bits GROUP BY image_id),
+            ph AS (
+                SELECT image_id,
+                       (CASE WHEN hv >= 9223372036854775808::HUGEINT
+                             THEN hv - 18446744073709551616::HUGEINT
+                             ELSE hv END)::BIGINT AS phash
+                FROM (SELECT image_id,
+                             hi::HUGEINT * 4294967296::HUGEINT + lo::HUGEINT AS hv
+                      FROM halves))
+            SELECT a.image_id AS src, b.image_id AS dst, a.phash
+            FROM ph a JOIN ph b
+              ON a.phash = b.phash AND a.image_id < b.image_id
+            ORDER BY src, dst
         """,
         "entropy_filter": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{ent_px}')),
@@ -4845,6 +4941,70 @@ def q_letterbox_crop(spark, sf_dir):
     return letterbox_crop(images).orderBy("image_id")
 
 
+def q_padded_dedup(spark, sf_dir):
+    """Padded re-upload recovery (operators/pixels.py:phash_cropped) — the
+    composition letterbox-crop → DCT pHash, proving crop normalization does
+    its job: a re-upload with letterbox/pillarbox bars hashes IDENTICALLY to
+    its original, so the exact-equality hash join recovers every planted
+    (original, padded) pair. Bars are planted distributed (mapInPandas over
+    the decoded pixels, md5-selected ~1/3 subset, bar widths 0-6 from md5
+    nibbles, black or white fill). The oracle replays the ENTIRE composition
+    from raw materialized pixels in SQL: per-row/column flatness by grouped
+    min=max, crop run lengths with the fully-flat fallback, the offset 32×32
+    NN grid, the fixed-point DCT, the order-statistic threshold, the HUGEINT
+    bit pack, and the equal-hash pair join."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import phash_cropped
+    from lmw_tree_spark.sources import codecs
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120)
+
+    def plant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = [pdf]
+            extra = []
+            for r in pdf.itertuples():
+                hx = hashlib.md5(f"{r.image_id}:pad".encode()).hexdigest()
+                if hx[0] not in "012345":
+                    continue
+                px = codecs.decode_image(bytes(r.bytes), r.fmt)
+                t, b = int(hx[1], 16) % 7, int(hx[2], 16) % 7
+                l, rr = int(hx[3], 16) % 7, int(hx[4], 16) % 7
+                if t + b + l + rr == 0:
+                    t = 3
+                color = 0 if int(hx[5], 16) % 2 == 0 else 255
+                h, w, _ = px.shape
+                padded = np.full((h + t + b, w + l + rr, 3), color, np.uint8)
+                padded[t:t + h, l:l + w] = px
+                extra.append(
+                    ("pad_" + r.image_id, codecs.encode_png(padded), "png")
+                )
+            if extra:
+                out.append(
+                    pd.DataFrame(extra, columns=["image_id", "bytes", "fmt"])
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    planted = (
+        images.select("image_id", "bytes", "fmt")
+        .mapInPandas(plant, "image_id string, bytes binary, fmt string")
+        .persist()
+    )
+    _pixels_exchange(planted, xname="padded")
+    ph = phash_cropped(planted)
+    a = ph.select(F.col("image_id").alias("src"), "phash")
+    b = ph.select(F.col("image_id").alias("dst"), "phash")
+    pairs = a.join(b, "phash").where(F.col("src") < F.col("dst"))
+    return pairs.select("src", "dst", "phash").orderBy("src", "dst")
+
+
 def q_entropy_filter(spark, sf_dir):
     """Low-information image gate (operators/pixels.py:entropy_gate) — the
     curation step that drops solid placeholders / blank thumbnails before
@@ -5084,6 +5244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": q_classifier_auc,
         "entropy_filter": q_entropy_filter,
         "letterbox_crop": q_letterbox_crop,
+        "padded_dedup": q_padded_dedup,
         "weighted_sample": q_weighted_sample,
         "zorder_layout": q_zorder_layout,
         "lsh_band_sweep": q_lsh_band_sweep,

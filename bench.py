@@ -400,6 +400,21 @@ def _letterbox_production(spark, sf_dir):
     return letterbox_crop(generate_images(spark, 2000))
 
 
+def _padded_production(spark, sf_dir):
+    """Production-config padded re-upload recovery over 2000 images (no
+    oracle-exchange pixel materialization): crop-normalized DCT pHash map
+    stage, then the exact-equality hash self-join."""
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.operators.pixels import phash_cropped
+    from lmw_tree_spark.sources.images import generate_images
+
+    ph = phash_cropped(generate_images(spark, 2000))
+    a = ph.select(F.col("image_id").alias("src"), "phash")
+    b = ph.select(F.col("image_id").alias("dst"), "phash")
+    return a.join(b, "phash").where(F.col("src") < F.col("dst"))
+
+
 def _keyframes_production(spark, sf_dir):
     """Production-config shot detection + keyframe selection over 96 clips
     (no oracle-exchange histogram materialization): decode-heavy Arrow map
@@ -440,7 +455,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "sq8_recall", "shot_keyframes", "html_extract", "phash_pixels",
         "incremental_phash", "token_budget", "embedding_outliers", "corpus_drift", "retrieval_eval",
         "safety_filter", "curation_funnel", "quality_classifier", "classifier_train",
-        "entropy_filter", "letterbox_crop",
+        "entropy_filter", "letterbox_crop", "padded_dedup",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
@@ -456,6 +471,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["shot_keyframes"] = _keyframes_production
     qs["entropy_filter"] = _entropy_production
     qs["letterbox_crop"] = _letterbox_production
+    qs["padded_dedup"] = _padded_production
     out = {}
     for name in names:
         # min-of-2: the first run pays Python-worker spin-up / first-import /

@@ -616,6 +616,21 @@ def _dct_table(n: int = 32) -> np.ndarray:
     ).astype(np.int64)
 
 
+def _phash_of(px: np.ndarray, t: np.ndarray, kbit: np.ndarray) -> int:
+    """The shared exact-integer DCT hash kernel: int64 luma → 32×32 NN →
+    fixed-point 2-D DCT-II → top-left 8×8 → bits vs the 32nd-smallest coef."""
+    ilum = (
+        299 * px[..., 0].astype(np.int64)
+        + 587 * px[..., 1].astype(np.int64)
+        + 114 * px[..., 2].astype(np.int64)
+    )
+    small = codecs.resize_nn(ilum, 32, 32)
+    block = (t @ small @ t.T)[:8, :8]
+    med = np.sort(block.ravel())[31]
+    bits = (block > med).astype(np.uint64)
+    return int(np.int64(np.uint64((bits << kbit).sum(dtype=np.uint64))))
+
+
 def phash_images(images: DataFrame) -> DataFrame:
     """DCT perceptual hash (pHash, Krawetz/Zauner) derived END-TO-END from
     raw pixels in exact integer algebra: decode → integer luma
@@ -643,14 +658,8 @@ def phash_images(images: DataFrame) -> DataFrame:
                 continue
             rows = []
             for r in pdf.itertuples():
-                px = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
-                ilum = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
-                small = codecs.resize_nn(ilum, 32, 32)
-                block = (t @ small @ t.T)[:8, :8]
-                med = np.sort(block.ravel())[31]
-                bits = (block > med).astype(np.uint64)
-                h64 = np.uint64((bits << kbit).sum(dtype=np.uint64))
-                rows.append((r.image_id, int(np.int64(h64))))
+                px = codecs.decode_image(bytes(r.bytes), r.fmt)
+                rows.append((r.image_id, _phash_of(px, t, kbit)))
             yield pd.DataFrame(rows, columns=["image_id", "phash"])
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, PHASH_SCHEMA)
@@ -767,3 +776,59 @@ def letterbox_crop(images: DataFrame) -> DataFrame:
             )
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, LETTERBOX_SCHEMA)
+
+
+CROPPED_PHASH_SCHEMA = (
+    "image_id string, phash bigint, crop_top int, crop_bottom int, "
+    "crop_left int, crop_right int"
+)
+
+
+def phash_cropped(images: DataFrame) -> DataFrame:
+    """Crop-normalized perceptual hash — the composition ``letterbox_crop →
+    phash``: bars come off, THEN the DCT hash runs on the inner content box,
+    so a padded re-upload hashes IDENTICALLY to its original (the raw pHash of
+    a padded copy differs: the bars shift the 32×32 sample grid and the DCT
+    energy). Fully-flat images (inner box 0×0) fall back to the full-frame
+    hash — there is no content to normalize, and the exact-dup path already
+    groups them. One decode per image, pure Arrow map stage, fixed-width
+    output rows; the same exact-integer algebra as ``phash_images`` so the
+    whole composition replays in SQL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = _dct_table(32)
+        kbit = np.arange(64, dtype=np.uint64).reshape(8, 8)
+
+        def runlen(flat: np.ndarray) -> tuple[int, int]:
+            if flat.all():
+                return len(flat), 0
+            nz = np.flatnonzero(~flat)
+            return int(nz[0]), int(len(flat) - 1 - nz[-1])
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(bytes(r.bytes), r.fmt)
+                h, w, _ = px.shape
+                row_flat = (px == px[:, :1, :]).all(axis=(1, 2))
+                col_flat = (px == px[:1, :, :]).all(axis=(0, 2))
+                top, bottom = runlen(row_flat)
+                left, right = runlen(col_flat)
+                if h - top - bottom <= 0 or w - left - right <= 0:
+                    top = bottom = left = right = 0
+                inner = px[top:h - bottom, left:w - right]
+                rows.append(
+                    (r.image_id, _phash_of(inner, t, kbit),
+                     top, bottom, left, right)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "phash", "crop_top", "crop_bottom",
+                         "crop_left", "crop_right"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, CROPPED_PHASH_SCHEMA
+    )

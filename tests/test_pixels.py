@@ -495,3 +495,36 @@ def test_letterbox_crop_geometry(spark):
     assert got.loc["none", "has_letterbox"] == 0
     assert got.loc["solid", "inner_w"] == 0 and got.loc["solid", "inner_h"] == 0
     assert got.loc["solid", "crop_top"] == 10 and got.loc["solid", "crop_left"] == 14
+
+
+def test_phash_cropped_recovers_padded_duplicates(spark):
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import phash_cropped, phash_images
+    from lmw_tree_spark.sources import codecs
+
+    rng = np.random.default_rng(11)
+    content = rng.integers(1, 256, size=(40, 48, 3)).astype(np.uint8)
+    padded = np.full((40 + 4 + 2, 48 + 3 + 5, 3), 255, dtype=np.uint8)
+    padded[4:44, 3:51] = content
+    solid = np.full((16, 16, 3), 7, dtype=np.uint8)
+    rows = [
+        ("orig", codecs.encode_png(content), "png"),
+        ("pad", codecs.encode_png(padded), "png"),
+        ("solid", codecs.encode_png(solid), "png"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"]))
+
+    got = phash_cropped(df).toPandas().set_index("image_id")
+    raw = phash_images(df).toPandas().set_index("image_id")
+
+    # crop-normalized: padded re-upload hashes identically to the original
+    assert got.loc["pad", "phash"] == got.loc["orig", "phash"]
+    assert tuple(got.loc["pad", ["crop_top", "crop_bottom", "crop_left", "crop_right"]]) == (4, 2, 3, 5)
+    assert tuple(got.loc["orig", ["crop_top", "crop_bottom", "crop_left", "crop_right"]]) == (0, 0, 0, 0)
+    # raw pHash of the padded copy differs (bars shift the grid + DCT energy)
+    assert raw.loc["pad", "phash"] != raw.loc["orig", "phash"]
+    # fully-flat fallback: full-frame hash, zero crops
+    assert got.loc["solid", "phash"] == raw.loc["solid", "phash"]
+    assert tuple(got.loc["solid", ["crop_top", "crop_left"]]) == (0, 0)

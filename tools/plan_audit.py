@@ -66,6 +66,7 @@ AUDITED = [
     ("classifier_auc", False, "rank cumsum window runs over the per-score aggregate, never data rows"),
     ("entropy_filter", False, "decode+histogram pure Arrow map; entropy + gate all-JVM column algebra, zero joins"),
     ("letterbox_crop", False, "pure Arrow map stage — run lengths in the decode kernel, fixed-width rows, zero shuffles"),
+    ("padded_dedup", False, "crop-normalized pHash map stage, then ONE equal-hash equi-join — the exact-dedup plan shape"),
 ]
 
 JOIN_RE = re.compile(
