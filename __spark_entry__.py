@@ -2702,6 +2702,63 @@ def q_crop_dedup(spark, sf_dir):
     return pairs.orderBy("src", "dst")
 
 
+def q_watermark_flags(spark, sf_dir):
+    """Watermark / logo-overlay curation gate (operators/pixels.py:
+    overlay_flags): template tiles — a tile hash recurring at the SAME grid
+    position across >= min_images distinct images — mark stamped corpora,
+    the boilerplate signal tile_match_pairs' df-cap deliberately drops for
+    dedup. The query plants an opaque 16x16 logo at tile (0,0) on an
+    md5-selected ~half of the corpus (a second mark at tile (1,1) on a
+    sub-subset, so wm_tiles > 1 occurs); the oracle re-derives every tile
+    hash from raw pixels in SQL (8x8 NN subsample, integer luma, average-
+    hash bits, HUGEINT pack), mines templates with the same
+    count(DISTINCT image)>=N rule, and replays the per-image rollup."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import overlay_flags, tile_ahash
+    from lmw_tree_spark.sources import codecs
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120)
+    stamp = (
+        (np.arange(16)[:, None] * 37 + np.arange(16)[None, :] * 101) % 197 + 30
+    ).astype(np.uint8)
+    stamp2 = (
+        (np.arange(16)[:, None] * 59 + np.arange(16)[None, :] * 13) % 211 + 20
+    ).astype(np.uint8)
+
+    def plant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                hx = hashlib.md5(f"{r.image_id}:wm".encode()).hexdigest()
+                if hx[0] in "01234567":
+                    px = codecs.decode_image(bytes(r.bytes), r.fmt).copy()
+                    px[:16, :16, :] = stamp[..., None]
+                    if hx[1] in "0123":
+                        px[16:32, 16:32, :] = stamp2[..., None]
+                    rows.append(
+                        (r.image_id, codecs.encode_png(px), r.w, r.h, "png")
+                    )
+                else:
+                    rows.append((r.image_id, r.bytes, r.w, r.h, r.fmt))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    planted = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        plant, "image_id string, bytes binary, w int, h int, fmt string"
+    ).persist()
+    _pixels_exchange(planted, xname="wm")
+    flags = overlay_flags(tile_ahash(planted, tile=16), min_images=8)
+    return flags.orderBy("image_id")
+
+
 def q_sharpness_filter(spark, sf_dir):
     """Sharpness + exposure curation gate (operators/pixels.py:
     sharpness_stats): variance-of-Laplacian energy and clipped-pixel counts
@@ -3425,6 +3482,7 @@ def _exchange_oracles() -> dict[str, str]:
     srp_p = os.path.join(x, "srp", "planes.parquet")
     bit_s = os.path.join(x, "bitops", "sigs.parquet")
     crop_px = os.path.join(x, "crop", "pixels.parquet")
+    wm_px = os.path.join(x, "wm", "pixels.parquet")
     ph_px = os.path.join(x, "phash_px", "pixels.parquet")
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
     ent_px = os.path.join(x, "entropy", "pixels.parquet")
@@ -4379,6 +4437,59 @@ def _exchange_oracles() -> dict[str, str]:
             GROUP BY 1, 2 HAVING count(DISTINCT a.tile_hash) >= 2
             ORDER BY src, dst
         """,
+        "watermark_flags": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{wm_px}')),
+            dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
+                     FROM pxt GROUP BY image_id),
+            tiles AS (
+                SELECT image_id, ty::INT AS ty, tx::INT AS tx
+                FROM dims, range(0, 8) a(ty), range(0, 8) b(tx)
+                WHERE ty < h // 16 AND tx < w // 16),
+            grid AS (
+                SELECT t.image_id, t.ty, t.tx, oi::INT AS oi, oj::INT AS oj,
+                       (t.ty * 16 + oi * 2)::INT AS sy,
+                       (t.tx * 16 + oj * 2)::INT AS sx
+                FROM tiles t, range(0, 8) c(oi), range(0, 8) d(oj)),
+            lum AS (
+                SELECT g.image_id, g.ty, g.tx, g.oi, g.oj,
+                       299*p.r::BIGINT + 587*p.g::BIGINT + 114*p.b::BIGINT AS lv
+                FROM grid g JOIN pxt p
+                  ON p.image_id = g.image_id AND p.y = g.sy AND p.x = g.sx),
+            tsum AS (SELECT image_id, ty, tx, sum(lv) AS s
+                     FROM lum GROUP BY 1, 2, 3),
+            bits AS (
+                SELECT l.image_id, l.ty, l.tx, (l.oi * 8 + l.oj)::INT AS k,
+                       CASE WHEN 64 * l.lv > t.s THEN 1 ELSE 0 END AS bit
+                FROM lum l JOIN tsum t USING (image_id, ty, tx)),
+            halves AS (
+                SELECT image_id, ty, tx,
+                       sum(CASE WHEN bit = 1 AND k < 32
+                           THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+                       sum(CASE WHEN bit = 1 AND k >= 32
+                           THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+                FROM bits GROUP BY 1, 2, 3),
+            th AS (
+                SELECT image_id, ty, tx,
+                       (CASE WHEN hv >= 9223372036854775808::HUGEINT
+                             THEN hv - 18446744073709551616::HUGEINT
+                             ELSE hv END)::BIGINT AS tile_hash
+                FROM (SELECT image_id, ty, tx,
+                             hi::HUGEINT * 4294967296::HUGEINT + lo::HUGEINT AS hv
+                      FROM halves)
+                WHERE hv <> 0),
+            tmpl AS (SELECT ty, tx, tile_hash FROM th
+                     GROUP BY 1, 2, 3
+                     HAVING count(DISTINCT image_id) >= 8),
+            per_img AS (SELECT th.image_id, count(*)::BIGINT AS wm_tiles
+                        FROM th JOIN tmpl USING (ty, tx, tile_hash)
+                        GROUP BY 1),
+            uni AS (SELECT DISTINCT image_id FROM pxt)
+            SELECT u.image_id,
+                   COALESCE(p.wm_tiles, 0)::BIGINT AS wm_tiles,
+                   (COALESCE(p.wm_tiles, 0) > 0)::INT AS watermarked
+            FROM uni u LEFT JOIN per_img p USING (image_id)
+            ORDER BY image_id
+        """,
         "sharpness_filter": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{sharp_px}')),
             lum AS (SELECT image_id, y, x,
@@ -5238,6 +5349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_pixels": q_phash_pixels,
         "dihedral_dedup": q_dihedral_dedup,
         "crop_dedup": q_crop_dedup,
+        "watermark_flags": q_watermark_flags,
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,

@@ -415,6 +415,16 @@ def _padded_production(spark, sf_dir):
     return a.join(b, "phash").where(F.col("src") < F.col("dst"))
 
 
+def _watermark_production(spark, sf_dir):
+    """Production-config watermark/logo template mining over 2000 images (no
+    oracle-exchange pixel materialization): tile-ahash Arrow map stage, then
+    the all-JVM template groupBy + broadcast-back rollup."""
+    from lmw_tree_spark.operators.pixels import overlay_flags, tile_ahash
+    from lmw_tree_spark.sources.images import generate_images
+
+    return overlay_flags(tile_ahash(generate_images(spark, 2000), tile=16), min_images=8)
+
+
 def _keyframes_production(spark, sf_dir):
     """Production-config shot detection + keyframe selection over 96 clips
     (no oracle-exchange histogram materialization): decode-heavy Arrow map
@@ -455,7 +465,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "sq8_recall", "shot_keyframes", "html_extract", "phash_pixels",
         "incremental_phash", "token_budget", "embedding_outliers", "corpus_drift", "retrieval_eval",
         "safety_filter", "curation_funnel", "quality_classifier", "classifier_train",
-        "entropy_filter", "letterbox_crop", "padded_dedup",
+        "entropy_filter", "letterbox_crop", "padded_dedup", "watermark_flags",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
@@ -472,6 +482,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["entropy_filter"] = _entropy_production
     qs["letterbox_crop"] = _letterbox_production
     qs["padded_dedup"] = _padded_production
+    qs["watermark_flags"] = _watermark_production
     out = {}
     for name in names:
         # min-of-2: the first run pays Python-worker spin-up / first-import /

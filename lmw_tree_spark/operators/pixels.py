@@ -430,6 +430,43 @@ def tile_match_pairs(
     )
 
 
+def overlay_flags(tiles: DataFrame, min_images: int = 8) -> DataFrame:
+    """Watermark / logo-overlay detection by template-tile mining — the
+    model-free curation gate for stamped corpora: a tile hash recurring at the
+    SAME grid position across ``min_images`` DISTINCT images identifies a
+    template (logo stamp, watermark bar, UI chrome), exactly the boilerplate
+    signal ``tile_match_pairs``' df-cap DROPS for dedup — this operator mines
+    it instead. Opaque overlays only by construction (an alpha-blended mark
+    mixes with per-image background, so its tile hashes differ — that case
+    needs a learned detector, out of scope and documented here).
+
+    Input is a ``tile_ahash`` grid; output one row per image: the number of
+    template tiles it contains and the flag. Scale shape: one groupBy over
+    tile rows (the exact-dedup plan), the template table is tiny by
+    construction (≤ total_tiles / min_images rows, and in practice the few
+    true stamps) so AQE broadcasts the join back; per-image rollup bounded by
+    image count. Constant tiles (hash 0) are excluded — flat bars are
+    letterbox_crop's job, not a logo."""
+    th = tiles.where(F.col("tile_hash") != 0)
+    templates = (
+        th.groupBy("ty", "tx", "tile_hash")
+        .agg(F.count_distinct("image_id").alias("n_images"))
+        .where(F.col("n_images") >= min_images)
+        .select("ty", "tx", "tile_hash")
+    )
+    per_img = (
+        th.join(templates, ["ty", "tx", "tile_hash"])
+        .groupBy("image_id")
+        .agg(F.count("*").cast("long").alias("wm_tiles"))
+    )
+    universe = tiles.select("image_id").distinct()
+    return universe.join(per_img, "image_id", "left").select(
+        "image_id",
+        F.coalesce("wm_tiles", F.lit(0)).alias("wm_tiles"),
+        (F.coalesce("wm_tiles", F.lit(0)) > 0).cast("int").alias("watermarked"),
+    )
+
+
 SHARPNESS_SCHEMA = (
     "image_id string, n_px long, n_interior long, sum_lap2 bigint, "
     "n_over long, n_under long, keep boolean"

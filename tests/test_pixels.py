@@ -528,3 +528,36 @@ def test_phash_cropped_recovers_padded_duplicates(spark):
     # fully-flat fallback: full-frame hash, zero crops
     assert got.loc["solid", "phash"] == raw.loc["solid", "phash"]
     assert tuple(got.loc["solid", ["crop_top", "crop_left"]]) == (0, 0)
+
+
+def test_overlay_flags_mines_recurring_template_tiles(spark):
+    """A non-constant 16x16 stamp recurring at the SAME grid position across
+    >= min_images distinct images is mined as a template; images carrying it
+    flag watermarked, clean images don't, and raising min_images above the
+    stamp's support un-flags everything."""
+    from lmw_tree_spark.operators.pixels import overlay_flags, tile_ahash
+
+    rng = np.random.default_rng(19)
+    stamp = ((np.arange(16)[:, None] * 37 + np.arange(16)[None, :] * 101) % 197 + 30
+             ).astype(np.uint8)
+    rows = []
+    for i in range(12):
+        px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        if i < 9:  # stamp tile (0,0) on 9 of 12
+            px[:16, :16, :] = stamp[..., None]
+        if i < 2:  # constant tile at (1,1): must hash 0 and never template
+            px[16:32, 16:32, :] = 55
+        rows.append((f"i{i:02d}", codecs.encode_png(px), 32, 32, "png"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    tiles = tile_ahash(df, tile=16)
+    flags = overlay_flags(tiles, min_images=8).toPandas().set_index("image_id")
+    assert len(flags) == 12  # universe keeps clean images
+    for i in range(12):
+        expect = 1 if i < 9 else 0
+        assert flags.loc[f"i{i:02d}", "watermarked"] == expect, i
+        assert flags.loc[f"i{i:02d}", "wm_tiles"] == expect
+    # support 9 < min_images=10: nothing is a template any more
+    none = overlay_flags(tiles, min_images=10).toPandas()
+    assert (none["watermarked"] == 0).all() and (none["wm_tiles"] == 0).all()
