@@ -2759,6 +2759,60 @@ def q_watermark_flags(spark, sf_dir):
     return flags.orderBy("image_id")
 
 
+def q_color_filter(spark, sf_dir):
+    """Grayscale / colorfulness curation gate (operators/pixels.py:
+    color_stats + color_gate): the LAION-style color filter — drop grayscale
+    scans and near-monochrome thumbnails before aesthetic subsetting. The
+    query plants a grayscale subset (integer luma replicated into all three
+    channels — channel deviation exactly 0) and a desaturated subset (chroma
+    shrunk 16x toward luma — colorful in no axis but NOT grayscale, so the
+    colorfulness branch decides); the oracle re-derives the opponent-axis
+    integer sums (RG = R−G, YB2 = R+G−2B), deviation max, and saturated-pixel
+    count from raw pixels in SQL and replays the Hasler–Süsstrunk formula and
+    both gate branches on the same rounded values."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import color_gate, color_stats
+    from lmw_tree_spark.sources import codecs
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120)
+
+    def plant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                hx = hashlib.md5(f"{r.image_id}:color".encode()).hexdigest()
+                if hx[0] in "0123":
+                    px = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+                    lum = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+                    if hx[1] in "01234567":  # grayscale: luma in all channels
+                        out = np.repeat(lum[..., None], 3, axis=2)
+                    else:  # desaturated: chroma shrunk 16x, not grayscale
+                        out = lum[..., None] + (px - lum[..., None]) // 16
+                    rows.append(
+                        (r.image_id,
+                         codecs.encode_png(out.clip(0, 255).astype(np.uint8)),
+                         r.w, r.h, "png")
+                    )
+                else:
+                    rows.append((r.image_id, r.bytes, r.w, r.h, r.fmt))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    planted = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        plant, "image_id string, bytes binary, w int, h int, fmt string"
+    ).persist()
+    _pixels_exchange(planted, xname="color")
+    return color_gate(color_stats(planted)).orderBy("image_id")
+
+
 def q_sharpness_filter(spark, sf_dir):
     """Sharpness + exposure curation gate (operators/pixels.py:
     sharpness_stats): variance-of-Laplacian energy and clipped-pixel counts
@@ -3483,6 +3537,7 @@ def _exchange_oracles() -> dict[str, str]:
     bit_s = os.path.join(x, "bitops", "sigs.parquet")
     crop_px = os.path.join(x, "crop", "pixels.parquet")
     wm_px = os.path.join(x, "wm", "pixels.parquet")
+    color_px = os.path.join(x, "color", "pixels.parquet")
     ph_px = os.path.join(x, "phash_px", "pixels.parquet")
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
     ent_px = os.path.join(x, "entropy", "pixels.parquet")
@@ -4490,6 +4545,45 @@ def _exchange_oracles() -> dict[str, str]:
             FROM uni u LEFT JOIN per_img p USING (image_id)
             ORDER BY image_id
         """,
+        "color_filter": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{color_px}')),
+            per AS (
+                SELECT image_id,
+                       count(*)::BIGINT AS n_px,
+                       sum(r::BIGINT - g)::BIGINT AS sum_rg,
+                       sum((r::BIGINT - g)*(r::BIGINT - g))::BIGINT AS sum_rg2,
+                       sum(r::BIGINT + g - 2*b)::BIGINT AS sum_yb2,
+                       sum((r::BIGINT + g - 2*b)*(r::BIGINT + g - 2*b))::BIGINT
+                           AS sum_yb2sq,
+                       max(greatest(abs(r::BIGINT - g), abs(g::BIGINT - b),
+                                    abs(r::BIGINT - b)))::INT AS max_dev,
+                       sum(CASE WHEN greatest(r, g, b) - least(r, g, b) > 16
+                           THEN 1 ELSE 0 END)::BIGINT AS n_colored
+                FROM pxt GROUP BY image_id),
+            calc AS (
+                SELECT image_id, n_px, max_dev, n_colored,
+                       sum_rg::DOUBLE / n_px AS mean_rg,
+                       sum_yb2::DOUBLE / (2.0 * n_px) AS mean_yb,
+                       greatest(sum_rg2::DOUBLE / n_px
+                                - (sum_rg::DOUBLE / n_px)
+                                  * (sum_rg::DOUBLE / n_px), 0.0) AS var_rg,
+                       greatest(sum_yb2sq::DOUBLE / (4.0 * n_px)
+                                - (sum_yb2::DOUBLE / (2.0 * n_px))
+                                  * (sum_yb2::DOUBLE / (2.0 * n_px)), 0.0)
+                           AS var_yb
+                FROM per),
+            gate AS (
+                SELECT image_id,
+                       (max_dev <= 2)::INT AS grayscale,
+                       round(n_colored::DOUBLE / n_px, 4) AS colored_frac,
+                       round(sqrt(var_rg + var_yb)
+                             + 0.3 * sqrt(mean_rg*mean_rg + mean_yb*mean_yb),
+                             4) AS colorfulness
+                FROM calc)
+            SELECT image_id, grayscale, colored_frac, colorfulness,
+                   (grayscale = 0 AND colorfulness >= 10.0)::INT AS keep
+            FROM gate ORDER BY image_id
+        """,
         "sharpness_filter": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{sharp_px}')),
             lum AS (SELECT image_id, y, x,
@@ -5350,6 +5444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dihedral_dedup": q_dihedral_dedup,
         "crop_dedup": q_crop_dedup,
         "watermark_flags": q_watermark_flags,
+        "color_filter": q_color_filter,
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,

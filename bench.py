@@ -425,6 +425,16 @@ def _watermark_production(spark, sf_dir):
     return overlay_flags(tile_ahash(generate_images(spark, 2000), tile=16), min_images=8)
 
 
+def _color_production(spark, sf_dir):
+    """Production-config grayscale/colorfulness gate over 2000 images (no
+    oracle-exchange pixel materialization): integer opponent-axis sums in the
+    Arrow decode stage, gate algebra in JVM whole-stage codegen."""
+    from lmw_tree_spark.operators.pixels import color_gate, color_stats
+    from lmw_tree_spark.sources.images import generate_images
+
+    return color_gate(color_stats(generate_images(spark, 2000)))
+
+
 def _keyframes_production(spark, sf_dir):
     """Production-config shot detection + keyframe selection over 96 clips
     (no oracle-exchange histogram materialization): decode-heavy Arrow map
@@ -466,6 +476,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "incremental_phash", "token_budget", "embedding_outliers", "corpus_drift", "retrieval_eval",
         "safety_filter", "curation_funnel", "quality_classifier", "classifier_train",
         "entropy_filter", "letterbox_crop", "padded_dedup", "watermark_flags",
+        "color_filter",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
@@ -483,6 +494,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["letterbox_crop"] = _letterbox_production
     qs["padded_dedup"] = _padded_production
     qs["watermark_flags"] = _watermark_production
+    qs["color_filter"] = _color_production
     out = {}
     for name in names:
         # min-of-2: the first run pays Python-worker spin-up / first-import /

@@ -760,6 +760,100 @@ def entropy_gate(hist: DataFrame, min_bits: float = 3.0) -> DataFrame:
     )
 
 
+COLOR_SCHEMA = (
+    "image_id string, n_px bigint, sum_rg bigint, sum_rg2 bigint, "
+    "sum_yb2 bigint, sum_yb2sq bigint, max_dev int, n_colored bigint"
+)
+
+
+def color_stats(images: DataFrame, spread_min: int = 16) -> DataFrame:
+    """Per-image exact integer color aggregates — the feature stage under the
+    grayscale / colorfulness curation gate (LAION-style color filtering before
+    aesthetic subsetting). Per pixel the two opponent axes of Hasler &
+    Süsstrunk's colorfulness metric (SPIE 2003), kept integral by doubling the
+    yellow-blue axis: ``RG = R − G`` and ``YB2 = R + G − 2B`` (= 2·yb), plus
+    the channel deviation ``max(|R−G|, |G−B|, |R−B|)`` (grayscale iff every
+    pixel's deviation is ~0) and the count of saturated pixels (channel spread
+    > ``spread_min``). Sums of integers only, so any SQL engine rebuilds every
+    aggregate from raw pixels bit-for-bit.
+
+    Pure Arrow map stage: no shuffle, one fixed-width row per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for rec in pdf.itertuples():
+                px = codecs.decode_image(bytes(rec.bytes), rec.fmt).astype(np.int64)
+                r, g, b = px[..., 0], px[..., 1], px[..., 2]
+                rg = r - g
+                yb2 = r + g - 2 * b
+                dev = np.maximum(np.abs(rg), np.maximum(np.abs(g - b), np.abs(r - b)))
+                spread = px.max(axis=2) - px.min(axis=2)
+                rows.append(
+                    (
+                        rec.image_id,
+                        int(rg.size),
+                        int(rg.sum()),
+                        int((rg * rg).sum()),
+                        int(yb2.sum()),
+                        int((yb2 * yb2).sum()),
+                        int(dev.max()),
+                        int((spread > spread_min).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_px", "sum_rg", "sum_rg2",
+                    "sum_yb2", "sum_yb2sq", "max_dev", "n_colored",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, COLOR_SCHEMA)
+
+
+def color_gate(
+    stats: DataFrame, gray_tol: int = 2, min_colorfulness: float = 10.0
+) -> DataFrame:
+    """Grayscale / low-colorfulness curation gate over ``color_stats`` output:
+    flag grayscale images (every pixel's channel deviation ≤ ``gray_tol`` —
+    the tolerance absorbs lossy-codec chroma noise) and compute Hasler &
+    Süsstrunk colorfulness ``sqrt(σ²_rg + σ²_yb) + 0.3·sqrt(μ²_rg + μ²_yb)``
+    from the exact integer sums (yb recovered from the doubled axis by /2).
+    keep iff not grayscale AND colorfulness ≥ threshold; both float outputs
+    are rounded to 4 digits and the decision compares the ROUNDED value so no
+    ulp ever flips it (the repo's float-parity contract). Variances clamp at
+    0 before sqrt (an exactly-constant axis can float to −ulp).
+
+    Scale shape: pure projection over one row per image — no shuffle, whole-
+    stage codegen end-to-end."""
+    n = F.col("n_px").cast("double")
+    mean_rg = F.col("sum_rg").cast("double") / n
+    mean_yb = F.col("sum_yb2").cast("double") / (F.lit(2.0) * n)
+    var_rg = F.greatest(
+        F.col("sum_rg2").cast("double") / n - mean_rg * mean_rg, F.lit(0.0)
+    )
+    var_yb = F.greatest(
+        F.col("sum_yb2sq").cast("double") / (F.lit(4.0) * n) - mean_yb * mean_yb,
+        F.lit(0.0),
+    )
+    cf = F.round(
+        F.sqrt(var_rg + var_yb)
+        + F.lit(0.3) * F.sqrt(mean_rg * mean_rg + mean_yb * mean_yb),
+        4,
+    )
+    gray = (F.col("max_dev") <= F.lit(gray_tol)).cast("int")
+    return stats.select(
+        "image_id",
+        gray.alias("grayscale"),
+        F.round(F.col("n_colored").cast("double") / n, 4).alias("colored_frac"),
+        cf.alias("colorfulness"),
+        ((gray == 0) & (cf >= F.lit(min_colorfulness))).cast("int").alias("keep"),
+    )
+
+
 LETTERBOX_SCHEMA = (
     "image_id string, w int, h int, crop_top int, crop_bottom int, "
     "crop_left int, crop_right int, inner_w int, inner_h int, has_letterbox int"

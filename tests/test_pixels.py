@@ -561,3 +561,38 @@ def test_overlay_flags_mines_recurring_template_tiles(spark):
     # support 9 < min_images=10: nothing is a template any more
     none = overlay_flags(tiles, min_images=10).toPandas()
     assert (none["watermarked"] == 0).all() and (none["wm_tiles"] == 0).all()
+
+
+def test_color_gate_grayscale_and_colorfulness_branches(spark):
+    """Grayscale (dev 0) and near-monochrome (low Hasler-Suesstrunk
+    colorfulness) both drop; a colorful image keeps; the colorfulness value
+    matches the NumPy formula on the same integer sums."""
+    from lmw_tree_spark.operators.pixels import color_gate, color_stats
+
+    rng = np.random.default_rng(23)
+    colorful = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    lum = ((299 * colorful[..., 0].astype(np.int64)
+            + 587 * colorful[..., 1] + 114 * colorful[..., 2]) // 1000)
+    gray = np.repeat(lum[..., None], 3, axis=2).astype(np.uint8)
+    desat = (lum[..., None] + (colorful.astype(np.int64) - lum[..., None]) // 16
+             ).clip(0, 255).astype(np.uint8)
+    rows = [
+        ("colorful", codecs.encode_png(colorful), "png"),
+        ("gray", codecs.encode_png(gray), "png"),
+        ("desat", codecs.encode_png(desat), "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = color_gate(color_stats(df)).toPandas().set_index("image_id")
+
+    assert got.loc["gray", "grayscale"] == 1 and got.loc["gray", "keep"] == 0
+    assert got.loc["gray", "colorfulness"] == 0.0
+    assert got.loc["desat", "grayscale"] == 0 and got.loc["desat", "keep"] == 0
+    assert got.loc["colorful", "grayscale"] == 0 and got.loc["colorful", "keep"] == 1
+
+    r, g, b = (colorful[..., c].astype(np.float64) for c in range(3))
+    rg, yb = r - g, (r + g) / 2.0 - b
+    cf = np.sqrt(rg.var() + yb.var()) + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    assert abs(got.loc["colorful", "colorfulness"] - cf) < 1e-3
+    # colored_frac: colorful image near 1, grayscale exactly 0
+    assert got.loc["gray", "colored_frac"] == 0.0
+    assert got.loc["colorful", "colored_frac"] > 0.9
