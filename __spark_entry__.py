@@ -1185,6 +1185,34 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_affix_strip(spark, sf_dir):
+    """Boilerplate affix mining + strip (operators/quality.py:affix_strip):
+    k-token prefixes/suffixes recurring across >= min_doc_freq distinct docs
+    are template chrome — mined corpus-wide, stripped from each doc. The
+    caption-boilerplate cleanup of an image-alt-text pipeline ("Stock Photo
+    of …", "… courtesy getty images"). Planting is a pure JVM md5-conditional
+    concat, so the oracle replays plant + tokenize + mine + both strip gates
+    from the raw table with NO materialized state."""
+    from lmw_tree_spark.operators.quality import affix_strip
+
+    docs = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("affix")))
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.substring(hx, 1, 1).isin(*"0123"), F.lit("Stock Photo of ")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.substring(hx, 2, 1).isin(*"01234567"),
+                F.lit(" courtesy getty images"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return affix_strip(planted, k=3, min_doc_freq=8).orderBy("doc_id")
+
+
 def q_unigram_nll(spark, sf_dir):
     """Unigram NLL quality score (functions/text.py:unigram_nll) — the CCNet
     perplexity stand-in: bits/token under the corpus's own unigram
@@ -5409,6 +5437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "contamination": q_contamination,
         "decontaminate": q_decontaminate,
+        "affix_strip": q_affix_strip,
         "unigram_nll": q_unigram_nll,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
@@ -6680,6 +6709,48 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dfreq d USING (token), stats s
             GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+        """,
+        "affix_strip": """
+            WITH planted AS (
+                SELECT doc_id,
+                       (CASE WHEN substr(md5(doc_id::VARCHAR || ':affix'), 1, 1)
+                                  IN ('0','1','2','3')
+                             THEN 'Stock Photo of ' ELSE '' END)
+                       || text ||
+                       (CASE WHEN substr(md5(doc_id::VARCHAR || ':affix'), 2, 1)
+                                  IN ('0','1','2','3','4','5','6','7')
+                             THEN ' courtesy getty images' ELSE '' END) AS text
+                FROM documents),
+            toks AS (SELECT doc_id,
+                            list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '') AS l
+                     FROM planted),
+            base AS (SELECT doc_id, l, len(l) AS n,
+                            CASE WHEN len(l) >= 4
+                                 THEN array_to_string(l[1:3], ' ') END AS pre,
+                            CASE WHEN len(l) >= 4
+                                 THEN array_to_string(l[len(l)-2:len(l)], ' ')
+                                 END AS suf
+                     FROM toks),
+            pm AS (SELECT pre FROM base WHERE pre IS NOT NULL
+                   GROUP BY pre HAVING count(DISTINCT doc_id) >= 8),
+            sm AS (SELECT suf FROM base WHERE suf IS NOT NULL
+                   GROUP BY suf HAVING count(DISTINCT doc_id) >= 8),
+            hits AS (SELECT b.doc_id, b.l, b.n,
+                            CASE WHEN pm.pre IS NOT NULL THEN 1 ELSE 0 END
+                                AS pre_hit,
+                            CASE WHEN sm.suf IS NOT NULL
+                                  AND (pm.pre IS NULL OR b.n >= 7)
+                                 THEN 1 ELSE 0 END AS suf_hit
+                     FROM base b
+                     LEFT JOIN pm ON b.pre = pm.pre
+                     LEFT JOIN sm ON b.suf = sm.suf)
+            SELECT doc_id,
+                   array_to_string(l[1 + 3*pre_hit : n - 3*suf_hit], ' ')
+                       AS stripped_text,
+                   n::BIGINT AS n_tokens,
+                   pre_hit::INT AS pre_hit, suf_hit::INT AS suf_hit
+            FROM hits ORDER BY doc_id
         """,
         "decontaminate": """
             WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks

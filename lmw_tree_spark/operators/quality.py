@@ -106,6 +106,79 @@ def repetition_stats(
     )
 
 
+def affix_strip(
+    df: DataFrame,
+    k: int = 3,
+    min_doc_freq: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate affix mining + strip: a ``k``-token prefix or suffix
+    recurring across ``min_doc_freq`` or more distinct documents is template
+    chrome ("stock photo of …", "… courtesy getty images") — mine it
+    corpus-wide and strip it, keeping the content core. The single-line
+    caption counterpart of ``line_dedup`` (captions have no line structure,
+    so boilerplate lives in their affixes), the RefinedWeb/alt-text-cleanup
+    shape.
+
+    Rules (all on the ORIGINAL token list, so the two strips compose
+    deterministically): an affix is only measured when the document has more
+    than ``k`` tokens (stripping must leave content); a mined suffix strips
+    only if the prefix doesn't strip OR ``n >= 2k+1`` (both strips must leave
+    at least one token). Output: (id_col, stripped_text, n_tokens, pre_hit,
+    suf_hit).
+
+    Scale shape: two groupBy's over k-token affix strings (hot affixes cost
+    one reduce key each — partial aggregation absorbs the skew that makes
+    them boilerplate in the first place), the mined-template tables are tiny
+    by construction (≤ docs / min_doc_freq rows) so AQE broadcasts the joins
+    back; everything else is whole-stage-codegen array algebra."""
+    toks = df.select(
+        F.col(id_col).alias("id"), _clean_tokens(F.col(text)).alias("toks")
+    )
+    n = F.size("toks")
+    base = toks.select(
+        "id",
+        "toks",
+        n.alias("n"),
+        F.when(n >= k + 1, F.concat_ws(" ", F.slice("toks", 1, k))).alias("pre"),
+        F.when(n >= k + 1, F.concat_ws(" ", F.slice("toks", -k, k))).alias("suf"),
+    )
+
+    def mined(col: str) -> DataFrame:
+        return (
+            base.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count_distinct("id").alias("docf"))
+            .where(F.col("docf") >= min_doc_freq)
+            .select(col, F.lit(1).alias(f"{col}_m"))
+        )
+
+    hit = base.join(mined("pre"), "pre", "left").join(mined("suf"), "suf", "left")
+    pre_hit = F.coalesce("pre_m", F.lit(0))
+    suf_hit = F.when(
+        (F.coalesce("suf_m", F.lit(0)) == 1)
+        & ((pre_hit == 0) | (F.col("n") >= 2 * k + 1)),
+        1,
+    ).otherwise(0)
+    out = hit.select(
+        "id",
+        "toks",
+        "n",
+        pre_hit.alias("pre_hit"),
+        suf_hit.alias("suf_hit"),
+    )
+    start = 1 + F.lit(k) * F.col("pre_hit")
+    length = F.col("n") - F.lit(k) * (F.col("pre_hit") + F.col("suf_hit"))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", F.slice("toks", start, length)).alias("stripped_text"),
+        F.col("n").cast("long").alias("n_tokens"),
+        "pre_hit",
+        "suf_hit",
+    )
+
+
 def line_dedup(
     df: DataFrame,
     min_doc_freq: int = 2,

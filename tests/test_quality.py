@@ -404,3 +404,46 @@ def test_curation_funnel_counts(spark):
     # doc 3's quality: alpha 1.0*0.5 + len_ok 0.25 + sat 5/20*0.25 -> 0.8125 >= 0.5
     assert out["quality"]["n_in"] == 2 and out["quality"]["n_kept"] == 2
     assert out["length"]["n_in"] == 2 and out["length"]["n_kept"] == 1
+
+
+def test_affix_strip_edge_cases(spark):
+    """Hand-computed affix mining: min_doc_freq boundary, too-short docs
+    never measured, suffix strip blocked when both strips would empty the
+    doc, and original-list composition when both strip."""
+    from lmw_tree_spark.operators.quality import affix_strip
+
+    pre = "stock photo of"
+    suf = "getty images inc"
+    rows = []
+    # 3 docs with the mined prefix + long bodies (supports prefix mining)
+    for i in range(3):
+        rows.append((i, f"{pre} body{i} words{i} here{i} now{i}"))
+    # 3 docs with the mined suffix
+    for i in range(3, 6):
+        rows.append((i, f"real content body{i} {suf}"))
+    # doc 6: BOTH affixes, n=10 >= 7 -> both strip
+    rows.append((6, f"{pre} middle core kept {suf}"))
+    # doc 7: both affixes, n=6 < 7 -> prefix wins, suffix blocked
+    rows.append((7, f"{pre} {suf}"))
+    # doc 8: exactly the prefix, n=3 < k+1 -> never measured, kept whole
+    rows.append((8, pre))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        affix_strip(df, k=3, min_doc_freq=3)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    for i in range(3):
+        assert got.loc[i, "pre_hit"] == 1 and got.loc[i, "suf_hit"] == 0
+        assert got.loc[i, "stripped_text"] == f"body{i} words{i} here{i} now{i}"
+    for i in range(3, 6):
+        assert got.loc[i, "pre_hit"] == 0 and got.loc[i, "suf_hit"] == 1
+        assert got.loc[i, "stripped_text"] == f"real content body{i}"
+    assert got.loc[6, "pre_hit"] == 1 and got.loc[6, "suf_hit"] == 1
+    assert got.loc[6, "stripped_text"] == "middle core kept"
+    assert got.loc[7, "pre_hit"] == 1 and got.loc[7, "suf_hit"] == 0
+    assert got.loc[7, "stripped_text"] == suf
+    assert got.loc[8, "pre_hit"] == 0 and got.loc[8, "suf_hit"] == 0
+    assert got.loc[8, "stripped_text"] == pre
+    # below min_doc_freq (prefix support is 5: docs 0,1,2,6,7) nothing mines
+    clean = affix_strip(df, k=3, min_doc_freq=6).toPandas()
+    assert (clean["pre_hit"] == 0).all() and (clean["suf_hit"] == 0).all()
