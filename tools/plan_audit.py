@@ -67,6 +67,9 @@ AUDITED = [
     ("entropy_filter", False, "decode+histogram pure Arrow map; entropy + gate all-JVM column algebra, zero joins"),
     ("letterbox_crop", False, "pure Arrow map stage — run lengths in the decode kernel, fixed-width rows, zero shuffles"),
     ("padded_dedup", False, "crop-normalized pHash map stage, then ONE equal-hash equi-join — the exact-dedup plan shape"),
+    ("watermark_flags", False, "template mining is the exact-dedup groupBy; tiny template table broadcasts back; rollup bounded by image count"),
+    ("color_filter", False, "integer opponent-axis sums in the Arrow decode map; gate is pure JVM projection, zero joins"),
+    ("affix_strip", False, "affix groupBys absorb boilerplate skew as single reduce keys; mined templates broadcast back; strip is array algebra"),
 ]
 
 JOIN_RE = re.compile(
