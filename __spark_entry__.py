@@ -2918,6 +2918,29 @@ def q_split_assign(spark, sf_dir):
     )
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (operators/layout.py:compaction_plan):
+    the Iceberg OPTIMIZE binPack pass — files under half the 8000-byte target
+    pack, per table partition in key order, into target-size groups by
+    bucketing the exclusive running byte sum; large files pass through. The
+    manifest is derived from the documents table (partition = source, file
+    size = n_chars), all-integer + one float floor-divide, so the oracle
+    replays the window algebra file-by-file with no materialized state."""
+    from lmw_tree_spark.operators.layout import compaction_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    manifest = docs.select(
+        F.col("source").alias("part_key"),
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("bytes"),
+    )
+    plan = compaction_plan(manifest, target_bytes=8000)
+    return plan.select(
+        "part_key", "file_id", "bytes", "compact",
+        F.coalesce("group_id", F.lit(-1)).alias("group_id"),
+    ).orderBy("part_key", "file_id")
+
+
 def q_shard_manifest(spark, sf_dir):
     """Balanced output-shard planning — the manifest a webdataset/parquet
     export writes before shuffling 100 TB into fixed shards: deterministic
@@ -5477,6 +5500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,
+        "compaction_plan": q_compaction_plan,
         "classifier_auc": q_classifier_auc,
         "entropy_filter": q_entropy_filter,
         "letterbox_crop": q_letterbox_crop,
@@ -6277,6 +6301,24 @@ def oracle_sql() -> dict[str, str]:
                    s.n_multi_buckets, s.cand_pairs, d.n_docs_bucketed
             FROM stats s JOIN db d USING (rows_per_band)
             ORDER BY rows_per_band
+        """,
+        "compaction_plan": """
+            WITH m AS (SELECT source AS part_key, doc_id AS file_id,
+                              n_chars AS bytes
+                       FROM documents),
+            runs AS (
+                SELECT part_key, file_id, bytes,
+                       (bytes < 4000) AS cand,
+                       sum(CASE WHEN bytes < 4000 THEN bytes ELSE 0 END)
+                           OVER (PARTITION BY part_key ORDER BY file_id
+                                 ROWS UNBOUNDED PRECEDING)
+                       - (CASE WHEN bytes < 4000 THEN bytes ELSE 0 END) AS run
+                FROM m)
+            SELECT part_key, file_id, bytes,
+                   cand::INT AS compact,
+                   (CASE WHEN cand THEN floor(run / 8000.0)::BIGINT
+                         ELSE -1 END)::BIGINT AS group_id
+            FROM runs ORDER BY part_key, file_id
         """,
         "shard_manifest": """
             SELECT (strpos('0123456789abcdef',

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def morton2_col(bx: Column, by: Column, bits: int = 4) -> Column:
@@ -86,3 +87,53 @@ def prune_estimate(
     mn, mx = (f"min_{on}", f"max_{on}")
     flag = (F.col(mx) >= F.lit(lo)) & (F.col(mn) <= F.lit(hi))
     return manifest.withColumn(f"scan_{on}", flag.cast("int"))
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    target_bytes: int,
+    small_bytes: int | None = None,
+    part_col: str = "part_key",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Small-file compaction planning — the Iceberg/Delta ``OPTIMIZE``
+    (binPack) maintenance pass that keeps a 100 TB table's file count sane:
+    streaming writers and per-partition appends leave thousands of sub-target
+    files whose per-file open cost dominates scans. Files smaller than
+    ``small_bytes`` (default ``target_bytes // 2``) are compaction candidates;
+    within each table partition they are packed, in ``order_col`` order (key
+    order, so compacted files keep their clustering), into groups of
+    ``target_bytes`` by bucketing the EXCLUSIVE running byte sum —
+    ``group_id = floor(run / target)`` — the one-window-pass distributed
+    rendering of sequential first-fit (a straddling file joins the group its
+    start falls in, so groups hover around target size rather than never
+    exceeding it; bit-for-bit deterministic and engine-replayable, unlike
+    greedy reset-on-overflow which needs a sequential scan). Files at or
+    above ``small_bytes`` pass through unplanned (``compact = 0``,
+    ``group_id`` null).
+
+    Output: one row per manifest file — (part_col, file_col, bytes_col,
+    compact int, group_id long); group ids are per-partition. Scale shape:
+    the manifest is the table's METADATA (≤ millions of rows at 100 TB), one
+    window per partition key bounded by files-per-partition; the data itself
+    is never touched until the rewrite executes the plan."""
+    order_col = order_col or file_col
+    small = small_bytes if small_bytes is not None else target_bytes // 2
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib = F.when(F.col(bytes_col) < small, F.col(bytes_col)).otherwise(F.lit(0))
+    run = F.sum(contrib).over(w) - contrib
+    cand = F.col(bytes_col) < small
+    grp = F.when(cand, F.floor(run / F.lit(float(target_bytes))).cast("long"))
+    return manifest.select(
+        part_col,
+        file_col,
+        bytes_col,
+        cand.cast("int").alias("compact"),
+        grp.alias("group_id"),
+    )

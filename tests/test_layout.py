@@ -1,5 +1,6 @@
 """Z-order layout planning (operators/layout.py)."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -72,3 +73,41 @@ def test_prune_estimate_overlap(spark):
         .set_index("file_id")["scan_x"]
     )
     assert got[1] == 0 and got[2] == 1 and got[3] == 1
+
+
+def test_compaction_plan_bin_packing(spark):
+    """Hand-computed binPack: exclusive-run bucketing per partition, large
+    files pass through, straddling file joins the group its start falls in."""
+    from lmw_tree_spark.operators.layout import compaction_plan
+
+    rows = [
+        # partition a: smalls 300+300+500 -> runs 0,300,600 with target 1000
+        ("a", 1, 300), ("a", 2, 300), ("a", 3, 500),
+        # large file (>= small=500): passes through, does NOT advance the run
+        ("a", 4, 900),
+        # next small continues the run at 1100 -> group 1
+        ("a", 5, 400),
+        # partition b: independent run
+        ("b", 6, 450), ("b", 7, 450),
+    ]
+    m = spark.createDataFrame(rows, "part_key string, file_id long, bytes long")
+    got = (
+        compaction_plan(m, target_bytes=1000, small_bytes=500)
+        .toPandas().set_index("file_id").sort_index()
+    )
+    assert got.loc[1, "compact"] == 1 and got.loc[1, "group_id"] == 0  # run 0
+    assert got.loc[2, "compact"] == 1 and got.loc[2, "group_id"] == 0  # run 300
+    # 500 is NOT < small_bytes=500: boundary file passes through
+    assert got.loc[3, "compact"] == 0 and pd.isna(got.loc[3, "group_id"])
+    assert got.loc[4, "compact"] == 0 and pd.isna(got.loc[4, "group_id"])
+    # run for file 5 = 300+300+400's exclusive sum = 600 -> group 0
+    assert got.loc[5, "compact"] == 1 and got.loc[5, "group_id"] == 0
+    # partition b runs independently: 0 and 450 -> both group 0
+    assert got.loc[6, "group_id"] == 0 and got.loc[7, "group_id"] == 0
+
+    # straddle: target 400 -> file 2 starts at run 300 -> group 0; file 5 at 600 -> group 1
+    tight = (
+        compaction_plan(m, target_bytes=400, small_bytes=500)
+        .toPandas().set_index("file_id")
+    )
+    assert tight.loc[2, "group_id"] == 0 and tight.loc[5, "group_id"] == 1
