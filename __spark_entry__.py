@@ -2374,6 +2374,65 @@ def q_psnr_fidelity(spark, sf_dir):
     )
 
 
+def q_snapshot_expiry(spark, sf_dir):
+    """Snapshot retention + orphan sweep (plans/checkpoint.py:expire_plan /
+    expire — the Iceberg expire_snapshots / remove_orphan_files maintenance
+    pair): keep the newest keep_last complete snapshots AND the ``_latest``
+    pointer target (here rolled back to v3 to exercise the lagging-pointer
+    keep), expire older complete snapshots, sweep crashed incomplete version
+    dirs as orphans. The query builds 5 committed versions + 1 crashed dir,
+    materializes the raw listing (version, complete, is_current) to the
+    exchange, EXECUTES the plan, and asserts post-conditions (reads resolve,
+    expired time travel raises); the oracle independently re-derives every
+    action from the listing via window rank."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from lmw_tree_spark.plans.checkpoint import Checkpointer
+
+    cp = Checkpointer(spark, tempfile.mkdtemp(prefix="expiry_ckpt_"))
+    base = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    for v in range(1, 6):  # v1..v5 committed, shrinking row counts
+        cp.write("docs", base.where(F.col("doc_id") % 6 >= v))
+    # external rollback: pointer lags at v3 (must be kept even though old)
+    with open(cp._latest_file("docs"), "w") as f:
+        f.write("v00003")
+    # crashed write: data landed, commit (metrics + _SUCCESS) never happened
+    crash = cp._version_dir("docs", 6)
+    os.makedirs(crash, exist_ok=True)
+    with open(os.path.join(crash, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial")
+
+    plan = cp.expire_plan("docs", keep_last=2)
+    _write_exchange(
+        "expiry",
+        listing=pd.DataFrame(
+            [
+                {k: r[k] for k in ("version", "complete", "is_current")}
+                for r in plan
+            ]
+        ),
+    )
+    executed = cp.expire("docs", keep_last=2)
+    assert executed == plan
+    # post-conditions: the pointer target still reads; expired time travel raises
+    assert cp.read("docs").count() == 30  # v3 = doc_id % 6 >= 3
+    assert cp.read("docs", version=5).count() == 10
+    removed = True
+    try:
+        cp.read("docs", version=1).count()
+        removed = False
+    except Exception:
+        pass
+    assert removed, "expired snapshot still readable"
+    return spark.createDataFrame(
+        [(r["version"], r["complete"], r["is_current"], r["action"]) for r in plan],
+        "version int, complete int, is_current int, action string",
+    ).orderBy("version")
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     """Per-shard lineage metrics + snapshot versioning (the target spec's
     'checkpoints with per-partition lineage and row-count/signature-distribution
@@ -3589,6 +3648,7 @@ def _exchange_oracles() -> dict[str, str]:
     crop_px = os.path.join(x, "crop", "pixels.parquet")
     wm_px = os.path.join(x, "wm", "pixels.parquet")
     color_px = os.path.join(x, "color", "pixels.parquet")
+    exp_l = os.path.join(x, "expiry", "listing.parquet")
     ph_px = os.path.join(x, "phash_px", "pixels.parquet")
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
     ent_px = os.path.join(x, "entropy", "pixels.parquet")
@@ -4635,6 +4695,22 @@ def _exchange_oracles() -> dict[str, str]:
                    (grayscale = 0 AND colorfulness >= 10.0)::INT AS keep
             FROM gate ORDER BY image_id
         """,
+        "snapshot_expiry": f"""
+            WITH l AS (SELECT * FROM read_parquet('{exp_l}')),
+            ranked AS (
+                SELECT version, complete, is_current,
+                       CASE WHEN complete = 1 THEN
+                           row_number() OVER (PARTITION BY complete
+                                              ORDER BY version DESC)
+                       END AS rk
+                FROM l)
+            SELECT version::INT AS version, complete::INT AS complete,
+                   is_current::INT AS is_current,
+                   CASE WHEN complete = 0 THEN 'orphan'
+                        WHEN rk <= 2 OR is_current = 1 THEN 'keep'
+                        ELSE 'expire' END AS action
+            FROM ranked ORDER BY version
+        """,
         "sharpness_filter": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{sharp_px}')),
             lum AS (SELECT image_id, y, x,
@@ -5501,6 +5577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,
         "compaction_plan": q_compaction_plan,
+        "snapshot_expiry": q_snapshot_expiry,
         "classifier_auc": q_classifier_auc,
         "entropy_filter": q_entropy_filter,
         "letterbox_crop": q_letterbox_crop,

@@ -208,6 +208,59 @@ class Checkpointer:
         with open(os.path.join(self._version_dir(stage, v), "_metrics.json")) as f:
             return json.load(f)
 
+    def expire_plan(self, stage: str, keep_last: int = 2) -> list[dict]:
+        """Snapshot retention + orphan-sweep planning — the Iceberg
+        ``expire_snapshots`` / ``remove_orphan_files`` maintenance pair: the
+        newest ``keep_last`` complete snapshots AND the ``_latest`` pointer
+        target are kept (the pointer can lag after an external rollback —
+        never expire what readers resolve); every other complete snapshot is
+        ``expire``; incomplete version directories (crashed writes — parquet
+        landed, commit never finished) are ``orphan``. Plan only — one row
+        per version dir with (version, complete, is_current, action); this is
+        metadata listing, O(snapshots), so the data files are untouched until
+        :meth:`expire` executes it."""
+        sd = self._stage_dir(stage)
+        if not os.path.isdir(sd):
+            return []
+        cur = self.current_version(stage)
+        vs = sorted(
+            int(n[1:])
+            for n in os.listdir(sd)
+            if n.startswith("v") and n[1:].isdigit()
+        )
+        complete = [v for v in vs if self._complete(stage, v)]
+        keep = set(complete[-keep_last:] if keep_last > 0 else [])
+        if cur is not None:
+            keep.add(cur)
+        plan = []
+        for v in vs:
+            done = self._complete(stage, v)
+            action = "keep" if v in keep else ("expire" if done else "orphan")
+            plan.append(
+                {
+                    "version": v,
+                    "complete": int(done),
+                    "is_current": int(v == cur),
+                    "action": action,
+                }
+            )
+        return plan
+
+    def expire(self, stage: str, keep_last: int = 2) -> list[dict]:
+        """Execute :meth:`expire_plan`: remove expired snapshots and orphan
+        dirs. Time travel to a removed version raises afterwards (the Iceberg
+        contract); the pointer target is never removed, so ``read()``/
+        ``stage()`` semantics are unaffected."""
+        import shutil
+
+        plan = self.expire_plan(stage, keep_last)
+        for row in plan:
+            if row["action"] in ("expire", "orphan"):
+                shutil.rmtree(
+                    self._version_dir(stage, row["version"]), ignore_errors=True
+                )
+        return plan
+
 
 def snapshot_diff(
     ck: "Checkpointer",

@@ -201,3 +201,41 @@ def test_pipeline_truss_hardening_drops_bridge(spark):
         fused[pg].add(truth[img])
     for pg, tgs in fused.items():
         assert len(tgs) == 1, (pg, tgs)
+
+
+def test_snapshot_expiry_and_orphan_sweep(spark, tmpdir_ck):
+    """expire_plan keeps the newest keep_last completes PLUS a lagging
+    pointer target, expires the rest, sweeps crashed dirs as orphans; expire
+    executes exactly that plan and leaves reads intact."""
+    from pyspark.sql import functions as F
+
+    cp = Checkpointer(spark, tmpdir_ck)
+    base = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    for v in range(1, 5):  # v1..v4
+        cp.write("s", base.where(F.col("doc_id") % 4 >= v - 1))
+    # lagging pointer: roll back to v2
+    with open(cp._latest_file("s"), "w") as f:
+        f.write("v00002")
+    # crashed write
+    crash = cp._version_dir("s", 5)
+    os.makedirs(crash)
+    with open(os.path.join(crash, "part-x.parquet"), "wb") as f:
+        f.write(b"junk")
+
+    plan = {r["version"]: r["action"] for r in cp.expire_plan("s", keep_last=2)}
+    assert plan == {1: "expire", 2: "keep", 3: "keep", 4: "keep", 5: "orphan"}
+
+    cp.expire("s", keep_last=2)
+    assert not os.path.isdir(cp._version_dir("s", 1))
+    assert not os.path.isdir(cp._version_dir("s", 5))
+    assert cp.read("s").count() == base.where(F.col("doc_id") % 4 >= 1).count()
+    assert cp.read("s", version=4).count() == base.where(F.col("doc_id") % 4 >= 3).count()
+    with pytest.raises(Exception):
+        cp.read("s", version=1).count()
+    # next write allocates past the retained max; the swept ORPHAN's number
+    # is safe to reuse (it was never committed, so no reader could hold it),
+    # while expired COMMITTED numbers (v1) stay below retained snapshots and
+    # are never reallocated
+    cp.write("s", base)
+    assert cp.current_version("s") == 5
+    assert cp.read("s").count() == 12
