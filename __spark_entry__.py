@@ -1109,6 +1109,52 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+def q_group_merge(spark, sf_dir):
+    """Incremental dup-group maintenance (operators/ccomp.py:
+    merge_dup_groups): a daily shard's verified edges merge existing groups,
+    attach new images to corpus groups, and form all-new groups — closure
+    runs over the CONTRACTED graph (touched groups + new ids only), so the
+    iterative part is shard-sized at any corpus size, labels stay stable
+    (merged components adopt the min surviving existing group id), and the
+    corpus patch is one broadcast remap join. Corpus assignments (600 ids in
+    groups of 3) and all three edge kinds are pure JVM md5/format algebra,
+    so the oracle replays construction, contraction, recursive-CTE closure,
+    label rule, remap, and append with NO materialized state."""
+    from lmw_tree_spark.operators.ccomp import merge_dup_groups
+
+    base = spark.range(0, 600).select(
+        F.format_string("img%06d", F.col("id")).alias("image_id"),
+        F.format_string("img%06d", F.col("id") - F.col("id") % 3).alias(
+            "dup_group"
+        ),
+    )
+    merge_e = (
+        spark.range(0, 99)
+        .where(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("m"), F.col("id").cast("string"))),
+                1, 1,
+            ).isin(*"0123")
+        )
+        .select(
+            F.format_string("img%06d", F.col("id") * 6 + 1).alias("src"),
+            F.format_string("img%06d", F.col("id") * 6 + 3).alias("dst"),
+        )
+    )
+    attach_e = spark.range(0, 40).select(
+        F.format_string("new%04d", F.col("id")).alias("src"),
+        F.format_string("img%06d", (F.col("id") * 13 % 200) * 3 + 2).alias(
+            "dst"
+        ),
+    )
+    nn_e = spark.range(0, 10).select(
+        F.format_string("new9%03d", F.col("id")).alias("src"),
+        F.format_string("new8%03d", F.col("id")).alias("dst"),
+    )
+    edges = merge_e.unionByName(attach_e).unionByName(nn_e)
+    return merge_dup_groups(base, edges).orderBy("image_id")
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup (the daily-ingest shape): MinHash band buckets of an
     incoming shard (odd doc_ids) joined against the persisted bucket index of
@@ -5578,6 +5624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "compaction_plan": q_compaction_plan,
         "snapshot_expiry": q_snapshot_expiry,
+        "group_merge": q_group_merge,
         "classifier_auc": q_classifier_auc,
         "entropy_filter": q_entropy_filter,
         "letterbox_crop": q_letterbox_crop,
@@ -6378,6 +6425,69 @@ def oracle_sql() -> dict[str, str]:
                    s.n_multi_buckets, s.cand_pairs, d.n_docs_bucketed
             FROM stats s JOIN db d USING (rows_per_band)
             ORDER BY rows_per_band
+        """,
+        "group_merge": """
+            WITH RECURSIVE
+            ids AS (SELECT range AS i FROM range(0, 600)),
+            assign AS (SELECT printf('img%06d', i) AS image_id,
+                              printf('img%06d', i - i % 3) AS dup_group
+                       FROM ids),
+            merge_e AS (
+                SELECT printf('img%06d', k*6 + 1) AS src,
+                       printf('img%06d', k*6 + 3) AS dst
+                FROM (SELECT range AS k FROM range(0, 99))
+                WHERE substr(md5('m:' || k::VARCHAR), 1, 1)
+                      IN ('0','1','2','3')),
+            attach_e AS (
+                SELECT printf('new%04d', j) AS src,
+                       printf('img%06d', (j*13 % 200)*3 + 2) AS dst
+                FROM (SELECT range AS j FROM range(0, 40))),
+            nn_e AS (
+                SELECT printf('new9%03d', j) AS src,
+                       printf('new8%03d', j) AS dst
+                FROM (SELECT range AS j FROM range(0, 10))),
+            edges AS (SELECT * FROM merge_e
+                      UNION ALL SELECT * FROM attach_e
+                      UNION ALL SELECT * FROM nn_e),
+            contracted AS (
+                SELECT coalesce(a1.dup_group, e.src) AS u,
+                       coalesce(a2.dup_group, e.dst) AS v
+                FROM edges e
+                LEFT JOIN assign a1 ON a1.image_id = e.src
+                LEFT JOIN assign a2 ON a2.image_id = e.dst
+                WHERE coalesce(a1.dup_group, e.src)
+                      <> coalesce(a2.dup_group, e.dst)),
+            sym AS (SELECT u, v FROM contracted
+                    UNION SELECT v, u FROM contracted),
+            verts AS (SELECT DISTINCT u AS node FROM sym),
+            reach(u, v) AS (
+                SELECT node, node FROM verts
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
+            comp AS (SELECT u AS node, min(v) AS comp FROM reach GROUP BY u),
+            grp AS (SELECT DISTINCT dup_group FROM assign),
+            grp_label AS (
+                SELECT c.comp, min(c.node) AS grp_label
+                FROM comp c JOIN grp g ON g.dup_group = c.node
+                GROUP BY c.comp),
+            labels AS (
+                SELECT c.node, coalesce(gl.grp_label, c.comp) AS label
+                FROM comp c LEFT JOIN grp_label gl ON gl.comp = c.comp),
+            remap AS (
+                SELECT l.node AS dup_group, l.label
+                FROM labels l JOIN grp g ON g.dup_group = l.node
+                WHERE l.node <> l.label),
+            updated AS (
+                SELECT a.image_id, coalesce(r.label, a.dup_group) AS dup_group
+                FROM assign a LEFT JOIN remap r ON r.dup_group = a.dup_group),
+            ends AS (SELECT src AS image_id FROM edges
+                     UNION SELECT dst FROM edges),
+            new_rows AS (
+                SELECT e.image_id, l.label AS dup_group
+                FROM ends e JOIN labels l ON l.node = e.image_id
+                WHERE e.image_id NOT IN (SELECT image_id FROM assign))
+            SELECT * FROM updated UNION ALL SELECT * FROM new_rows
+            ORDER BY image_id
         """,
         "compaction_plan": """
             WITH m AS (SELECT source AS part_key, doc_id AS file_id,

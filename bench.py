@@ -476,7 +476,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "incremental_phash", "token_budget", "embedding_outliers", "corpus_drift", "retrieval_eval",
         "safety_filter", "curation_funnel", "quality_classifier", "classifier_train",
         "entropy_filter", "letterbox_crop", "padded_dedup", "watermark_flags",
-        "color_filter", "affix_strip", "compaction_plan",
+        "color_filter", "affix_strip", "compaction_plan", "group_merge",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production

@@ -86,3 +86,81 @@ def connected_components(
             )
         )
     return out
+
+
+def merge_dup_groups(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "image_id",
+    group_col: str = "dup_group",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Incremental dup-group maintenance — the daily-ingest companion of
+    ``connected_components``: new verified edges (shard-internal and
+    shard-vs-corpus, e.g. from ``simhash_dedup_against_corpus``) may MERGE
+    existing groups and introduce new members; recomputing closure over the
+    full 10^12-row corpus for that is absurd. Instead the edge endpoints are
+    CONTRACTED to their existing group ids (new ids stand for themselves),
+    components run over that contracted graph — nodes are only the TOUCHED
+    groups plus new ids, edges only the new batch, so the iterative part is
+    shard-sized no matter how big the corpus — and labels stay stable: a
+    merged component adopts the minimum surviving EXISTING group id (an
+    all-new component takes its min new id). Untouched groups never appear
+    and keep their ids by construction.
+
+    Returns the updated full assignment table ``(id_col, group_col)``:
+    corpus rows patched through the (tiny, broadcastable) old→new remap
+    join, new ids appended with their component label. The remap itself is
+    ``assignments'`` groups that changed — derivable, not separately
+    returned."""
+    a_src = assignments.select(
+        F.col(id_col).alias("src"), F.col(group_col).alias("gsrc")
+    )
+    a_dst = assignments.select(
+        F.col(id_col).alias("dst"), F.col(group_col).alias("gdst")
+    )
+    contracted = (
+        new_edges.select("src", "dst")
+        .join(a_src, "src", "left")
+        .join(a_dst, "dst", "left")
+        .select(
+            F.coalesce("gsrc", F.col("src")).alias("src"),
+            F.coalesce("gdst", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    comp = connected_components(
+        contracted, max_iters=max_iters, id_col="node", label_col="comp"
+    )
+    existing = assignments.select(F.col(group_col).alias("node")).distinct()
+    # component label: min node that IS an existing group id, else min node
+    is_grp = comp.join(existing, "node", "semi").groupBy("comp").agg(
+        F.min("node").alias("grp_label")
+    )
+    labels = (
+        comp.join(is_grp, "comp", "left")
+        .select("node", F.coalesce("grp_label", F.col("comp")).alias("label"))
+    )
+    remap = labels.join(existing, "node", "semi").where(
+        F.col("node") != F.col("label")
+    )
+    updated = (
+        assignments.join(
+            F.broadcast(remap.withColumnRenamed("node", group_col)),
+            group_col,
+            "left",
+        )
+        .select(id_col, F.coalesce("label", F.col(group_col)).alias(group_col))
+    )
+    ends = (
+        new_edges.select(F.col("src").alias(id_col))
+        .unionByName(new_edges.select(F.col("dst").alias(id_col)))
+        .distinct()
+    )
+    new_rows = (
+        ends.join(assignments.select(id_col), id_col, "left_anti")
+        .join(labels.withColumnRenamed("node", id_col), id_col)
+        .select(id_col, F.col("label").alias(group_col))
+    )
+    return updated.unionByName(new_rows)

@@ -37,3 +37,40 @@ def test_label_is_min_id(spark):
     )
     got = {r["image_id"]: r["dup_group"] for r in connected_components(edges).collect()}
     assert set(got.values()) == {"aa"}
+
+
+def test_merge_dup_groups_incremental_maintenance(spark):
+    """New edges merge existing groups (stable min-group label), attach new
+    members to corpus groups, form all-new groups, and leave untouched
+    groups byte-identical — without any full-corpus recompute."""
+    from lmw_tree_spark.operators.ccomp import merge_dup_groups
+
+    assignments = spark.createDataFrame(
+        [  # groups: g_a = {a1,a2}, g_b = {b1,b2}, g_c = {c1}, g_z untouched
+            ("a1", "a1"), ("a2", "a1"),
+            ("b1", "b1"), ("b2", "b1"),
+            ("c1", "c1"),
+            ("z1", "z1"), ("z2", "z1"),
+        ],
+        "image_id string, dup_group string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a2", "b1"),   # merges group a1 with group b1 -> label a1
+            ("n1", "c1"),   # new image joins group c1 (c1 < n1 -> label c1)
+            ("n2", "n3"),   # all-new pair -> label n2
+            ("a1", "a2"),   # same-group edge: contracts to a self-loop, no-op
+        ],
+        "src string, dst string",
+    )
+    got = dict(
+        merge_dup_groups(assignments, edges).toPandas()
+        .set_index("image_id")["dup_group"]
+    )
+    assert got == {
+        "a1": "a1", "a2": "a1",
+        "b1": "a1", "b2": "a1",   # remapped b1 -> a1
+        "c1": "c1", "n1": "c1",   # new member adopts the existing id
+        "n2": "n2", "n3": "n2",   # all-new component
+        "z1": "z1", "z2": "z1",   # untouched
+    }
