@@ -2725,6 +2725,69 @@ def q_phash_pixels(spark, sf_dir):
     )
 
 
+def q_tone_dedup(spark, sf_dir):
+    """Brightness-shift-robust perceptual dedup (the filter/screenshot
+    re-upload modality): a pure luma offset shifts integer BT.601 luma
+    EXACTLY (floor((x + 24000)/1000) = floor(x/1000) + 24), leaving every
+    unclipped DCT AC coefficient — and therefore the pHash — unchanged;
+    only clip-saturated pixels perturb it (measured max Hamming 4 at +24 on
+    this corpus). The query plants +24-shifted re-uploads (md5-selected
+    subset) and pairs via the 4-band pigeonhole + bit_count verify at radius
+    6; the oracle re-derives EVERY pHash from raw pixels (NN grid, fixed-
+    point DCT, order-statistic threshold, HUGEINT pack) and replays the band
+    candidates + verify in SQL."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.dedup import simhash_dedup
+    from lmw_tree_spark.operators.pixels import phash_images
+    from lmw_tree_spark.sources import codecs
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120)
+
+    def plant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = [pdf]
+            extra = []
+            for r in pdf.itertuples():
+                hx = hashlib.md5(f"{r.image_id}:tone".encode()).hexdigest()
+                if hx[0] not in "0123456":
+                    continue
+                px = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+                shifted = np.clip(px + 24, 0, 255).astype(np.uint8)
+                extra.append(
+                    ("tone_" + r.image_id, codecs.encode_png(shifted),
+                     r.w, r.h, "png")
+                )
+            if extra:
+                out.append(pd.DataFrame(
+                    extra, columns=["image_id", "bytes", "w", "h", "fmt"]
+                ))
+            yield pd.concat(out, ignore_index=True)
+
+    planted = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        plant, "image_id string, bytes binary, w int, h int, fmt string"
+    ).persist()
+    _pixels_exchange(planted, xname="tone")
+    ph = phash_images(planted).select(
+        F.when(
+            F.col("image_id").startswith("tone_"),
+            F.substring("image_id", 9, 10).cast("long") + 100000,
+        )
+        .otherwise(F.substring("image_id", 4, 10).cast("long"))
+        .alias("doc_id"),
+        F.col("phash").alias("simhash"),
+    )
+    return simhash_dedup(ph, max_dist=6, pair_cap=100_000, sh=ph).orderBy(
+        "src", "dst"
+    )
+
+
 def q_dihedral_dedup(spark, sf_dir):
     """Flip/rotation-invariant perceptual dedup (operators/pixels.py:
     dhash_dihedral): canonical hash = min over the 8 dihedral transforms
@@ -3694,6 +3757,7 @@ def _exchange_oracles() -> dict[str, str]:
     crop_px = os.path.join(x, "crop", "pixels.parquet")
     wm_px = os.path.join(x, "wm", "pixels.parquet")
     color_px = os.path.join(x, "color", "pixels.parquet")
+    tone_px = os.path.join(x, "tone", "pixels.parquet")
     exp_l = os.path.join(x, "expiry", "listing.parquet")
     ph_px = os.path.join(x, "phash_px", "pixels.parquet")
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
@@ -4741,6 +4805,77 @@ def _exchange_oracles() -> dict[str, str]:
                    (grayscale = 0 AND colorfulness >= 10.0)::INT AS keep
             FROM gate ORDER BY image_id
         """,
+        "tone_dedup": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{tone_px}')),
+            dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
+                     FROM pxt GROUP BY image_id),
+            grid AS (
+                SELECT image_id, oi::INT AS oi, oj::INT AS oj,
+                       least((oi * h) // 32, h - 1)::INT AS sy,
+                       least((oj * w) // 32, w - 1)::INT AS sx
+                FROM dims, range(0, 32) a(oi), range(0, 32) b(oj)),
+            lum AS (
+                SELECT g.image_id, g.oi, g.oj,
+                       299*p.r::BIGINT + 587*p.g::BIGINT + 114*p.b::BIGINT
+                           AS yv
+                FROM grid g JOIN pxt p
+                  ON p.image_id = g.image_id AND p.y = g.sy AND p.x = g.sx),
+            ct AS (
+                SELECT k::INT AS k, n::INT AS n,
+                       CAST(round(cos(pi() * (2*n + 1) * k / 64) * 4096)
+                            AS BIGINT) AS c
+                FROM range(0, 32) a(k), range(0, 32) b(n)),
+            rowt AS (
+                SELECT l.image_id, cu.k AS u, l.oj,
+                       sum(cu.c * l.yv) AS s
+                FROM lum l JOIN ct cu ON cu.n = l.oi
+                WHERE cu.k < 8
+                GROUP BY l.image_id, cu.k, l.oj),
+            coef AS (
+                SELECT r.image_id, r.u, cv.k AS v, sum(cv.c * r.s) AS d
+                FROM rowt r JOIN ct cv ON cv.n = r.oj
+                WHERE cv.k < 8
+                GROUP BY r.image_id, r.u, cv.k),
+            med AS (
+                SELECT image_id, d AS medv FROM (
+                    SELECT image_id, d,
+                           row_number() OVER (PARTITION BY image_id
+                                              ORDER BY d) AS rn
+                    FROM coef) WHERE rn = 32),
+            bits AS (
+                SELECT c.image_id, (c.u * 8 + c.v)::INT AS k,
+                       CASE WHEN c.d > m.medv THEN 1 ELSE 0 END AS bit
+                FROM coef c JOIN med m ON m.image_id = c.image_id),
+            halves AS (
+                SELECT image_id,
+                       sum(CASE WHEN bit = 1 AND k < 32
+                           THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+                       sum(CASE WHEN bit = 1 AND k >= 32
+                           THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+                FROM bits GROUP BY image_id),
+            ph AS (
+                SELECT CASE WHEN image_id LIKE 'tone_%'
+                            THEN CAST(substr(image_id, 9, 10) AS BIGINT)
+                                 + 100000
+                            ELSE CAST(substr(image_id, 4, 10) AS BIGINT)
+                       END AS doc_id,
+                       (CASE WHEN hv >= 9223372036854775808::HUGEINT
+                             THEN hv - 18446744073709551616::HUGEINT
+                             ELSE hv END)::BIGINT AS simhash
+                FROM (SELECT image_id,
+                             hi::HUGEINT * 4294967296::HUGEINT + lo::HUGEINT AS hv
+                      FROM halves)),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM ph a, ph b, range(4) r(b_idx)
+                WHERE a.doc_id < b.doc_id
+                  AND ((a.simhash >> (b_idx * 16)) & 65535)
+                    = ((b.simhash >> (b_idx * 16)) & 65535))
+            SELECT src, dst, bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
+            FROM pairs JOIN ph a ON a.doc_id = src JOIN ph b ON b.doc_id = dst
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            ORDER BY src, dst
+        """,
         "snapshot_expiry": f"""
             WITH l AS (SELECT * FROM read_parquet('{exp_l}')),
             ranked AS (
@@ -5619,6 +5754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_dedup": q_crop_dedup,
         "watermark_flags": q_watermark_flags,
         "color_filter": q_color_filter,
+        "tone_dedup": q_tone_dedup,
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,

@@ -596,3 +596,26 @@ def test_color_gate_grayscale_and_colorfulness_branches(spark):
     # colored_frac: colorful image near 1, grayscale exactly 0
     assert got.loc["gray", "colored_frac"] == 0.0
     assert got.loc["colorful", "colored_frac"] > 0.9
+
+
+def test_phash_brightness_shift_invariance(spark):
+    """A pure luma offset leaves the pHash EXACTLY unchanged when no pixel
+    clips (integer luma shifts exactly; DCT ACs are offset-invariant); with
+    clipping the distance stays small — the tone_dedup modality."""
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.operators.pixels import phash_images
+
+    rng = np.random.default_rng(31)
+    safe = rng.integers(0, 232, (48, 48, 3), dtype=np.uint8)   # +24 never clips
+    hot = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)    # +24 clips
+    rows = []
+    for name, px in (("safe", safe), ("hot", hot)):
+        rows.append((name, codecs.encode_png(px), "png"))
+        sh = np.clip(px.astype(np.int64) + 24, 0, 255).astype(np.uint8)
+        rows.append((name + "_t", codecs.encode_png(sh), "png"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = phash_images(df).toPandas().set_index("image_id")["phash"]
+    assert got["safe"] == got["safe_t"]  # exact invariance, no clipping
+    d = bin(int(got["hot"]) ^ int(got["hot_t"])).count("1")
+    assert 0 <= d <= 6, d  # clip perturbation stays inside the verify radius
