@@ -70,6 +70,9 @@ AUDITED = [
     ("watermark_flags", False, "template mining is the exact-dedup groupBy; tiny template table broadcasts back; rollup bounded by image count"),
     ("color_filter", False, "integer opponent-axis sums in the Arrow decode map; gate is pure JVM projection, zero joins"),
     ("affix_strip", False, "affix groupBys absorb boilerplate skew as single reduce keys; mined templates broadcast back; strip is array algebra"),
+    ("compaction_plan", False, "metadata-only window per table partition; data files untouched until the rewrite"),
+    ("group_merge", False, "closure on the CONTRACTED graph (touched groups + new ids); corpus patch is one broadcast remap join"),
+    ("tone_dedup", False, "pHash map stage + pigeonhole band equi-join + bit_count verify — the simhash_dedup plan shape"),
 ]
 
 JOIN_RE = re.compile(
