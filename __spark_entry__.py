@@ -3009,6 +3009,54 @@ def q_color_filter(spark, sf_dir):
     return color_gate(color_stats(planted)).orderBy("image_id")
 
 
+def q_collage_filter(spark, sf_dir):
+    """Collage / tiled-texture junk gate (operators/pixels.py:
+    tile_self_similarity): an image whose own non-constant tiles repeat at
+    4+ grid positions is mosaic chrome (sprite sheets, wallpaper tiles,
+    grid collages), not a photograph. The query plants collages
+    (md5-selected subset: the image's top-left 16x16 block np.tile'd across
+    the full frame — every tile identical); the oracle re-derives every tile
+    hash from raw pixels in SQL and replays the per-image repeat rollup and
+    gate."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import tile_ahash, tile_self_similarity
+    from lmw_tree_spark.sources import codecs
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120)
+
+    def plant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                hx = hashlib.md5(f"{r.image_id}:collage".encode()).hexdigest()
+                if hx[0] in "0123":
+                    px = codecs.decode_image(bytes(r.bytes), r.fmt)
+                    block = px[:16, :16, :]
+                    reps = (int(r.h) // 16 + 1, int(r.w) // 16 + 1, 1)
+                    tiled = np.tile(block, reps)[: int(r.h), : int(r.w), :]
+                    rows.append(
+                        (r.image_id, codecs.encode_png(tiled), r.w, r.h, "png")
+                    )
+                else:
+                    rows.append((r.image_id, r.bytes, r.w, r.h, r.fmt))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    planted = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        plant, "image_id string, bytes binary, w int, h int, fmt string"
+    ).persist()
+    _pixels_exchange(planted, xname="collage")
+    return tile_self_similarity(tile_ahash(planted, tile=16)).orderBy("image_id")
+
+
 def q_sharpness_filter(spark, sf_dir):
     """Sharpness + exposure curation gate (operators/pixels.py:
     sharpness_stats): variance-of-Laplacian energy and clipped-pixel counts
@@ -3758,6 +3806,7 @@ def _exchange_oracles() -> dict[str, str]:
     wm_px = os.path.join(x, "wm", "pixels.parquet")
     color_px = os.path.join(x, "color", "pixels.parquet")
     tone_px = os.path.join(x, "tone", "pixels.parquet")
+    coll_px = os.path.join(x, "collage", "pixels.parquet")
     exp_l = os.path.join(x, "expiry", "listing.parquet")
     ph_px = os.path.join(x, "phash_px", "pixels.parquet")
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
@@ -4805,6 +4854,59 @@ def _exchange_oracles() -> dict[str, str]:
                    (grayscale = 0 AND colorfulness >= 10.0)::INT AS keep
             FROM gate ORDER BY image_id
         """,
+        "collage_filter": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{coll_px}')),
+            dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
+                     FROM pxt GROUP BY image_id),
+            tiles AS (
+                SELECT image_id, ty::INT AS ty, tx::INT AS tx
+                FROM dims, range(0, 8) a(ty), range(0, 8) b(tx)
+                WHERE ty < h // 16 AND tx < w // 16),
+            grid AS (
+                SELECT t.image_id, t.ty, t.tx, oi::INT AS oi, oj::INT AS oj,
+                       (t.ty * 16 + oi * 2)::INT AS sy,
+                       (t.tx * 16 + oj * 2)::INT AS sx
+                FROM tiles t, range(0, 8) c(oi), range(0, 8) d(oj)),
+            lum AS (
+                SELECT g.image_id, g.ty, g.tx, g.oi, g.oj,
+                       299*p.r::BIGINT + 587*p.g::BIGINT + 114*p.b::BIGINT AS lv
+                FROM grid g JOIN pxt p
+                  ON p.image_id = g.image_id AND p.y = g.sy AND p.x = g.sx),
+            tsum AS (SELECT image_id, ty, tx, sum(lv) AS s
+                     FROM lum GROUP BY 1, 2, 3),
+            bits AS (
+                SELECT l.image_id, l.ty, l.tx, (l.oi * 8 + l.oj)::INT AS k,
+                       CASE WHEN 64 * l.lv > t.s THEN 1 ELSE 0 END AS bit
+                FROM lum l JOIN tsum t USING (image_id, ty, tx)),
+            halves AS (
+                SELECT image_id, ty, tx,
+                       sum(CASE WHEN bit = 1 AND k < 32
+                           THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+                       sum(CASE WHEN bit = 1 AND k >= 32
+                           THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+                FROM bits GROUP BY 1, 2, 3),
+            allt AS (
+                SELECT image_id, ty, tx,
+                       hi::HUGEINT * 4294967296::HUGEINT + lo::HUGEINT AS hv
+                FROM halves),
+            uni AS (SELECT image_id, count(*)::BIGINT AS n_tiles,
+                           sum(CASE WHEN hv = 0 THEN 1 ELSE 0 END)::BIGINT
+                               AS n_flat
+                    FROM allt GROUP BY image_id),
+            per AS (SELECT image_id, hv, count(*) AS c
+                    FROM allt WHERE hv <> 0 GROUP BY image_id, hv),
+            roll AS (SELECT image_id,
+                            sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT
+                                AS n_repeated,
+                            max(c)::BIGINT AS max_repeat
+                     FROM per GROUP BY image_id)
+            SELECT u.image_id, u.n_tiles, u.n_flat,
+                   COALESCE(r.n_repeated, 0)::BIGINT AS n_repeated,
+                   COALESCE(r.max_repeat, 0)::BIGINT AS max_repeat,
+                   (COALESCE(r.max_repeat, 0) >= 4)::INT AS tiled
+            FROM uni u LEFT JOIN roll r USING (image_id)
+            ORDER BY image_id
+        """,
         "tone_dedup": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{tone_px}')),
             dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
@@ -5755,6 +5857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_flags": q_watermark_flags,
         "color_filter": q_color_filter,
         "tone_dedup": q_tone_dedup,
+        "collage_filter": q_collage_filter,
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,

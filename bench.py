@@ -435,6 +435,16 @@ def _color_production(spark, sf_dir):
     return color_gate(color_stats(generate_images(spark, 2000)))
 
 
+def _collage_production(spark, sf_dir):
+    """Production-config collage gate over 2000 images (no oracle-exchange
+    pixel materialization): tile-ahash Arrow map stage, bounded two-stage
+    repeat rollup in JVM."""
+    from lmw_tree_spark.operators.pixels import tile_ahash, tile_self_similarity
+    from lmw_tree_spark.sources.images import generate_images
+
+    return tile_self_similarity(tile_ahash(generate_images(spark, 2000), tile=16))
+
+
 def _keyframes_production(spark, sf_dir):
     """Production-config shot detection + keyframe selection over 96 clips
     (no oracle-exchange histogram materialization): decode-heavy Arrow map
@@ -477,6 +487,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "safety_filter", "curation_funnel", "quality_classifier", "classifier_train",
         "entropy_filter", "letterbox_crop", "padded_dedup", "watermark_flags",
         "color_filter", "affix_strip", "compaction_plan", "group_merge",
+        "collage_filter",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
@@ -495,6 +506,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["padded_dedup"] = _padded_production
     qs["watermark_flags"] = _watermark_production
     qs["color_filter"] = _color_production
+    qs["collage_filter"] = _collage_production
     out = {}
     for name in names:
         # min-of-2: the first run pays Python-worker spin-up / first-import /

@@ -467,6 +467,45 @@ def overlay_flags(tiles: DataFrame, min_images: int = 8) -> DataFrame:
     )
 
 
+def tile_self_similarity(tiles: DataFrame, min_repeats: int = 4) -> DataFrame:
+    """Within-image template repetition — the collage / sprite-sheet /
+    tiled-texture junk gate: an image whose OWN tiles repeat (the same
+    non-constant tile hash at ``min_repeats``+ grid positions) is mosaic
+    chrome, not a photograph — the within-image counterpart of
+    ``overlay_flags``' cross-image template mining. Constant tiles (hash 0)
+    are counted separately as ``n_flat`` (flat expanses are letterbox_crop's
+    and entropy_gate's signal, not repetition).
+
+    Input is a ``tile_ahash`` grid; output one row per image:
+    (image_id, n_tiles, n_flat, n_repeated, max_repeat, tiled). Scale shape:
+    two groupBys keyed (image, hash) then (image) — per-image cardinality is
+    the tile-grid size, so both are bounded partial aggregations; no joins
+    except the tiny universe patch."""
+    th = tiles.where(F.col("tile_hash") != 0)
+    per = th.groupBy("image_id", "tile_hash").agg(F.count("*").alias("c"))
+    roll = per.groupBy("image_id").agg(
+        F.sum("c").cast("long").alias("nz"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_repeated"),
+        F.max("c").cast("long").alias("max_repeat"),
+    )
+    universe = tiles.groupBy("image_id").agg(
+        F.count("*").cast("long").alias("n_tiles"),
+        F.sum((F.col("tile_hash") == 0).cast("long")).alias("n_flat"),
+    )
+    return universe.join(roll, "image_id", "left").select(
+        "image_id",
+        "n_tiles",
+        "n_flat",
+        F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+        F.coalesce("max_repeat", F.lit(0)).alias("max_repeat"),
+        (F.coalesce("max_repeat", F.lit(0)) >= min_repeats)
+        .cast("int")
+        .alias("tiled"),
+    )
+
+
 SHARPNESS_SCHEMA = (
     "image_id string, n_px long, n_interior long, sum_lap2 bigint, "
     "n_over long, n_under long, keep boolean"

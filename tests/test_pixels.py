@@ -619,3 +619,34 @@ def test_phash_brightness_shift_invariance(spark):
     assert got["safe"] == got["safe_t"]  # exact invariance, no clipping
     d = bin(int(got["hot"]) ^ int(got["hot_t"])).count("1")
     assert 0 <= d <= 6, d  # clip perturbation stays inside the verify radius
+
+
+def test_tile_self_similarity_collage_gate(spark):
+    """A frame tiled from one block flags (every tile identical); a random
+    photo doesn't; flat tiles count as n_flat, never as repetition."""
+    from lmw_tree_spark.operators.pixels import tile_ahash, tile_self_similarity
+
+    rng = np.random.default_rng(37)
+    block = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    collage = np.tile(block, (3, 3, 1))             # 48x48 -> 9 equal tiles
+    photo = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    half_flat = photo.copy()
+    half_flat[:16, :, :] = 99                       # 3 flat tiles, 6 unique
+    rows = [
+        ("collage", codecs.encode_png(collage), "png"),
+        ("photo", codecs.encode_png(photo), "png"),
+        ("halfflat", codecs.encode_png(half_flat), "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = (
+        tile_self_similarity(tile_ahash(df, tile=16))
+        .toPandas().set_index("image_id")
+    )
+    assert got.loc["collage", "tiled"] == 1
+    assert got.loc["collage", "max_repeat"] == 9
+    assert got.loc["photo", "tiled"] == 0 and got.loc["photo", "n_repeated"] == 0
+    assert got.loc["halfflat", "n_flat"] == 3
+    assert got.loc["halfflat", "tiled"] == 0  # flat never counts as repeats
+    # threshold above the repeat count un-flags
+    relaxed = tile_self_similarity(tile_ahash(df, tile=16), min_repeats=10)
+    assert relaxed.where("tiled = 1").count() == 0
