@@ -3057,6 +3057,64 @@ def q_collage_filter(spark, sf_dir):
     return tile_self_similarity(tile_ahash(planted, tile=16)).orderBy("image_id")
 
 
+def q_image_funnel(spark, sf_dir):
+    """The composed image curation funnel, ONE DECODE PASS (operators/
+    pixels.py:gate_features + image_gates): at 100 TB decode dominates the
+    gate family's cost, so entropy, grayscale/colorfulness, sharpness/
+    exposure, and collage features are extracted in a single fused Arrow
+    kernel and all four decisions run as one JVM projection —
+    `test_pixels.py` pins flag-for-flag parity with the standalone
+    operators. The corpus plants flat frames, grayscale conversions, and
+    np.tile collages so every gate fires; the oracle re-derives ALL features
+    from raw pixels in SQL (histogram entropy, 4-neighbor Laplacian via
+    shifted self-joins, opponent-axis sums, tile-hash repeats) and replays
+    every decision."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import gate_features, image_gates
+    from lmw_tree_spark.sources import codecs
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120)
+
+    def plant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                hx = hashlib.md5(f"{r.image_id}:funnel".encode()).hexdigest()
+                if hx[0] in "01":  # flat: fails entropy + sharpness
+                    c = 60 + int(hx[1], 16) * 12
+                    px = np.full((int(r.h), int(r.w), 3), c, dtype=np.uint8)
+                elif hx[0] in "23":  # grayscale: fails color
+                    d = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+                    lum = (299 * d[..., 0] + 587 * d[..., 1] + 114 * d[..., 2]) // 1000
+                    px = np.repeat(lum[..., None], 3, axis=2).astype(np.uint8)
+                elif hx[0] in "45":  # collage: fails tile-repeat gate
+                    d = codecs.decode_image(bytes(r.bytes), r.fmt)
+                    reps = (int(r.h) // 16 + 1, int(r.w) // 16 + 1, 1)
+                    px = np.tile(d[:16, :16, :], reps)[: int(r.h), : int(r.w), :]
+                else:
+                    rows.append((r.image_id, r.bytes, r.w, r.h, r.fmt))
+                    continue
+                rows.append(
+                    (r.image_id, codecs.encode_png(px), r.w, r.h, "png")
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    planted = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        plant, "image_id string, bytes binary, w int, h int, fmt string"
+    ).persist()
+    _pixels_exchange(planted, xname="funnel")
+    return image_gates(gate_features(planted)).orderBy("image_id")
+
+
 def q_sharpness_filter(spark, sf_dir):
     """Sharpness + exposure curation gate (operators/pixels.py:
     sharpness_stats): variance-of-Laplacian energy and clipped-pixel counts
@@ -3807,6 +3865,7 @@ def _exchange_oracles() -> dict[str, str]:
     color_px = os.path.join(x, "color", "pixels.parquet")
     tone_px = os.path.join(x, "tone", "pixels.parquet")
     coll_px = os.path.join(x, "collage", "pixels.parquet")
+    fun_px = os.path.join(x, "funnel", "pixels.parquet")
     exp_l = os.path.join(x, "expiry", "listing.parquet")
     ph_px = os.path.join(x, "phash_px", "pixels.parquet")
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
@@ -4854,6 +4913,127 @@ def _exchange_oracles() -> dict[str, str]:
                    (grayscale = 0 AND colorfulness >= 10.0)::INT AS keep
             FROM gate ORDER BY image_id
         """,
+        "image_funnel": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{fun_px}')),
+            lum AS (SELECT image_id, y, x,
+                           299*r::BIGINT + 587*g::BIGINT + 114*b::BIGINT AS lv
+                    FROM pxt),
+            dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h,
+                            count(*) AS n_px
+                     FROM pxt GROUP BY image_id),
+            -- entropy over the //1000 luma histogram
+            hist AS (SELECT image_id, lv // 1000 AS bin, count(*) AS cnt
+                     FROM lum GROUP BY 1, 2),
+            ent AS (SELECT image_id,
+                           round(log2(sum(cnt))
+                                 - sum(cnt * log2(cnt)) / sum(cnt), 4)
+                               AS entropy
+                    FROM hist GROUP BY image_id),
+            -- 4-neighbor Laplacian energy + clip counts
+            lap AS (
+                SELECT c.image_id,
+                       (4*c.lv - u.lv - d.lv - l.lv - r.lv) AS lap
+                FROM lum c
+                JOIN lum u ON u.image_id = c.image_id
+                          AND u.y = c.y - 1 AND u.x = c.x
+                JOIN lum d ON d.image_id = c.image_id
+                          AND d.y = c.y + 1 AND d.x = c.x
+                JOIN lum l ON l.image_id = c.image_id
+                          AND l.y = c.y AND l.x = c.x - 1
+                JOIN lum r ON r.image_id = c.image_id
+                          AND r.y = c.y AND r.x = c.x + 1),
+            sharp AS (
+                SELECT image_id, count(*) AS n_interior,
+                       sum(lap*lap) AS sum_lap2
+                FROM lap GROUP BY image_id),
+            clip AS (
+                SELECT image_id,
+                       sum((lv > 240000)::INT) AS n_over,
+                       sum((lv < 15000)::INT) AS n_under
+                FROM lum GROUP BY image_id),
+            -- opponent-axis color algebra
+            cper AS (
+                SELECT image_id,
+                       count(*)::BIGINT AS n_px,
+                       sum(r::BIGINT - g)::BIGINT AS sum_rg,
+                       sum((r::BIGINT - g)*(r::BIGINT - g))::BIGINT AS sum_rg2,
+                       sum(r::BIGINT + g - 2*b)::BIGINT AS sum_yb2,
+                       sum((r::BIGINT + g - 2*b)*(r::BIGINT + g - 2*b))::BIGINT
+                           AS sum_yb2sq,
+                       max(greatest(abs(r::BIGINT - g), abs(g::BIGINT - b),
+                                    abs(r::BIGINT - b)))::INT AS max_dev
+                FROM pxt GROUP BY image_id),
+            color AS (
+                SELECT image_id, max_dev,
+                       round(sqrt(greatest(sum_rg2::DOUBLE / n_px
+                                 - (sum_rg::DOUBLE / n_px)
+                                   * (sum_rg::DOUBLE / n_px), 0.0)
+                             + greatest(sum_yb2sq::DOUBLE / (4.0 * n_px)
+                                 - (sum_yb2::DOUBLE / (2.0 * n_px))
+                                   * (sum_yb2::DOUBLE / (2.0 * n_px)), 0.0))
+                             + 0.3 * sqrt((sum_rg::DOUBLE / n_px)
+                                          * (sum_rg::DOUBLE / n_px)
+                                        + (sum_yb2::DOUBLE / (2.0 * n_px))
+                                          * (sum_yb2::DOUBLE / (2.0 * n_px))),
+                             4) AS colorfulness
+                FROM cper),
+            -- within-image tile repeats
+            tiles AS (
+                SELECT image_id, ty::INT AS ty, tx::INT AS tx
+                FROM dims, range(0, 8) a(ty), range(0, 8) b(tx)
+                WHERE ty < h // 16 AND tx < w // 16),
+            tgrid AS (
+                SELECT t.image_id, t.ty, t.tx, oi::INT AS oi, oj::INT AS oj,
+                       (t.ty * 16 + oi * 2)::INT AS sy,
+                       (t.tx * 16 + oj * 2)::INT AS sx
+                FROM tiles t, range(0, 8) c(oi), range(0, 8) d(oj)),
+            tlum AS (
+                SELECT g.image_id, g.ty, g.tx, g.oi, g.oj, p.lv
+                FROM tgrid g JOIN lum p
+                  ON p.image_id = g.image_id AND p.y = g.sy AND p.x = g.sx),
+            tsum AS (SELECT image_id, ty, tx, sum(lv) AS s
+                     FROM tlum GROUP BY 1, 2, 3),
+            tbits AS (
+                SELECT l.image_id, l.ty, l.tx, (l.oi * 8 + l.oj)::INT AS k,
+                       CASE WHEN 64 * l.lv > t.s THEN 1 ELSE 0 END AS bit
+                FROM tlum l JOIN tsum t USING (image_id, ty, tx)),
+            thalves AS (
+                SELECT image_id, ty, tx,
+                       sum(CASE WHEN bit = 1 AND k < 32
+                           THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+                       sum(CASE WHEN bit = 1 AND k >= 32
+                           THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+                FROM tbits GROUP BY 1, 2, 3),
+            tallt AS (
+                SELECT image_id,
+                       hi::HUGEINT * 4294967296::HUGEINT + lo::HUGEINT AS hv
+                FROM thalves),
+            trep AS (
+                SELECT image_id, max(c) AS max_repeat
+                FROM (SELECT image_id, hv, count(*) AS c
+                      FROM tallt WHERE hv <> 0 GROUP BY image_id, hv)
+                GROUP BY image_id),
+            flags AS (
+                SELECT d.image_id,
+                       (e.entropy >= 3.0)::INT AS keep_entropy,
+                       (c.max_dev > 2 AND c.colorfulness >= 10.0)::INT
+                           AS keep_color,
+                       (s.sum_lap2 >= 1000 * s.n_interior
+                        AND 2 * cl.n_over <= d.n_px
+                        AND 2 * cl.n_under <= d.n_px)::INT AS keep_sharp,
+                       (COALESCE(t.max_repeat, 0) < 4)::INT AS keep_collage
+                FROM dims d
+                JOIN ent e USING (image_id)
+                JOIN color c USING (image_id)
+                JOIN sharp s USING (image_id)
+                JOIN clip cl USING (image_id)
+                LEFT JOIN trep t USING (image_id))
+            SELECT image_id, keep_entropy, keep_color, keep_sharp,
+                   keep_collage,
+                   (keep_entropy = 1 AND keep_color = 1 AND keep_sharp = 1
+                    AND keep_collage = 1)::INT AS keep
+            FROM flags ORDER BY image_id
+        """,
         "collage_filter": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{coll_px}')),
             dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h
@@ -5858,6 +6038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "color_filter": q_color_filter,
         "tone_dedup": q_tone_dedup,
         "collage_filter": q_collage_filter,
+        "image_funnel": q_image_funnel,
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,

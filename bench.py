@@ -435,6 +435,17 @@ def _color_production(spark, sf_dir):
     return color_gate(color_stats(generate_images(spark, 2000)))
 
 
+def _funnel_production(spark, sf_dir):
+    """Production-config fused image funnel over 2000 images: ONE decode pass
+    extracting all four gates' features, decisions in one JVM projection —
+    compare its wall time against the per-gate queries it replaces
+    (entropy_filter + color_filter + sharpness_filter + collage_filter)."""
+    from lmw_tree_spark.operators.pixels import gate_features, image_gates
+    from lmw_tree_spark.sources.images import generate_images
+
+    return image_gates(gate_features(generate_images(spark, 2000)))
+
+
 def _collage_production(spark, sf_dir):
     """Production-config collage gate over 2000 images (no oracle-exchange
     pixel materialization): tile-ahash Arrow map stage, bounded two-stage
@@ -487,7 +498,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "safety_filter", "curation_funnel", "quality_classifier", "classifier_train",
         "entropy_filter", "letterbox_crop", "padded_dedup", "watermark_flags",
         "color_filter", "affix_strip", "compaction_plan", "group_merge",
-        "collage_filter",
+        "collage_filter", "image_funnel",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
@@ -507,6 +518,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["watermark_flags"] = _watermark_production
     qs["color_filter"] = _color_production
     qs["collage_filter"] = _collage_production
+    qs["image_funnel"] = _funnel_production
     out = {}
     for name in names:
         # min-of-2: the first run pays Python-worker spin-up / first-import /

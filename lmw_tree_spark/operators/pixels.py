@@ -506,6 +506,163 @@ def tile_self_similarity(tiles: DataFrame, min_repeats: int = 4) -> DataFrame:
     )
 
 
+GATE_FEATURES_SCHEMA = (
+    "image_id string, n_px bigint, ent_s double, "
+    "n_interior bigint, sum_lap2 bigint, n_over bigint, n_under bigint, "
+    "sum_rg bigint, sum_rg2 bigint, sum_yb2 bigint, sum_yb2sq bigint, "
+    "max_dev int, n_colored bigint, max_repeat bigint"
+)
+
+
+def gate_features(
+    images: DataFrame, tile: int = 16, spread_min: int = 16
+) -> DataFrame:
+    """ONE decode pass → every curation-gate feature. At 100 TB the decode is
+    the dominant cost of the image-gate family (entropy, sharpness/exposure,
+    grayscale/colorfulness, collage); running each gate as its own operator
+    decodes the corpus once PER GATE. This kernel fuses them: a single Arrow
+    map stage decodes each image once and emits one fixed-width row carrying
+    the exact-integer (and one float) features of all four — the luma-
+    histogram entropy sum, interior Laplacian energy + clip counts, opponent-
+    axis color sums, and the within-image max tile-hash repeat. The gate
+    decisions themselves stay in :func:`image_gates` (pure JVM projection),
+    so thresholds re-tune without re-decoding. Feature semantics are
+    bit-identical to the standalone operators (same luma scales, same strict
+    inequalities, same hash-0 exclusion)."""
+    if tile % 8:
+        raise ValueError("tile must be divisible by 8")
+    step = tile // 8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+                h, w = px.shape[:2]
+                ilum = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+                n_px = int(ilum.size)
+                # entropy: 256-bin histogram of //1000 luma (luma_histogram)
+                cnts = np.bincount((ilum // 1000).ravel(), minlength=256)
+                nz = cnts[cnts > 0].astype(np.float64)
+                ent_s = float((nz * np.log2(nz)).sum())
+                # sharpness/exposure (sharpness_stats)
+                lap = (
+                    4 * ilum[1:-1, 1:-1]
+                    - ilum[:-2, 1:-1]
+                    - ilum[2:, 1:-1]
+                    - ilum[1:-1, :-2]
+                    - ilum[1:-1, 2:]
+                )
+                # color opponent axes (color_stats)
+                r_, g_, b_ = px[..., 0], px[..., 1], px[..., 2]
+                rg = r_ - g_
+                yb2 = r_ + g_ - 2 * b_
+                dev = np.maximum(
+                    np.abs(rg), np.maximum(np.abs(g_ - b_), np.abs(r_ - b_))
+                )
+                spread = px.max(axis=2) - px.min(axis=2)
+                # within-image tile repeats (tile_ahash + tile_self_similarity)
+                gy, gx = h // tile, w // tile
+                max_repeat = 0
+                if gy and gx:
+                    g = (
+                        ilum[: gy * tile : step, : gx * tile : step]
+                        .reshape(gy, 8, gx, 8)
+                        .transpose(0, 2, 1, 3)
+                    )
+                    s = g.sum(axis=(2, 3), keepdims=True)
+                    bits = (64 * g > s).reshape(gy * gx, 64).astype(np.uint64)
+                    h64 = (bits << k).sum(axis=1, dtype=np.uint64)
+                    h64 = h64[h64 != 0]
+                    if len(h64):
+                        max_repeat = int(np.unique(h64, return_counts=True)[1].max())
+                rows.append(
+                    (
+                        r.image_id, n_px, ent_s,
+                        int(lap.size), int((lap * lap).sum()),
+                        int((ilum > 240_000).sum()), int((ilum < 15_000).sum()),
+                        int(rg.sum()), int((rg * rg).sum()),
+                        int(yb2.sum()), int((yb2 * yb2).sum()),
+                        int(dev.max()), int((spread > spread_min).sum()),
+                        max_repeat,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_px", "ent_s",
+                    "n_interior", "sum_lap2", "n_over", "n_under",
+                    "sum_rg", "sum_rg2", "sum_yb2", "sum_yb2sq",
+                    "max_dev", "n_colored", "max_repeat",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, GATE_FEATURES_SCHEMA
+    )
+
+
+def image_gates(
+    feats: DataFrame,
+    min_bits: float = 3.0,
+    gray_tol: int = 2,
+    min_colorfulness: float = 10.0,
+    min_lap2_mean: int = 1000,
+    max_clip_frac: float = 0.5,
+    min_repeats: int = 4,
+) -> DataFrame:
+    """Gate decisions over :func:`gate_features` — the composed image
+    curation funnel in one whole-stage-codegen projection (no shuffle, no
+    joins): per image the four keep flags with EXACTLY the standalone
+    operators' decision algebra (entropy_gate, color_gate, sharpness_stats,
+    tile_self_similarity) and the composite ``keep``. Float comparisons are
+    on 4-digit-ROUNDED values (the repo's parity contract)."""
+    n = F.col("n_px").cast("double")
+    ent = F.round(F.log2("n_px") - F.col("ent_s") / n, 4)
+    keep_entropy = (ent >= F.lit(min_bits)).cast("int")
+
+    mean_rg = F.col("sum_rg").cast("double") / n
+    mean_yb = F.col("sum_yb2").cast("double") / (F.lit(2.0) * n)
+    var_rg = F.greatest(
+        F.col("sum_rg2").cast("double") / n - mean_rg * mean_rg, F.lit(0.0)
+    )
+    var_yb = F.greatest(
+        F.col("sum_yb2sq").cast("double") / (F.lit(4.0) * n) - mean_yb * mean_yb,
+        F.lit(0.0),
+    )
+    cf = F.round(
+        F.sqrt(var_rg + var_yb)
+        + F.lit(0.3) * F.sqrt(mean_rg * mean_rg + mean_yb * mean_yb),
+        4,
+    )
+    keep_color = (
+        (F.col("max_dev") > F.lit(gray_tol)) & (cf >= F.lit(min_colorfulness))
+    ).cast("int")
+
+    keep_sharp = (
+        (F.col("sum_lap2") >= F.lit(min_lap2_mean) * F.col("n_interior"))
+        & (F.col("n_over") <= F.lit(max_clip_frac) * F.col("n_px"))
+        & (F.col("n_under") <= F.lit(max_clip_frac) * F.col("n_px"))
+    ).cast("int")
+
+    keep_collage = (F.col("max_repeat") < F.lit(min_repeats)).cast("int")
+
+    return feats.select(
+        "image_id",
+        keep_entropy.alias("keep_entropy"),
+        keep_color.alias("keep_color"),
+        keep_sharp.alias("keep_sharp"),
+        keep_collage.alias("keep_collage"),
+        (
+            (keep_entropy == 1) & (keep_color == 1)
+            & (keep_sharp == 1) & (keep_collage == 1)
+        ).cast("int").alias("keep"),
+    )
+
+
 SHARPNESS_SCHEMA = (
     "image_id string, n_px long, n_interior long, sum_lap2 bigint, "
     "n_over long, n_under long, keep boolean"

@@ -650,3 +650,49 @@ def test_tile_self_similarity_collage_gate(spark):
     # threshold above the repeat count un-flags
     relaxed = tile_self_similarity(tile_ahash(df, tile=16), min_repeats=10)
     assert relaxed.where("tiled = 1").count() == 0
+
+
+def test_gate_features_fused_matches_standalone_operators(spark):
+    """The one-decode fused kernel reproduces every standalone gate decision
+    bit-for-bit over a mixed corpus (flat, grayscale, collage, normal)."""
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import (
+        color_gate, color_stats, entropy_gate, gate_features, image_gates,
+        luma_histogram, sharpness_stats, tile_ahash, tile_self_similarity,
+    )
+    from lmw_tree_spark.sources.images import generate_images
+
+    rng = np.random.default_rng(41)
+    rows = []
+    block = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    rows.append(("collage", codecs.encode_png(np.tile(block, (3, 3, 1))), "png"))
+    rows.append(("flat", codecs.encode_png(np.full((48, 48, 3), 77, np.uint8)), "png"))
+    lum = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    rows.append(("gray", codecs.encode_png(np.repeat(lum[..., None], 3, 2)), "png"))
+    rows.append(("normal", codecs.encode_png(
+        rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)), "png"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+    fused = (
+        image_gates(gate_features(df))
+        .toPandas().set_index("image_id").sort_index()
+    )
+    ent = entropy_gate(luma_histogram(df)).toPandas().set_index("image_id")
+    col = color_gate(color_stats(df)).toPandas().set_index("image_id")
+    shp = sharpness_stats(df).toPandas().set_index("image_id")
+    tls = (
+        tile_self_similarity(tile_ahash(df, tile=16))
+        .toPandas().set_index("image_id")
+    )
+    for img in fused.index:
+        assert fused.loc[img, "keep_entropy"] == ent.loc[img, "keep"], img
+        assert fused.loc[img, "keep_color"] == col.loc[img, "keep"], img
+        assert fused.loc[img, "keep_sharp"] == int(shp.loc[img, "keep"]), img
+        assert fused.loc[img, "keep_collage"] == (1 - tls.loc[img, "tiled"]), img
+    # the mixed corpus actually exercises each gate
+    assert fused.loc["flat", "keep_entropy"] == 0
+    assert fused.loc["gray", "keep_color"] == 0
+    assert fused.loc["flat", "keep_sharp"] == 0
+    assert fused.loc["collage", "keep_collage"] == 0
+    assert fused.loc["normal", "keep"] == 1
