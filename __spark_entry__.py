@@ -3057,6 +3057,61 @@ def q_collage_filter(spark, sf_dir):
     return tile_self_similarity(tile_ahash(planted, tile=16)).orderBy("image_id")
 
 
+def q_text_overlay(spark, sf_dir):
+    """Burned-in text / meme-caption gate (operators/pixels.py:
+    text_overlay_stats + text_overlay_gate): glyph strokes are dense
+    ALTERNATING strong horizontal gradients, so the flag compares the bottom
+    band's gradient-sign-flip density against the whole frame's — the
+    model-free stand-in for OCR-density curation filters. The query plants
+    caption bars (md5-selected subset, 1-px alternating stripes in the
+    bottom third — the stroke texture at thumbnail scale); the oracle
+    re-derives gradients, strong-flip positions, band membership, and both
+    rounded densities from raw pixels via shifted self-joins in SQL."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.operators.pixels import (
+        text_overlay_gate,
+        text_overlay_stats,
+    )
+    from lmw_tree_spark.sources import codecs
+    from lmw_tree_spark.sources.images import generate_images
+
+    images = generate_images(spark, 120)
+
+    def plant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                hx = hashlib.md5(f"{r.image_id}:text".encode()).hexdigest()
+                if hx[0] in "0123":
+                    px = codecs.decode_image(bytes(r.bytes), r.fmt).copy()
+                    h, w = px.shape[:2]
+                    band0 = h - h // 3
+                    cols = np.where(np.arange(w) % 2 == 0, 40, 220).astype(
+                        np.uint8
+                    )
+                    px[band0:, :, :] = cols[None, :, None]
+                    rows.append(
+                        (r.image_id, codecs.encode_png(px), r.w, r.h, "png")
+                    )
+                else:
+                    rows.append((r.image_id, r.bytes, r.w, r.h, r.fmt))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    planted = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        plant, "image_id string, bytes binary, w int, h int, fmt string"
+    ).persist()
+    _pixels_exchange(planted, xname="textov")
+    return text_overlay_gate(text_overlay_stats(planted)).orderBy("image_id")
+
+
 def q_image_funnel(spark, sf_dir):
     """The composed image curation funnel, ONE DECODE PASS (operators/
     pixels.py:gate_features + image_gates): at 100 TB decode dominates the
@@ -3866,6 +3921,7 @@ def _exchange_oracles() -> dict[str, str]:
     tone_px = os.path.join(x, "tone", "pixels.parquet")
     coll_px = os.path.join(x, "collage", "pixels.parquet")
     fun_px = os.path.join(x, "funnel", "pixels.parquet")
+    tov_px = os.path.join(x, "textov", "pixels.parquet")
     exp_l = os.path.join(x, "expiry", "listing.parquet")
     ph_px = os.path.join(x, "phash_px", "pixels.parquet")
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
@@ -4912,6 +4968,45 @@ def _exchange_oracles() -> dict[str, str]:
             SELECT image_id, grayscale, colored_frac, colorfulness,
                    (grayscale = 0 AND colorfulness >= 10.0)::INT AS keep
             FROM gate ORDER BY image_id
+        """,
+        "text_overlay": f"""
+            WITH pxt AS (SELECT * FROM read_parquet('{tov_px}')),
+            lum AS (SELECT image_id, y, x,
+                           299*r::BIGINT + 587*g::BIGINT + 114*b::BIGINT AS lv
+                    FROM pxt),
+            dims AS (SELECT image_id, max(x)+1 AS w, max(y)+1 AS h,
+                            count(*) AS n_px
+                     FROM pxt GROUP BY image_id),
+            grad AS (
+                SELECT a.image_id, a.y, a.x, (b.lv - a.lv) AS g
+                FROM lum a JOIN lum b
+                  ON b.image_id = a.image_id AND b.y = a.y AND b.x = a.x + 1),
+            flips AS (
+                SELECT a.image_id, a.y
+                FROM grad a JOIN grad b
+                  ON b.image_id = a.image_id AND b.y = a.y AND b.x = a.x + 1
+                WHERE a.g * b.g < 0
+                  AND abs(a.g) > 30000 AND abs(b.g) > 30000),
+            counted AS (
+                SELECT d.image_id, d.n_px,
+                       (d.h // 3) * d.w AS n_band_px,
+                       (SELECT count(*) FROM flips f
+                        WHERE f.image_id = d.image_id) AS n_flips,
+                       (SELECT count(*) FROM flips f
+                        WHERE f.image_id = d.image_id
+                          AND f.y >= d.h - d.h // 3) AS n_band_flips
+                FROM dims d),
+            dens AS (
+                SELECT image_id,
+                       round(n_band_flips::DOUBLE / n_band_px, 4)
+                           AS band_density,
+                       round(n_flips::DOUBLE / n_px, 4) AS frame_density
+                FROM counted)
+            SELECT image_id, band_density, frame_density,
+                   (band_density >= 0.05
+                    AND band_density >= 2.0 * frame_density)::INT
+                       AS text_overlay
+            FROM dens ORDER BY image_id
         """,
         "image_funnel": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{fun_px}')),
@@ -6039,6 +6134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tone_dedup": q_tone_dedup,
         "collage_filter": q_collage_filter,
         "image_funnel": q_image_funnel,
+        "text_overlay": q_text_overlay,
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,

@@ -435,6 +435,18 @@ def _color_production(spark, sf_dir):
     return color_gate(color_stats(generate_images(spark, 2000)))
 
 
+def _textov_production(spark, sf_dir):
+    """Production-config burned-in-text gate over 2000 images: gradient flip
+    counting in the Arrow decode stage, gate in JVM projection."""
+    from lmw_tree_spark.operators.pixels import (
+        text_overlay_gate,
+        text_overlay_stats,
+    )
+    from lmw_tree_spark.sources.images import generate_images
+
+    return text_overlay_gate(text_overlay_stats(generate_images(spark, 2000)))
+
+
 def _funnel_production(spark, sf_dir):
     """Production-config fused image funnel over 2000 images: ONE decode pass
     extracting all four gates' features, decisions in one JVM projection —
@@ -498,7 +510,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "safety_filter", "curation_funnel", "quality_classifier", "classifier_train",
         "entropy_filter", "letterbox_crop", "padded_dedup", "watermark_flags",
         "color_filter", "affix_strip", "compaction_plan", "group_merge",
-        "collage_filter", "image_funnel",
+        "collage_filter", "image_funnel", "text_overlay",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
@@ -519,6 +531,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["color_filter"] = _color_production
     qs["collage_filter"] = _collage_production
     qs["image_funnel"] = _funnel_production
+    qs["text_overlay"] = _textov_production
     out = {}
     for name in names:
         # min-of-2: the first run pays Python-worker spin-up / first-import /

@@ -506,6 +506,86 @@ def tile_self_similarity(tiles: DataFrame, min_repeats: int = 4) -> DataFrame:
     )
 
 
+TEXT_OVERLAY_SCHEMA = (
+    "image_id string, n_px bigint, n_band_px bigint, "
+    "flips bigint, band_flips bigint"
+)
+
+
+def text_overlay_stats(
+    images: DataFrame, band_frac: int = 3, grad_min: int = 30_000
+) -> DataFrame:
+    """Burned-in text / meme-caption detector, model-free stand-in for the
+    OCR-density filters of LAION-style curation (a real detector drops into
+    the same fixed-width feature row): glyph strokes produce dense
+    ALTERNATING strong horizontal gradients, so per image this counts
+    adjacent-pixel gradient sign flips — positions x where
+    ``g[x]·g[x+1] < 0`` with both ``|g| > grad_min`` on the x1000 integer
+    luma — over the whole frame and over the bottom ``1/band_frac`` band
+    (where caption bars live). All integer algebra from the decode, one
+    fixed-width row per image; the gate itself (:func:`text_overlay_gate`)
+    is a JVM projection. Pure map stage, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+                h = px.shape[0]
+                ilum = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+                g = ilum[:, 1:] - ilum[:, :-1]
+                strong = np.abs(g) > grad_min
+                flip = (
+                    (g[:, 1:] * g[:, :-1] < 0) & strong[:, 1:] & strong[:, :-1]
+                )
+                band0 = h - h // band_frac
+                rows.append(
+                    (
+                        r.image_id,
+                        int(ilum.size),
+                        int(ilum[band0:].size),
+                        int(flip.sum()),
+                        int(flip[band0:].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_px", "n_band_px", "flips", "band_flips",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, TEXT_OVERLAY_SCHEMA
+    )
+
+
+def text_overlay_gate(
+    stats: DataFrame, min_band_density: float = 0.05, band_ratio: float = 2.0
+) -> DataFrame:
+    """Decision over :func:`text_overlay_stats`: flag when the bottom band's
+    flip density (flips per band pixel, rounded 4) is at least
+    ``min_band_density`` AND at least ``band_ratio``× the whole-frame
+    density — a caption bar is locally stroke-dense relative to its photo.
+    Cross-multiplied ratio test (no division by a possibly-zero whole-frame
+    density); densities on ROUNDED values per the parity contract."""
+    band_d = F.round(
+        F.col("band_flips").cast("double") / F.col("n_band_px"), 4
+    )
+    whole_d = F.round(F.col("flips").cast("double") / F.col("n_px"), 4)
+    flagged = (band_d >= F.lit(min_band_density)) & (
+        band_d >= F.lit(band_ratio) * whole_d
+    )
+    return stats.select(
+        "image_id",
+        band_d.alias("band_density"),
+        whole_d.alias("frame_density"),
+        flagged.cast("int").alias("text_overlay"),
+    )
+
+
 GATE_FEATURES_SCHEMA = (
     "image_id string, n_px bigint, ent_s double, "
     "n_interior bigint, sum_lap2 bigint, n_over bigint, n_under bigint, "

@@ -696,3 +696,36 @@ def test_gate_features_fused_matches_standalone_operators(spark):
     assert fused.loc["flat", "keep_sharp"] == 0
     assert fused.loc["collage", "keep_collage"] == 0
     assert fused.loc["normal", "keep"] == 1
+
+
+def test_text_overlay_gate_flags_caption_bars(spark):
+    """A 1-px-stripe caption bar in the bottom third flags; the same texture
+    covering the WHOLE frame does not (no local density contrast); a smooth
+    photo never flags."""
+    from lmw_tree_spark.operators.pixels import (
+        text_overlay_gate, text_overlay_stats,
+    )
+
+    rng = np.random.default_rng(43)
+    w = h = 48
+    cols = np.where(np.arange(w) % 2 == 0, 40, 220).astype(np.uint8)
+    barred = rng.integers(90, 160, (h, w, 3), dtype=np.uint8)  # low contrast
+    barred[h - h // 3:, :, :] = cols[None, :, None]
+    fulltext = np.repeat(np.repeat(cols[None, :, None], h, 0), 3, 2)
+    photo = rng.integers(90, 160, (h, w, 3), dtype=np.uint8)
+    rows = [
+        ("barred", codecs.encode_png(barred), "png"),
+        ("fulltext", codecs.encode_png(fulltext), "png"),
+        ("photo", codecs.encode_png(photo), "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = (
+        text_overlay_gate(text_overlay_stats(df))
+        .toPandas().set_index("image_id")
+    )
+    assert got.loc["barred", "text_overlay"] == 1
+    assert got.loc["barred", "band_density"] > 0.9
+    # uniform texture: band density == frame density, ratio test rejects
+    assert got.loc["fulltext", "text_overlay"] == 0
+    assert got.loc["photo", "text_overlay"] == 0
+    assert got.loc["photo", "band_density"] < 0.05
