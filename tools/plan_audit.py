@@ -73,6 +73,9 @@ AUDITED = [
     ("compaction_plan", False, "metadata-only window per table partition; data files untouched until the rewrite"),
     ("group_merge", False, "closure on the CONTRACTED graph (touched groups + new ids); corpus patch is one broadcast remap join"),
     ("tone_dedup", False, "pHash map stage + pigeonhole band equi-join + bit_count verify — the simhash_dedup plan shape"),
+    ("collage_filter", False, "two bounded per-image rollups over the tile grid; universe patch is the only join"),
+    ("image_funnel", False, "ONE decode pass for all four gates; decisions a single JVM projection, zero joins"),
+    ("text_overlay", False, "gradient-flip counting inside the decode kernel; gate pure projection, zero shuffles"),
 ]
 
 JOIN_RE = re.compile(
