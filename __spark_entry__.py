@@ -4998,7 +4998,7 @@ def _exchange_oracles() -> dict[str, str]:
                 FROM dims d),
             dens AS (
                 SELECT image_id,
-                       round(n_band_flips::DOUBLE / n_band_px, 4)
+                       round(n_band_flips::DOUBLE / greatest(n_band_px, 1), 4)
                            AS band_density,
                        round(n_flips::DOUBLE / n_px, 4) AS frame_density
                 FROM counted)

@@ -572,7 +572,9 @@ def text_overlay_gate(
     Cross-multiplied ratio test (no division by a possibly-zero whole-frame
     density); densities on ROUNDED values per the parity contract."""
     band_d = F.round(
-        F.col("band_flips").cast("double") / F.col("n_band_px"), 4
+        F.col("band_flips").cast("double")
+        / F.greatest(F.col("n_band_px"), F.lit(1)),  # h < band_frac → empty band
+        4,
     )
     whole_d = F.round(F.col("flips").cast("double") / F.col("n_px"), 4)
     flagged = (band_d >= F.lit(min_band_density)) & (
