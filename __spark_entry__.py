@@ -3760,6 +3760,70 @@ def q_video_neardup(spark, sf_dir):
     ).orderBy("video_id")
 
 
+def q_stream_neardup(spark, sf_dir):
+    """Stateful streaming PERCEPTUAL near-dup (streaming/ingest.py:
+    stream_neardup_edges): band-keyed applyInPandasWithState carrying
+    (hash, id) bucket members across micro-batches and emitting verified
+    Hamming edges incrementally — the distinct streamed edge set provably
+    equals the batch band algebra at any batch boundary, which is exactly
+    what the oracle replays in SQL (4×16-bit pigeonhole candidates +
+    bit_count ≤ 6 verify over the materialized phashes). The query asserts
+    ≥ 2 committed micro-batches AND at least one edge whose endpoints landed
+    in different source files — state genuinely crossed batches."""
+    import glob
+    import shutil
+
+    from lmw_tree_spark.sources.images import IMAGES_SCHEMA, generate_images
+    from lmw_tree_spark.streaming.ingest import stream_neardup_edges
+
+    src, ck = "/tmp/lmw_oracle_snd_src", "/tmp/lmw_oracle_snd_ck"
+    for p in (src, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    images = generate_images(spark, 400)
+    images.repartition(4).write.parquet(src)
+    _write_exchange(
+        "stream_neardup",
+        phash=images.select(
+            F.substring("image_id", 4, 10).cast("long").alias("doc_id"),
+            F.col("phash").alias("simhash"),
+        ).toPandas(),
+    )
+
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            F.substring("image_id", 4, 10).cast("long").alias("doc_id"), "phash"
+        )
+    )
+    q = (
+        stream_neardup_edges(stream, hash_col="phash", id_col="doc_id")
+        .writeStream.format("memory")
+        .queryName("lmw_stream_neardup")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    import os
+
+    n_batches = len(os.listdir(os.path.join(ck, "offsets")))
+    assert n_batches >= 2, f"expected >=2 micro-batches, got {n_batches}"
+    edges = spark.table("lmw_stream_neardup").select("src", "dst", "dist").distinct()
+    fmap = {}
+    for i, f in enumerate(sorted(glob.glob(src + "/part-*"))):
+        for r in spark.read.parquet(f).select("image_id").collect():
+            fmap[int(r["image_id"][3:])] = i
+    pairs = edges.select("src", "dst").collect()
+    assert pairs, "no near-dup edges streamed"
+    assert any(fmap[r["src"]] != fmap[r["dst"]] for r in pairs), (
+        "no edge crossed a micro-batch boundary"
+    )
+    return edges.orderBy("src", "dst")
+
+
 def q_stream_dedup(spark, sf_dir):
     """Stateful streaming exact-dedup (streaming/ingest.py:184,
     applyInPandasWithState; reference mini-batch semantics,
@@ -3922,6 +3986,7 @@ def _exchange_oracles() -> dict[str, str]:
     coll_px = os.path.join(x, "collage", "pixels.parquet")
     fun_px = os.path.join(x, "funnel", "pixels.parquet")
     tov_px = os.path.join(x, "textov", "pixels.parquet")
+    snd_ph = os.path.join(x, "stream_neardup", "phash.parquet")
     exp_l = os.path.join(x, "expiry", "listing.parquet")
     ph_px = os.path.join(x, "phash_px", "pixels.parquet")
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
@@ -4968,6 +5033,20 @@ def _exchange_oracles() -> dict[str, str]:
             SELECT image_id, grayscale, colored_frac, colorfulness,
                    (grayscale = 0 AND colorfulness >= 10.0)::INT AS keep
             FROM gate ORDER BY image_id
+        """,
+        "stream_neardup": f"""
+            WITH ph AS (SELECT doc_id, simhash FROM read_parquet('{snd_ph}')),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM ph a, ph b, range(4) r(b_idx)
+                WHERE a.doc_id < b.doc_id
+                  AND ((a.simhash >> (b_idx * 16)) & 65535)
+                    = ((b.simhash >> (b_idx * 16)) & 65535))
+            SELECT src, dst,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
+            FROM pairs JOIN ph a ON a.doc_id = src JOIN ph b ON b.doc_id = dst
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            ORDER BY src, dst
         """,
         "text_overlay": f"""
             WITH pxt AS (SELECT * FROM read_parquet('{tov_px}')),
@@ -6135,6 +6214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collage_filter": q_collage_filter,
         "image_funnel": q_image_funnel,
         "text_overlay": q_text_overlay,
+        "stream_neardup": q_stream_neardup,
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,

@@ -230,6 +230,99 @@ def stream_dedup_groups(sig_stream: DataFrame, fingerprint_col: str = "phash"):
     )
 
 
+NEARDUP_OUT_SCHEMA = "src long, dst long, dist long"
+NEARDUP_STATE_SCHEMA = "hashes array<long>, ids array<long>"
+
+
+def stream_neardup_edges(
+    sig_stream: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "doc_id",
+    max_dist: int = 6,
+    n_bands: int = 4,
+    state_cap: int = 4096,
+) -> DataFrame:
+    """Stateful streaming PERCEPTUAL near-dup — the Hamming extension of
+    ``stream_dedup_groups``' exact-fingerprint state: each row explodes into
+    ``n_bands`` pigeonhole bit-slice keys (pure JVM, the same bucketing as
+    the batch ``simhash_dedup``); per band bucket the state carries the
+    (hash, id) pairs seen so far, and every arrival emits a verified edge
+    ``(src, dst, dist ≤ max_dist)`` against all prior bucket members — so
+    the distinct streamed edge SET equals the batch band algebra ("pairs
+    sharing ≥ 1 band, bit_count ≤ max_dist") regardless of micro-batch
+    boundaries or arrival order: whichever of a pair arrives second finds
+    the first in state, and within a batch rows are processed in sorted id
+    order against earlier appends. ``state_cap`` bounds per-bucket state
+    (the df-guard analog — a bucket hotter than the cap is a template/flat
+    slice; below the cap the set equality is exact). The same pair emitted
+    by several bands dedups downstream with ``distinct()``.
+
+    State size is O(bucket members) per key — the footprint the batch job
+    would shuffle; edges stream out incrementally instead of re-running the
+    self-join per shard."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(hash_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig_stream.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h"), F.explode(arr).alias("s")
+    ).select(
+        (F.col("s.band").cast("long") * (mask + 1) + F.col("s.key")).alias("bucket"),
+        "id",
+        "h",
+    )
+    m64 = (1 << 64) - 1
+
+    def update(key, pdfs, state):
+        frames = [pdf[["id", "h"]] for pdf in pdfs]
+        batch = pd.concat(frames) if frames else pd.DataFrame({"id": [], "h": []})
+        if state.exists:
+            hashes, ids = state.get
+            hashes, ids = list(hashes), list(ids)
+        else:
+            hashes, ids = [], []
+        src, dst, dist = [], [], []
+        for rid, h in zip(
+            batch.sort_values("id")["id"].astype("int64"),
+            batch.sort_values("id")["h"].astype("int64"),
+        ):
+            rid, h = int(rid), int(h)
+            for eh, eid in zip(hashes, ids):
+                if eid == rid:
+                    continue
+                d = bin((eh ^ h) & m64).count("1")
+                if d <= max_dist:
+                    src.append(min(rid, eid))
+                    dst.append(max(rid, eid))
+                    dist.append(d)
+            if len(hashes) < state_cap:
+                hashes.append(h)
+                ids.append(rid)
+        state.update((hashes, ids))
+        yield pd.DataFrame({"src": src, "dst": dst, "dist": dist})
+
+    return bands.groupBy("bucket").applyInPandasWithState(
+        update,
+        NEARDUP_OUT_SCHEMA,
+        NEARDUP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_first_seen(sig_stream: DataFrame, watermark_col: str, delay: str,
                       fingerprint_col: str = "phash") -> DataFrame:
     """First-seen-only streaming dedup using the built-in watermarked

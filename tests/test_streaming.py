@@ -237,3 +237,47 @@ def test_stream_first_seen_drops_duplicates(spark, tmpdir_ck):
     q.awaitTermination(60)
     got = spark.table("first_seen").toPandas()
     assert sorted(got["phash"].tolist()) == [7, 8]  # one row per fingerprint
+
+
+def test_stream_neardup_edges_equal_batch_band_algebra(spark, tmpdir_ck):
+    """The distinct streamed Hamming edge set equals the batch simhash_dedup
+    band algebra over the same input — batch boundaries don't change it."""
+    from lmw_tree_spark.operators.dedup import simhash_dedup
+    from lmw_tree_spark.sources.images import IMAGES_SCHEMA, generate_images
+    from lmw_tree_spark.streaming.ingest import stream_neardup_edges
+
+    src = os.path.join(tmpdir_ck, "snd_src")
+    ck = os.path.join(tmpdir_ck, "snd_ck")
+    images = generate_images(spark, 200)
+    images.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(F.substring("image_id", 4, 10).cast("long").alias("doc_id"), "phash")
+    )
+    q = (
+        stream_neardup_edges(stream, hash_col="phash", id_col="doc_id")
+        .writeStream.format("memory")
+        .queryName("snd_test")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["src"], r["dst"], r["dist"])
+        for r in spark.table("snd_test").distinct().collect()
+    }
+
+    ph = spark.read.parquet(src).select(
+        F.substring("image_id", 4, 10).cast("long").alias("doc_id"),
+        F.col("phash").alias("simhash"),
+    )
+    batch = {
+        (r["src"], r["dst"], r["dist"])
+        for r in simhash_dedup(ph, max_dist=6, pair_cap=100_000, sh=ph).collect()
+    }
+    assert streamed == batch and len(batch) > 0
