@@ -458,6 +458,20 @@ def _funnel_production(spark, sf_dir):
     return image_gates(gate_features(generate_images(spark, 2000)))
 
 
+def _dbscan_production(spark, sf_dir):
+    """Production-config DBSCAN: near-dup-tight eps (cosine >= 0.75) over the
+    embeddings table. The oracled query keeps the loose 0.35 eps whose dense
+    graph exercises every branch; this times the realistic sparse-graph
+    config — the same oracle-config/production-config split the minhash
+    query uses."""
+    import os
+
+    from lmw_tree_spark.operators.density import dbscan_embeddings
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return dbscan_embeddings(emb, min_cosine=0.75, min_core_neighbors=3)
+
+
 def _collage_production(spark, sf_dir):
     """Production-config collage gate over 2000 images (no oracle-exchange
     pixel materialization): tile-ahash Arrow map stage, bounded two-stage
@@ -532,6 +546,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["collage_filter"] = _collage_production
     qs["image_funnel"] = _funnel_production
     qs["text_overlay"] = _textov_production
+    qs["dbscan_embeddings"] = _dbscan_production
     out = {}
     for name in names:
         # min-of-2: the first run pays Python-worker spin-up / first-import /
