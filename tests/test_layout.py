@@ -111,3 +111,30 @@ def test_compaction_plan_bin_packing(spark):
         .toPandas().set_index("file_id")
     )
     assert tight.loc[2, "group_id"] == 0 and tight.loc[5, "group_id"] == 1
+
+
+def test_compaction_plan_invariants_randomized(spark):
+    """Seeded randomized invariants: candidate group ids are contiguous from
+    0 per partition (each step adds < target), every group's byte total is
+    bounded by target + largest-small-file (the straddle bound), and
+    non-candidates are never grouped."""
+    import numpy as np
+
+    from lmw_tree_spark.operators.layout import compaction_plan
+
+    target, small = 1000, 500
+    for seed in (3, 17, 99):
+        rng = np.random.default_rng(seed)
+        rows = [
+            (f"p{int(rng.integers(0, 4))}", int(i), int(rng.integers(1, 2000)))
+            for i in range(300)
+        ]
+        m = spark.createDataFrame(rows, "part_key string, file_id long, bytes long")
+        got = compaction_plan(m, target_bytes=target, small_bytes=small).toPandas()
+        assert (got[got.compact == 0].group_id.isna()).all()
+        cands = got[got.compact == 1]
+        for part, grp in cands.groupby("part_key"):
+            gids = sorted(grp.group_id.unique())
+            assert gids == list(range(len(gids))), (seed, part, gids)
+            per = grp.groupby("group_id")["bytes"].sum()
+            assert (per <= target + small).all(), (seed, part, per.max())

@@ -447,3 +447,40 @@ def test_affix_strip_edge_cases(spark):
     # below min_doc_freq (prefix support is 5: docs 0,1,2,6,7) nothing mines
     clean = affix_strip(df, k=3, min_doc_freq=6).toPandas()
     assert (clean["pre_hit"] == 0).all() and (clean["suf_hit"] == 0).all()
+
+
+def test_affix_strip_invariants_randomized(spark):
+    """Seeded randomized invariants: n_tokens always equals the input's
+    token count, stripped output is never empty when any strip fired, and a
+    corpus with no repeating affix passes through verbatim (normalized)."""
+    import numpy as np
+
+    from lmw_tree_spark.operators.quality import affix_strip
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(120):
+        n = int(rng.integers(1, 12))
+        toks = [vocab[int(t)] for t in rng.integers(0, len(vocab), n)]
+        if i % 3 == 0:
+            toks = ["the", "best", "of"] + toks     # mined prefix (40 docs)
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = affix_strip(df, k=3, min_doc_freq=20).toPandas().set_index("doc_id")
+    for i, text in rows:
+        toks = [t for t in text.lower().split(" ") if t]
+        assert got.loc[i, "n_tokens"] == len(toks), i
+        out = got.loc[i, "stripped_text"]
+        if got.loc[i, "pre_hit"] or got.loc[i, "suf_hit"]:
+            assert out != "" and len(out.split(" ")) >= 1
+            assert len(out.split(" ")) == len(toks) - 3 * (
+                got.loc[i, "pre_hit"] + got.loc[i, "suf_hit"]
+            ), i
+        else:
+            assert out == " ".join(toks), i
+    # every planted-prefix doc long enough to strip actually stripped
+    for i, text in rows:
+        toks = [t for t in text.lower().split(" ") if t]
+        if i % 3 == 0 and len(toks) >= 4:
+            assert got.loc[i, "pre_hit"] == 1, i
