@@ -1811,6 +1811,97 @@ def q_emtree_images(spark, sf_dir):
     return assign(sigs, fit.tree).orderBy("image_id")
 
 
+def q_dedup_attribution(spark, sf_dir):
+    """Dedup modality-attribution report — the observability rollup every
+    production dedup needs ("why was this pair removed?"): per candidate
+    modality (MinHash caption bands, phash pigeonhole, simhash pigeonhole,
+    winnowed substring) the candidate count, how many candidates VERIFIED,
+    and how many verified pairs ONLY that modality found (its irreplaceable
+    recall contribution). The tagged candidate edges are trusted state (each
+    family's bucket algebra is hash-replayed by its own query); what this
+    oracle newly replays is the VERIFY rule itself — bit_count distances,
+    the minhash-prefix agreement with the all-sentinel empty-caption rule,
+    and the corroboration vote (2-of-3 OR strong single image hash OR
+    caption alone) — plus the attribution rollup, from materialized
+    signatures in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.lsh import (
+        edges_from_buckets,
+        hamming64_buckets,
+        lgram_buckets,
+        minhash_buckets,
+        verify_edges,
+    )
+
+    sigs = _fixed_signatures(spark).persist()
+    modal = [
+        ("bands", minhash_buckets(sigs, SMALL)),
+        ("phash", hamming64_buckets(sigs, "phash", SMALL.phash_bands, 1)),
+        ("simhash", hamming64_buckets(sigs, "simhash", SMALL.phash_bands, 2)),
+        ("substring", lgram_buckets(sigs, SMALL)),
+    ]
+    tagged = None
+    for name, b in modal:
+        e = edges_from_buckets(b, SMALL.bucket_pair_cap, SMALL.chain_salts).select(
+            "src", "dst", F.lit(name).alias("modality")
+        )
+        tagged = e if tagged is None else tagged.unionByName(e)
+    tagged = tagged.distinct().persist()
+
+    mhp = SMALL.verify_minhash_prefix
+    pdf = sigs.select(
+        "image_id", "phash", "simhash", F.slice("minhash", 1, mhp).alias("mh")
+    ).toPandas()
+    mh = np.array(list(pdf["mh"]), dtype=np.int64)
+    n, p = mh.shape
+    _write_exchange(
+        "attrib",
+        edges=tagged.toPandas(),
+        sig=pdf[["image_id", "phash", "simhash"]],
+        mh=pd.DataFrame(
+            {
+                "image_id": np.repeat(pdf["image_id"].to_numpy(), p),
+                "perm_idx": np.tile(np.arange(p, dtype=np.int64), n),
+                "v": mh.ravel(),
+            }
+        ),
+    )
+
+    verified = (
+        verify_edges(tagged.select("src", "dst").distinct(), sigs, SMALL)
+        .where("is_dup")
+        .select("src", "dst")
+    )
+    vt = tagged.join(verified, ["src", "dst"]).persist()
+    per_edge = vt.groupBy("src", "dst").agg(F.count("*").alias("n_modalities"))
+    return (
+        tagged.groupBy("modality")
+        .agg(F.count("*").cast("long").alias("n_candidates"))
+        .join(
+            vt.groupBy("modality").agg(F.count("*").cast("long").alias("nv")),
+            "modality",
+            "left",
+        )
+        .join(
+            vt.join(per_edge.where("n_modalities = 1"), ["src", "dst"])
+            .groupBy("modality")
+            .agg(F.count("*").cast("long").alias("nu")),
+            "modality",
+            "left",
+        )
+        .select(
+            "modality",
+            "n_candidates",
+            F.coalesce("nv", F.lit(0)).cast("long").alias("n_verified"),
+            F.coalesce("nu", F.lit(0)).cast("long").alias("n_unique"),
+        )
+        .orderBy("modality")
+    )
+
+
 def q_cluster_coassign(spark, sf_dir):
     """Clustering-quality metric row (north star: matching the reference's
     cluster assignments): co-assignment of planted dup groups under the
@@ -3987,6 +4078,9 @@ def _exchange_oracles() -> dict[str, str]:
     fun_px = os.path.join(x, "funnel", "pixels.parquet")
     tov_px = os.path.join(x, "textov", "pixels.parquet")
     snd_ph = os.path.join(x, "stream_neardup", "phash.parquet")
+    att_e = os.path.join(x, "attrib", "edges.parquet")
+    att_s = os.path.join(x, "attrib", "sig.parquet")
+    att_m = os.path.join(x, "attrib", "mh.parquet")
     exp_l = os.path.join(x, "expiry", "listing.parquet")
     ph_px = os.path.join(x, "phash_px", "pixels.parquet")
     sharp_px = os.path.join(x, "sharp", "pixels.parquet")
@@ -5033,6 +5127,56 @@ def _exchange_oracles() -> dict[str, str]:
             SELECT image_id, grayscale, colored_frac, colorfulness,
                    (grayscale = 0 AND colorfulness >= 10.0)::INT AS keep
             FROM gate ORDER BY image_id
+        """,
+        "dedup_attribution": f"""
+            WITH e AS (SELECT * FROM read_parquet('{att_e}')),
+            s AS (SELECT * FROM read_parquet('{att_s}')),
+            mh AS (SELECT * FROM read_parquet('{att_m}')),
+            de AS (SELECT DISTINCT src, dst FROM e),
+            agree AS (
+                SELECT de.src, de.dst,
+                       sum((a.v = b.v)::INT)::DOUBLE / count(*) AS agree_raw,
+                       max(a.v) AS amax, min(a.v) AS amin,
+                       max(b.v) AS bmax, min(b.v) AS bmin
+                FROM de
+                JOIN mh a ON a.image_id = de.src
+                JOIN mh b ON b.image_id = de.dst AND b.perm_idx = a.perm_idx
+                GROUP BY de.src, de.dst),
+            scored AS (
+                SELECT de.src, de.dst,
+                       bit_count(xor(sa.phash, sb.phash)) AS phd,
+                       bit_count(xor(sa.simhash, sb.simhash)) AS shd,
+                       CASE WHEN (g.amax = -1 AND g.amin = -1)
+                              OR (g.bmax = -1 AND g.bmin = -1)
+                            THEN 0.0 ELSE g.agree_raw END AS cap
+                FROM de
+                JOIN s sa ON sa.image_id = de.src
+                JOIN s sb ON sb.image_id = de.dst
+                JOIN agree g ON g.src = de.src AND g.dst = de.dst),
+            ver AS (
+                SELECT src, dst FROM scored
+                WHERE ((phd <= 6)::INT + (shd <= 6)::INT
+                       + (cap >= 0.7)::INT) >= 2
+                   OR phd <= 4 OR shd <= 4 OR cap >= 0.6),
+            vt AS (SELECT e.* FROM e JOIN ver USING (src, dst)),
+            per_edge AS (SELECT src, dst, count(*) AS n_modalities
+                         FROM vt GROUP BY src, dst),
+            cand AS (SELECT modality, count(*)::BIGINT AS n_candidates
+                     FROM e GROUP BY modality),
+            nver AS (SELECT modality, count(*)::BIGINT AS n_verified
+                     FROM vt GROUP BY modality),
+            nuni AS (SELECT vt.modality, count(*)::BIGINT AS n_unique
+                     FROM vt JOIN per_edge p
+                       ON p.src = vt.src AND p.dst = vt.dst
+                     WHERE p.n_modalities = 1
+                     GROUP BY vt.modality)
+            SELECT c.modality, c.n_candidates,
+                   COALESCE(v.n_verified, 0)::BIGINT AS n_verified,
+                   COALESCE(u.n_unique, 0)::BIGINT AS n_unique
+            FROM cand c
+            LEFT JOIN nver v USING (modality)
+            LEFT JOIN nuni u USING (modality)
+            ORDER BY modality
         """,
         "stream_neardup": f"""
             WITH ph AS (SELECT doc_id, simhash FROM read_parquet('{snd_ph}')),
@@ -6215,6 +6359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_funnel": q_image_funnel,
         "text_overlay": q_text_overlay,
         "stream_neardup": q_stream_neardup,
+        "dedup_attribution": q_dedup_attribution,
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,
