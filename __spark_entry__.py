@@ -1902,6 +1902,70 @@ def q_dedup_attribution(spark, sf_dir):
     )
 
 
+def q_phash_radius_sweep(spark, sf_dir):
+    """Verify-threshold evidence table — the sweep behind the corroboration
+    rule's constants (strong_image_dist=4, phash_max_dist=6, config.py): for
+    each pHash radius 0..10 over the candidate pairs, how many pairs admit,
+    how many are PLANTED TRUE pairs, and the resulting precision / truth
+    recall — the precision cliff past radius ~5 is exactly the measured
+    false-collision band the corroboration rule guards. Truth is re-derived
+    from image-id arithmetic on BOTH sides (never trusted); the oracle
+    replays distances, the truth rule, the radius explode, and all rounded
+    metrics from materialized (id, phash) + candidate edges."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.lsh import candidate_edges
+
+    sigs = _fixed_signatures(spark)
+    edges = candidate_edges(sigs, SMALL).select("src", "dst").distinct()
+    ph = sigs.select("image_id", "phash")
+    _write_exchange(
+        "radius_sweep",
+        edges=edges.toPandas(),
+        phash=ph.toPandas(),
+    )
+
+    def base_col(c):
+        i = F.substring(c, 4, 10).cast("long")
+        r = i % 7
+        return F.when(r.isin(1, 2), i - r).otherwise(i)
+
+    scored = (
+        edges.join(ph.select(F.col("image_id").alias("src"),
+                             F.col("phash").alias("a_ph")), "src")
+        .join(ph.select(F.col("image_id").alias("dst"),
+                        F.col("phash").alias("b_ph")), "dst")
+        .select(
+            F.bit_count(F.col("a_ph").bitwiseXOR(F.col("b_ph"))).alias("phd"),
+            (base_col(F.col("src")) == base_col(F.col("dst")))
+            .cast("int")
+            .alias("is_true"),
+        )
+    )
+    # total planted true pairs among the N ids: 3 per complete {7k,7k+1,7k+2}
+    total_true = 3 * (_X_N // 7) + {0: 0, 1: 0, 2: 1}.get(_X_N % 7, 3)
+    sweep = (
+        scored.select(
+            "phd", "is_true",
+            F.explode(F.array([F.lit(r) for r in range(11)])).alias("radius"),
+        )
+        .where(F.col("phd") <= F.col("radius"))
+        .groupBy("radius")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("is_true").cast("long").alias("n_true"),
+        )
+        .select(
+            "radius", "n_pairs", "n_true",
+            F.round(F.col("n_true") / F.col("n_pairs"), 4).alias("precision"),
+            F.round(F.col("n_true") / F.lit(float(total_true)), 4).alias(
+                "truth_recall"
+            ),
+        )
+        .orderBy("radius")
+    )
+    return sweep
+
+
 def q_cluster_coassign(spark, sf_dir):
     """Clustering-quality metric row (north star: matching the reference's
     cluster assignments): co-assignment of planted dup groups under the
@@ -4079,6 +4143,8 @@ def _exchange_oracles() -> dict[str, str]:
     tov_px = os.path.join(x, "textov", "pixels.parquet")
     snd_ph = os.path.join(x, "stream_neardup", "phash.parquet")
     att_e = os.path.join(x, "attrib", "edges.parquet")
+    rs_e = os.path.join(x, "radius_sweep", "edges.parquet")
+    rs_p = os.path.join(x, "radius_sweep", "phash.parquet")
     att_s = os.path.join(x, "attrib", "sig.parquet")
     att_m = os.path.join(x, "attrib", "mh.parquet")
     exp_l = os.path.join(x, "expiry", "listing.parquet")
@@ -5127,6 +5193,36 @@ def _exchange_oracles() -> dict[str, str]:
             SELECT image_id, grayscale, colored_frac, colorfulness,
                    (grayscale = 0 AND colorfulness >= 10.0)::INT AS keep
             FROM gate ORDER BY image_id
+        """,
+        "phash_radius_sweep": f"""
+            WITH e AS (SELECT DISTINCT src, dst FROM read_parquet('{rs_e}')),
+            p AS (SELECT * FROM read_parquet('{rs_p}')),
+            scored AS (
+                SELECT bit_count(xor(a.phash, b.phash)) AS phd,
+                       (CASE WHEN (CAST(substr(e.src, 4, 10) AS BIGINT) % 7) IN (1, 2)
+                             THEN CAST(substr(e.src, 4, 10) AS BIGINT)
+                                  - (CAST(substr(e.src, 4, 10) AS BIGINT) % 7)
+                             ELSE CAST(substr(e.src, 4, 10) AS BIGINT) END
+                        =
+                        CASE WHEN (CAST(substr(e.dst, 4, 10) AS BIGINT) % 7) IN (1, 2)
+                             THEN CAST(substr(e.dst, 4, 10) AS BIGINT)
+                                  - (CAST(substr(e.dst, 4, 10) AS BIGINT) % 7)
+                             ELSE CAST(substr(e.dst, 4, 10) AS BIGINT) END
+                       )::INT AS is_true
+                FROM e JOIN p a ON a.image_id = e.src
+                       JOIN p b ON b.image_id = e.dst),
+            total AS (SELECT (3 * (1000 // 7)
+                              + CASE WHEN 1000 % 7 >= 3 THEN 3
+                                     WHEN 1000 % 7 = 2 THEN 1
+                                     ELSE 0 END)::DOUBLE AS t)
+            SELECT r.radius::INT AS radius,
+                   count(*)::BIGINT AS n_pairs,
+                   sum(s.is_true)::BIGINT AS n_true,
+                   round(sum(s.is_true)::DOUBLE / count(*), 4) AS precision,
+                   round(sum(s.is_true) / (SELECT t FROM total), 4)
+                       AS truth_recall
+            FROM scored s JOIN range(0, 11) r(radius) ON s.phd <= r.radius
+            GROUP BY r.radius ORDER BY r.radius
         """,
         "dedup_attribution": f"""
             WITH e AS (SELECT * FROM read_parquet('{att_e}')),
@@ -6360,6 +6456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_overlay": q_text_overlay,
         "stream_neardup": q_stream_neardup,
         "dedup_attribution": q_dedup_attribution,
+        "phash_radius_sweep": q_phash_radius_sweep,
         "sharpness_filter": q_sharpness_filter,
         "split_assign": q_split_assign,
         "shard_manifest": q_shard_manifest,

@@ -525,6 +525,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "entropy_filter", "letterbox_crop", "padded_dedup", "watermark_flags",
         "color_filter", "affix_strip", "compaction_plan", "group_merge",
         "collage_filter", "image_funnel", "text_overlay", "dedup_attribution",
+        "phash_radius_sweep",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
