@@ -76,6 +76,8 @@ AUDITED = [
     ("collage_filter", False, "two bounded per-image rollups over the tile grid; universe patch is the only join"),
     ("image_funnel", False, "ONE decode pass for all four gates; decisions a single JVM projection, zero joins"),
     ("text_overlay", False, "gradient-flip counting inside the decode kernel; gate pure projection, zero shuffles"),
+    ("dedup_attribution", False, "four bucket families -> bounded per-modality rollups; verify join is the production shape"),
+    ("phash_radius_sweep", False, "one distance join + 11-way literal explode; output 11 rows"),
 ]
 
 JOIN_RE = re.compile(
