@@ -1073,6 +1073,31 @@ def q_dense_kmeans(spark, sf_dir):
     return assign_dense(emb, cents, round_digits=4).orderBy("vec_id")
 
 
+def q_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette (Rousseeuw 1987, centroid-based
+    variant) over the same two-round dense k-means fit as ``dense_kmeans`` —
+    the cluster-quality evaluator a curation pipeline runs after every refit
+    to decide whether k / seeding need revisiting. a = distance to own
+    centroid, b = nearest other centroid, sil = (b−a)/max(a,b): O(n·k) pure
+    broadcast map, no shuffle until the final k-row rollup. The DuckDB oracle
+    replays the full fit AND the silhouette algebra in SQL, so the metric is
+    hash-checked end-to-end from raw embeddings."""
+    from lmw_tree_spark.operators.dense import kmeans_dense, silhouette_dense
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_dense(emb, k=8, iters=2, init="lowest_ids")
+    per_point = silhouette_dense(emb, cents)
+    return (
+        per_point.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("sil"), 4).alias("mean_sil"),
+            F.round(F.min("sil"), 4).alias("min_sil"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # --- exchange-backed entries (iterative operators, oracled via materialized
 #     state — see the oracle-exchange comment at the top) ---------------------
 
@@ -6406,6 +6431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "centroid_assign": q_centroid_assign,
         "dense_kmeans": q_dense_kmeans,
+        "silhouette": q_silhouette,
         # exchange-backed (iterative operators; oracle replays the decision
         # algebra from materialized state — see _exchange_oracles)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -7991,6 +8017,67 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY list_distance(e.v, m.v) ASC, m.c ASC) AS rn
                 FROM emb e CROSS JOIN m2 m) WHERE rn = 1
             ORDER BY vec_id
+        """,
+        "silhouette": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            seeds AS (SELECT vec_id::INT AS c, v FROM emb WHERE vec_id < 8),
+            a1 AS (
+                SELECT vec_id, c FROM (
+                    SELECT e.vec_id, s.c,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, s.v) ASC, s.c ASC) AS rn
+                    FROM emb e CROSS JOIN seeds s) WHERE rn = 1),
+            sums1 AS (
+                SELECT c, dim, avg(val) AS m
+                FROM (SELECT a1.c, generate_subscripts(e.v, 1) AS dim,
+                             unnest(e.v) AS val
+                      FROM a1 JOIN emb e USING (vec_id))
+                GROUP BY c, dim),
+            m1 AS (
+                SELECT s.c, coalesce(u.v, s.v) AS v
+                FROM seeds s LEFT JOIN (
+                    SELECT c, list(m ORDER BY dim) AS v FROM sums1 GROUP BY c
+                ) u USING (c)),
+            a2 AS (
+                SELECT vec_id, c FROM (
+                    SELECT e.vec_id, m.c,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, m.v) ASC, m.c ASC) AS rn
+                    FROM emb e CROSS JOIN m1 m) WHERE rn = 1),
+            sums2 AS (
+                SELECT c, dim, avg(val) AS m
+                FROM (SELECT a2.c, generate_subscripts(e.v, 1) AS dim,
+                             unnest(e.v) AS val
+                      FROM a2 JOIN emb e USING (vec_id))
+                GROUP BY c, dim),
+            m2 AS (
+                SELECT m1.c, coalesce(u.v, m1.v) AS v
+                FROM m1 LEFT JOIN (
+                    SELECT c, list(m ORDER BY dim) AS v FROM sums2 GROUP BY c
+                ) u USING (c)),
+            sc AS (
+                SELECT e.vec_id, m.c, list_distance(e.v, m.v) AS dist
+                FROM emb e CROSS JOIN m2 m),
+            asg AS (
+                SELECT vec_id, c AS cluster, dist AS a_dist FROM (
+                    SELECT vec_id, c, dist,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist ASC, c ASC) AS rn
+                    FROM sc) WHERE rn = 1),
+            nb AS (
+                SELECT s.vec_id, min(s.dist) AS b_dist
+                FROM sc s JOIN asg USING (vec_id)
+                WHERE s.c != asg.cluster GROUP BY s.vec_id),
+            sil AS (
+                SELECT asg.vec_id, asg.cluster,
+                       CASE WHEN greatest(a_dist, b_dist) = 0 THEN 0.0
+                            ELSE (b_dist - a_dist) / greatest(a_dist, b_dist)
+                       END AS s
+                FROM asg JOIN nb USING (vec_id))
+            SELECT cluster, count(*) AS n,
+                   round(avg(s), 4) AS mean_sil,
+                   round(min(s), 4) AS min_sil
+            FROM sil GROUP BY cluster ORDER BY cluster
         """,
         "centroid_assign": """
             WITH scored AS (

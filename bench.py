@@ -570,12 +570,12 @@ def main():
     # EM-iteration throughput vs reference single-node, at two levels — runs
     # FIRST, before any other session churns the page cache (this VM's
     # fresh-page faults cost ~100 MB/s; measured order effects of 10-20%).
-    # Best-of-2 sessions at the headline level, min-of-iters within each: the
+    # Best-of-3 sessions at the headline level, min-of-iters within each: the
     # VM's 2-5x wall-clock noise is session-correlated (a whole session can
     # land in a slow window — observed 84k vs 150k sigs/s for identical code
-    # minutes apart), so two independent sessions are two draws; the best
+    # minutes apart), so three independent sessions are three draws; the best
     # iteration is the engine signal, the worst is the machine's.
-    em32_runs = [run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=6) for _ in range(2)]
+    em32_runs = [run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=6) for _ in range(3)]
     em32 = max(em32_runs, key=lambda r: r["sigs_per_sec"])
     em32["session_best_iters"] = [min(r["iter_secs"]) for r in em32_runs]
     em8 = run_em_iters("local[8]", 8, EM_ROWS, iters=4)

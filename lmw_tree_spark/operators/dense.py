@@ -199,3 +199,56 @@ def assign_dense(
     return df.select(id_col, vec_col).mapInPandas(
         run, f"{id_col} long, cluster int, dist double"
     )
+
+
+def silhouette_dense(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-point simplified (centroid-based) silhouette: a = distance to the
+    assigned centroid, b = distance to the nearest OTHER centroid,
+    sil = (b − a) / max(a, b). The medoid-free variant of Rousseeuw (1987) —
+    O(n·k) instead of the O(n²) pairwise form, which is the only shape that
+    survives corpus scale. Pure broadcast map like :func:`assign_dense`:
+    (id, cluster, a_dist, b_dist, sil), no shuffle.
+
+    Assignment ties break to the lowest centroid index (matching
+    ``_assign_rows`` and the reference's first-wins argmin,
+    /root/reference/src/lmw/KMeans.h:14-256); a point equidistant from two
+    centroids therefore gets sil = 0. Degenerate a = b = 0 (point on two
+    identical centroids) is defined as 0. Requires k ≥ 2.
+    """
+    cmat = np.ascontiguousarray(centroids, dtype=np.float64)
+    if len(cmat) < 2:
+        raise ValueError("silhouette requires k >= 2 centroids")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _to_matrix(pdf[vec_col])
+            d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            d = np.sqrt(d2)
+            rows = np.arange(len(a))
+            da = d[rows, a]
+            d[rows, a] = np.inf
+            db = d.min(axis=1)
+            denom = np.maximum(da, db)
+            sil = (db - da) / np.maximum(denom, 1e-300)
+            sil[denom == 0.0] = 0.0
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": a.astype(np.int32),
+                    "a_dist": da,
+                    "b_dist": db,
+                    "sil": sil,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, cluster int, a_dist double, b_dist double, sil double"
+    )

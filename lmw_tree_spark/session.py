@@ -60,6 +60,13 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # deployment knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" mirrors spark-submit
+    # --conf for entry points that build their own session (bench, scale
+    # probes) — explicit extra_conf still wins on conflicts
+    for item in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

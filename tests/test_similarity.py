@@ -5,6 +5,7 @@ a NumPy reference over the df-capped token universe."""
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -351,3 +352,48 @@ def test_centroid_outlier_filter_exact_gate(spark):
             assert got[i] == (ci, int(dist2[i]), bool(dist2[i] <= thr))
     assert got[60][2] is False  # the planted far point is dropped
     assert sum(1 for v in got.values() if not v[2]) <= 3
+
+
+def test_silhouette_dense_matches_numpy_reference(spark):
+    """Per-point simplified silhouette must equal the NumPy formula (a = own
+    centroid dist, b = nearest other, (b-a)/max(a,b)) at any partitioning;
+    equidistant-tie and on-centroid degenerate points are pinned to 0."""
+    from lmw_tree_spark.operators.dense import silhouette_dense
+
+    rng = np.random.default_rng(5)
+    n, d, k = 150, 6, 4
+    x = rng.standard_normal((n, d))
+    cents = rng.standard_normal((k, d))
+    # planted degenerates: row 0 sits exactly on centroid 1; centroid 3 is a
+    # duplicate of centroid 2, so its members are exact ties (sil = 0)
+    x[0] = cents[1]
+    cents[3] = cents[2]
+
+    dmat = np.sqrt(((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2))
+    a = dmat.argmin(axis=1)
+    da = dmat[np.arange(n), a]
+    dm = dmat.copy()
+    dm[np.arange(n), a] = np.inf
+    db = dm.min(axis=1)
+    denom = np.maximum(da, db)
+    expect = np.where(denom > 0, (db - da) / np.where(denom == 0, 1, denom), 0.0)
+
+    for parts in (1, 5):
+        df = spark.createDataFrame(
+            [(int(i), [float(v) for v in x[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        ).repartition(parts)
+        got = silhouette_dense(df, cents).orderBy("vec_id").toPandas()
+        assert (got["cluster"].to_numpy() == a).all()
+        assert np.allclose(got["sil"].to_numpy(), expect, atol=1e-12)
+    # ties to a duplicated centroid resolve to the lower index and score 0
+    assert (a != 3).all()
+    assert expect[a == 2].max() == 0.0
+
+
+def test_silhouette_dense_rejects_single_centroid(spark):
+    from lmw_tree_spark.operators.dense import silhouette_dense
+
+    df = spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        silhouette_dense(df, np.zeros((1, 1)))
