@@ -1050,6 +1050,22 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_knn_graph(spark, sf_dir):
+    """Mutual k-NN graph over the embedding corpus: undirected edges kept only
+    when BOTH endpoints rank each other in their cosine top-5 — the
+    symmetrized graph behind label propagation and graph clustering, with
+    mutuality pruning hub edges. Run probe-all (n_probe == n_cells), so the
+    candidate set is total, the graph is EXACT, and the coarse quantizer
+    cannot affect the result — the oracle is pure brute-force SQL (window
+    top-k on the rounded cosine, tie → lowest id, then the reversed-pair
+    self-join). Production uses n_probe < n_cells for the approximate graph;
+    the plan has no corpus broadcast — cell-key and id equi-joins only."""
+    from lmw_tree_spark.operators.similarity import mutual_knn_edges
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mutual_knn_edges(emb, k=5, n_cells=8, n_probe=8).orderBy("src", "dst")
+
+
 def q_centroid_assign(spark, sf_dir):
     from lmw_tree_spark.operators.similarity import centroid_assign
 
@@ -6429,6 +6445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "suffix_pairs": q_suffix_pairs,
         "cosine_topk": q_cosine_topk,
+        "knn_graph": q_knn_graph,
         "centroid_assign": q_centroid_assign,
         "dense_kmeans": q_dense_kmeans,
         "silhouette": q_silhouette,
@@ -7958,6 +7975,24 @@ def oracle_sql() -> dict[str, str]:
             FROM grams a JOIN grams b USING (g)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "knn_graph": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                    b.embedding::DOUBLE[]), 4) AS cs
+                FROM embeddings q JOIN embeddings b ON q.vec_id != b.vec_id),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cs DESC, neighbor_id ASC) AS rn
+                FROM scored),
+            topk AS (SELECT query_id, neighbor_id, cs FROM ranked WHERE rn <= 5),
+            mutual AS (
+                SELECT a.query_id AS src, a.neighbor_id AS dst, a.cs
+                FROM topk a JOIN topk b
+                  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+                WHERE a.query_id < a.neighbor_id)
+            SELECT src, dst, cs AS cosine_sim FROM mutual ORDER BY src, dst
         """,
         "cosine_topk": """
             WITH scored AS (

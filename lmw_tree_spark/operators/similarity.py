@@ -241,6 +241,110 @@ def ivf_cosine_topk(
     )
 
 
+def mutual_knn_edges(
+    df: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    trainer: str = "sample",
+    train_iters: int = 5,
+    centroids: np.ndarray | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Mutual k-NN graph over the whole corpus: every vector is a query, and an
+    undirected edge (src < dst) survives only if BOTH endpoints rank each other
+    inside their cosine top-k. The symmetrized graph that feeds label
+    propagation, graph clustering, and manifold methods — mutuality prunes the
+    hub edges that plain directed kNN drags in.
+
+    Scale shape: unlike :func:`ivf_cosine_topk` (whose query side is bounded by
+    ``query_pred`` and rides a broadcast), BOTH roles here are corpus-sized, so
+    no broadcast anywhere — vectors meet in a shuffle equi-join on the IVF cell
+    key, the query's own vector arrives by a second shuffle equi-join on
+    ``query_id``, and the mutual filter is an equi-join of the directed top-k
+    list with itself on the reversed pair. Per-query candidates are bounded by
+    its ``n_probe`` cells, so the rank window is skew-bounded by cell size. A
+    (query, neighbor) pair cannot repeat before ranking: each neighbor lives in
+    exactly one cell, so the probe join emits it at most once. With
+    ``n_probe == n_cells`` the candidate set is total and the result is the
+    EXACT mutual kNN graph (how the driver query stays SQL-oracle-able);
+    production uses ``n_probe < n_cells`` for the approximate graph.
+
+    Ranking uses the ROUNDED cosine (ties → lowest neighbor id), pinning the
+    order across engines. Output: (src, dst, cosine_sim).
+    """
+    if centroids is not None:
+        cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    elif trainer == "distributed":
+        from lmw_tree_spark.operators.dense import kmeans_dense
+
+        cents = kmeans_dense(
+            df, k=n_cells, iters=train_iters, id_col=id_col, vec_col=vec_col,
+            init="hash", seed=seed,
+        )
+    else:
+        cents = train_ivf_centroids(df, n_cells, seed=seed, id_col=id_col, vec_col=vec_col)
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    members = vecs.join(ivf_cells(df, cents, id_col, vec_col), id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("b_vec"), "cell"
+    )
+
+    cmat = np.ascontiguousarray(cents, dtype=np.float64)
+    nprobe = n_probe
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            top = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {"query_id": np.repeat(ids, nprobe), "cell": top.ravel()}
+            )
+
+    q_cells = df.select(id_col, vec_col).mapInPandas(probes, "query_id long, cell int")
+    q_vecs = vecs.select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("a_vec")
+    )
+    directed = (
+        q_cells.join(members, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .join(q_vecs, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim_col("a_vec", "b_vec"), round_digits).alias("cosine_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine_sim"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )
+    fwd = directed.select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "cosine_sim",
+    )
+    rev = directed.select(
+        F.col("neighbor_id").alias("src"), F.col("query_id").alias("dst")
+    )
+    return (
+        fwd.join(rev, ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", "cosine_sim")
+    )
+
+
 def _cells_with_dist(
     df: DataFrame,
     centroids: np.ndarray,

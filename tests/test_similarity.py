@@ -397,3 +397,67 @@ def test_silhouette_dense_rejects_single_centroid(spark):
     df = spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         silhouette_dense(df, np.zeros((1, 1)))
+
+
+def test_mutual_knn_probe_all_equals_numpy_brute_force(spark):
+    """Probe-all mutual kNN must equal the NumPy brute-force graph (rank on
+    4-digit-rounded cosine, ties to lowest id, edge iff both directions in
+    top-k); every edge must be genuinely mutual."""
+    from lmw_tree_spark.operators.similarity import mutual_knn_edges
+
+    rng = np.random.default_rng(23)
+    n, d, k = 90, 8, 4
+    x = rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    cs = np.round((x @ x.T) / (norms * norms.T), 4)
+    np.fill_diagonal(cs, -np.inf)
+    topk = []
+    for i in range(n):
+        # sort by (-cosine, id): argsort on the negated rounded value is
+        # stable with kind='stable', so equal cosines keep ascending id
+        order = np.argsort(-cs[i], kind="stable")[:k]
+        topk.append(set(order.tolist()))
+    expect = {
+        (i, j): cs[i, j]
+        for i in range(n)
+        for j in topk[i]
+        if i < j and i in topk[j]
+    }
+
+    got = {
+        (r["src"], r["dst"]): r["cosine_sim"]
+        for r in mutual_knn_edges(df, k=k, n_cells=6, n_probe=6).collect()
+    }
+    assert set(got) == set(expect)
+    for e, v in got.items():
+        assert abs(v - expect[e]) < 1e-9
+    assert len(got) > 0
+
+
+def test_mutual_knn_approximate_probe_is_subset_with_high_recall(spark):
+    """n_probe < n_cells gives a SUBSET of the exact mutual edges (candidates
+    only shrink) and keeps high recall on clusterable data."""
+    from lmw_tree_spark.operators.similarity import mutual_knn_edges
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((5, 8)) * 4
+    x = np.vstack([c + rng.standard_normal((30, 8)) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r["src"], r["dst"])
+        for r in mutual_knn_edges(df, k=3, n_cells=5, n_probe=5, seed=7).collect()
+    }
+    approx = {
+        (r["src"], r["dst"])
+        for r in mutual_knn_edges(df, k=3, n_cells=5, n_probe=2, seed=7).collect()
+    }
+    assert approx <= exact
+    assert len(approx) >= 0.9 * len(exact)

@@ -51,6 +51,7 @@ AUDITED = [
     ("centroid_assign", True, "argmin vs the broadcast k=8 centroid table: O(n·k) map-side, no shuffle of the data side"),
     ("dense_kmeans", False, "partials one row per (partition,cluster); two-level combine above 64 parts"),
     ("silhouette", False, "per-point sil is a broadcast map (no shuffle); only the k-row rollup exchanges"),
+    ("knn_graph", False, "corpus-sized both roles: cell/id equi-joins + reversed-pair self-join, NO corpus broadcast"),
     ("band_self_join", False, "the one data-sized shuffle the design allows: equi-join on band key"),
     ("dedup_images", False, "full flagship dedup: 4 bucket modalities -> verify -> CC, equi-joins throughout"),
     ("curation_funnel", False, "composed 4-gate funnel in ONE conditional-sum pass (single shuffle)"),
