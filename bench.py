@@ -62,34 +62,103 @@ def bench_config():
     )
 
 
-def run_flagship(master: str, shuffle_partitions: int, n_images: int) -> dict:
-    """One full dedup+cluster job in a fresh Spark session; returns stage timings."""
+def _release_scratch(spark) -> None:
+    """Drop every cached frame and force a driver GC so ContextCleaner deletes
+    the now-unreferenced shuffle files of the stage that just finished.
+
+    Shuffle map outputs live on local disk until the ShuffleDependency that
+    owns them is garbage-collected on the driver; within one long SQL
+    execution they accumulate — the 8M-image probe measured ~53 GB of shuffle
+    writes plus ~70 GB of transient sort spill in the single fused dedup
+    execution, past this sandbox's ~80 GB free. Between staged executions the
+    dependencies ARE unreachable, but the driver JVM may not GC for many
+    minutes, so we trigger it explicitly. On a real cluster the same effect
+    comes from ``spark.cleaner.periodicGC.interval`` (we set it to 2min in
+    staged mode); peak scratch becomes max-over-stages instead of
+    sum-over-stages."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
+def run_flagship(
+    master: str,
+    shuffle_partitions: int,
+    n_images: int,
+    staged: bool = False,
+    scratch: str | None = None,
+) -> dict:
+    """One full dedup+cluster job in a fresh Spark session; returns stage timings.
+
+    ``staged=True`` is the large-input mode: each dedup sub-stage (signatures →
+    candidate edges → verify → connected components) materializes to parquet
+    under ``scratch`` and releases its shuffle scratch before the next starts.
+    Timings include the writes — it is the honest cost of a checkpointed
+    pipeline, and the mode that survives bounded local-disk. The default fused
+    mode is faster at bench scale (no materialization) and is what bench.py
+    times; the scale probe (tools/scale_probe.py --staged) uses this path.
+    """
     from lmw_tree_spark.operators import emtree, lsh
     from lmw_tree_spark.operators.ccomp import connected_components
     from lmw_tree_spark.operators.signature_stage import extract_signatures
     from lmw_tree_spark.session import get_spark
     from lmw_tree_spark.sources.images import generate_images
 
+    extra_conf = {"spark.cleaner.periodicGC.interval": "2min"} if staged else None
     spark = get_spark(
-        app_name=f"bench-{master}", master=master, shuffle_partitions=shuffle_partitions
+        app_name=f"bench-{master}",
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+        extra_conf=extra_conf,
     )
     cfg = bench_config()
+    scratch_dir = None
     try:
-        t0 = time.time()
-        images = generate_images(spark, n_images, with_truth=True)
-        sigs = extract_signatures(images.drop("dup_group"), cfg).persist()
-        sigs.count()
-        t_sig = time.time() - t0
+        if staged:
+            import tempfile
 
-        t1 = time.time()
-        verified = (
-            lsh.verify_edges(lsh.candidate_edges(sigs, cfg), sigs, cfg)
-            .where("is_dup")
-            .persist()
-        )
-        groups = connected_components(verified, vertices=sigs).persist()
-        n_groups = groups.count()
-        t_dedup = time.time() - t1
+            scratch_dir = scratch or tempfile.mkdtemp(prefix="flagship_staged_")
+
+            t0 = time.time()
+            images = generate_images(spark, n_images, with_truth=True)
+            extract_signatures(images.drop("dup_group"), cfg).write.mode(
+                "overwrite"
+            ).parquet(f"{scratch_dir}/sigs")
+            _release_scratch(spark)
+            sigs = spark.read.parquet(f"{scratch_dir}/sigs")
+            t_sig = time.time() - t0
+
+            t1 = time.time()
+            lsh.candidate_edges(sigs, cfg).write.mode("overwrite").parquet(
+                f"{scratch_dir}/edges"
+            )
+            _release_scratch(spark)
+            lsh.verify_edges(
+                spark.read.parquet(f"{scratch_dir}/edges"), sigs, cfg
+            ).where("is_dup").write.mode("overwrite").parquet(f"{scratch_dir}/verified")
+            _release_scratch(spark)
+            connected_components(
+                spark.read.parquet(f"{scratch_dir}/verified"), vertices=sigs
+            ).write.mode("overwrite").parquet(f"{scratch_dir}/groups")
+            _release_scratch(spark)
+            groups = spark.read.parquet(f"{scratch_dir}/groups")
+            n_groups = groups.count()
+            t_dedup = time.time() - t1
+        else:
+            t0 = time.time()
+            images = generate_images(spark, n_images, with_truth=True)
+            sigs = extract_signatures(images.drop("dup_group"), cfg).persist()
+            sigs.count()
+            t_sig = time.time() - t0
+
+            t1 = time.time()
+            verified = (
+                lsh.verify_edges(lsh.candidate_edges(sigs, cfg), sigs, cfg)
+                .where("is_dup")
+                .persist()
+            )
+            groups = connected_components(verified, vertices=sigs).persist()
+            n_groups = groups.count()
+            t_dedup = time.time() - t1
 
         t2 = time.time()
         fit = emtree.em_tree_fit(sigs, cfg)
@@ -141,9 +210,14 @@ def run_flagship(master: str, shuffle_partitions: int, n_images: int) -> dict:
             "dup_pair_recall": round(recall, 4),
             "dup_pair_precision": round(precision, 4),
             "n_true_pairs": n_tp,
+            "staged": staged,
         }
     finally:
         spark.stop()
+        if scratch_dir is not None and scratch is None:
+            import shutil
+
+            shutil.rmtree(scratch_dir, ignore_errors=True)
 
 
 def run_em_iters(master: str, shuffle_partitions: int, n_rows: int, iters: int = 2) -> dict:

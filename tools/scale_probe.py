@@ -24,11 +24,22 @@ def main() -> int:
     ap.add_argument("--n-images", type=int, default=100_000)
     ap.add_argument("--master", default="local[32]")
     ap.add_argument("--shuffle-partitions", type=int, default=64)
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="checkpoint each dedup sub-stage to parquet and release shuffle "
+        "scratch between stages (peak local-disk = max-over-stages, not sum; "
+        "required for the 8M-image probe on this sandbox's ~80 GB free disk)",
+    )
+    ap.add_argument("--scratch", default=None, help="staged-mode scratch dir")
     args = ap.parse_args()
 
     from bench import run_flagship
 
-    r = run_flagship(args.master, args.shuffle_partitions, args.n_images)
+    r = run_flagship(
+        args.master, args.shuffle_partitions, args.n_images,
+        staged=args.staged, scratch=args.scratch,
+    )
     r["n_images"] = args.n_images
     r["images_per_sec"] = round(args.n_images / r["t_total"], 1)
     print(json.dumps(r))
