@@ -2372,6 +2372,81 @@ def q_ktruss_dedup(spark, sf_dir):
     return connected_components(hard, vertices=sigs).orderBy("image_id")
 
 
+def q_pagerank_hubs(spark, sf_dir):
+    """PageRank over the verified near-dup graph — rank concentrates on hub
+    images (the templates that near-match many variants), the curation review
+    queue dup-group size alone misses. Fixed 5 damped iterations
+    (graph.py:pagerank); the oracle unrolls the SAME 5 rounds in SQL from the
+    materialized edge set, recomputing degrees and inflows independently."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.graph import pagerank
+    from lmw_tree_spark.operators.lsh import candidate_edges, verify_edges
+
+    sigs = _fixed_signatures(spark)
+    verified = verify_edges(candidate_edges(sigs, SMALL), sigs, SMALL).where("is_dup")
+    edges = verified.select("src", "dst").persist()
+    _write_exchange("pagerank", edges=edges.toPandas())
+    return pagerank(edges, iters=5).orderBy("id")
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the dup partition, per community — the measured
+    counterpart of k-truss repair: a group whose q_contrib is near zero is
+    sparser inside than a random cut (probable chain-drift fusion). Only the
+    edge set is trusted state: the oracle re-derives the components with a
+    recursive-CTE closure AND recomputes the modularity algebra in SQL."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.graph import modularity_by_community
+    from lmw_tree_spark.operators.lsh import candidate_edges, verify_edges
+
+    sigs = _fixed_signatures(spark)
+    verified = verify_edges(candidate_edges(sigs, SMALL), sigs, SMALL).where("is_dup")
+    edges = verified.select("src", "dst").persist()
+    _write_exchange("modularity", edges=edges.toPandas())
+    groups = connected_components(edges)
+    return modularity_by_community(edges, groups).orderBy("dup_group")
+
+
+def q_group_diameter(spark, sf_dir):
+    """Chain-drift audit: per dup group the max pairwise phash Hamming
+    distance across members (dedup.py:group_diameter) — a diameter well past
+    the verify radius means the group was fused by A~B~C chaining. Groups of
+    2..64 members are priced; larger report NULL (flagged, not priced). The
+    oracle replays the sizing rule and the pairwise-max algebra in SQL from
+    the materialized labels + hashes."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.dedup import group_diameter
+    from lmw_tree_spark.operators.lsh import candidate_edges, verify_edges
+
+    sigs = _fixed_signatures(spark)
+    verified = verify_edges(candidate_edges(sigs, SMALL), sigs, SMALL).where("is_dup")
+    groups = connected_components(verified, vertices=sigs).persist()
+    _write_exchange(
+        "diameter",
+        labels=groups.toPandas(),
+        hashes=sigs.select("image_id", "phash").toPandas(),
+    )
+    return group_diameter(groups, sigs, size_cap=64).orderBy("dup_group")
+
+
+def q_bucket_skew(spark, sf_dir):
+    """Per-modality bucket-size distribution (lsh.py:bucket_skew_stats) — the
+    tuning dial for every skew guard (chain_salts / pair_cap / max_token_df
+    are sized against this tail). Exact percentiles by histogram-then-scan,
+    never a window over bucket-sized data; the oracle replays the same
+    discrete-quantile rule (smallest size with cum ≥ ceil(q·n)) in SQL from
+    the materialized tagged buckets."""
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.lsh import bucket_skew_stats, tagged_candidate_buckets
+
+    sigs = _fixed_signatures(spark)
+    buckets = tagged_candidate_buckets(sigs, SMALL).persist()
+    _write_exchange("bucket_skew", buckets=buckets.toPandas())
+    return bucket_skew_stats(buckets).orderBy("modality")
+
+
 def q_dedup_eval(spark, sf_dir):
     """North-rule evidence as a hash-checked row: dup-pair recall/precision of
     the candidate→verify→CC image pipeline against the generator's planted
@@ -4200,6 +4275,26 @@ def _exchange_oracles() -> dict[str, str]:
     kt_e = os.path.join(x, "ktruss", "edges.parquet")
     kt2_e = os.path.join(x, "ktruss_cc", "edges.parquet")
     kt2_v = os.path.join(x, "ktruss_cc", "vertices.parquet")
+    pr_e = os.path.join(x, "pagerank", "edges.parquet")
+    mod_e = os.path.join(x, "modularity", "edges.parquet")
+    dia_l = os.path.join(x, "diameter", "labels.parquet")
+    dia_h = os.path.join(x, "diameter", "hashes.parquet")
+    bsk_b = os.path.join(x, "bucket_skew", "buckets.parquet")
+    # PageRank replay: 5 unrolled damped rounds (matches graph.py:pagerank's
+    # fixed iters=5), degrees/inflows recomputed from the edge set alone
+    _pr_rounds = []
+    for _i in range(5):
+        _pr_rounds.append(
+            f"""
+            r{_i + 1} AS (
+                SELECT d.u, 0.15 + 0.85 * coalesce(i.inflow, 0) AS rank
+                FROM deg d LEFT JOIN (
+                    SELECT s.v AS u, sum(r.rank / dg.deg) AS inflow
+                    FROM sym s JOIN r{_i} r ON r.u = s.u
+                    JOIN deg dg ON dg.u = s.u
+                    GROUP BY s.v) i ON i.u = d.u)"""
+        )
+    pr_rounds = ",".join(_pr_rounds)
     # k-truss peel replay (3 fixed rounds, matching the Spark query's
     # max_rounds — post-fixpoint rounds are no-ops on both sides). Support is
     # computed by symmetric-adjacency common-neighbor intersection, a
@@ -5902,6 +5997,99 @@ def _exchange_oracles() -> dict[str, str]:
             SELECT u AS image_id, min(v) AS dup_group
             FROM reach GROUP BY u ORDER BY image_id
         """,
+        "pagerank_hubs": f"""
+            WITH canon AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM read_parquet('{pr_e}') WHERE src <> dst),
+            sym AS (SELECT u, v FROM canon UNION ALL SELECT v, u FROM canon),
+            deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+            r0 AS (SELECT u, 1.0 AS rank FROM deg),
+            {pr_rounds}
+            SELECT u AS id, rank::DOUBLE AS rank FROM r5 ORDER BY id
+        """,
+        "modularity": f"""
+            WITH RECURSIVE canon AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM read_parquet('{mod_e}') WHERE src <> dst),
+            sym AS (SELECT u, v FROM canon UNION ALL SELECT v, u FROM canon),
+            verts AS (SELECT DISTINCT u FROM sym),
+            reach(u, v) AS (
+                SELECT u, u FROM verts
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
+            lab AS (SELECT u AS id, min(v) AS c FROM reach GROUP BY u),
+            m AS (SELECT count(*)::DOUBLE AS m FROM canon),
+            deg AS (SELECT u AS id, count(*) AS deg FROM sym GROUP BY u),
+            dsum AS (
+                SELECT l.c, sum(d.deg)::BIGINT AS degree_sum,
+                       count(*)::BIGINT AS n_members
+                FROM deg d JOIN lab l ON l.id = d.id GROUP BY l.c),
+            internal AS (
+                SELECT lu.c, count(*)::BIGINT AS internal_edges
+                FROM canon e
+                JOIN lab lu ON lu.id = e.u
+                JOIN lab lv ON lv.id = e.v
+                WHERE lu.c = lv.c GROUP BY lu.c)
+            SELECT d.c AS dup_group, d.n_members,
+                   coalesce(i.internal_edges, 0)::BIGINT AS internal_edges,
+                   d.degree_sum,
+                   (coalesce(i.internal_edges, 0) / m.m
+                    - pow(d.degree_sum / (2.0 * m.m), 2))::DOUBLE AS q_contrib
+            FROM dsum d LEFT JOIN internal i ON i.c = d.c CROSS JOIN m
+            ORDER BY dup_group
+        """,
+        "group_diameter": f"""
+            WITH lab AS (SELECT image_id, dup_group FROM read_parquet('{dia_l}')),
+            h AS (SELECT image_id, phash FROM read_parquet('{dia_h}')),
+            sized AS (
+                SELECT dup_group, count(*)::BIGINT AS n_members
+                FROM lab GROUP BY dup_group),
+            member AS (
+                SELECT l.dup_group, l.image_id, h.phash
+                FROM lab l JOIN h ON h.image_id = l.image_id
+                JOIN sized s ON s.dup_group = l.dup_group
+                WHERE s.n_members BETWEEN 2 AND 64),
+            diam AS (
+                SELECT a.dup_group,
+                       max(bit_count(xor(a.phash, b.phash)))::BIGINT AS diameter
+                FROM member a JOIN member b
+                  ON b.dup_group = a.dup_group AND a.image_id < b.image_id
+                GROUP BY a.dup_group)
+            SELECT s.dup_group, s.n_members, d.diameter
+            FROM sized s LEFT JOIN diam d ON d.dup_group = s.dup_group
+            WHERE s.n_members >= 2
+            ORDER BY s.dup_group
+        """,
+        "bucket_skew": f"""
+            WITH sizes AS (
+                SELECT modality, bucket, count(*)::BIGINT AS size
+                FROM read_parquet('{bsk_b}') GROUP BY modality, bucket),
+            hist AS (
+                SELECT modality, size, count(*)::BIGINT AS n
+                FROM sizes GROUP BY modality, size),
+            cum AS (
+                SELECT modality, size, n,
+                       sum(n) OVER (PARTITION BY modality ORDER BY size) AS cum
+                FROM hist),
+            tot AS (
+                SELECT modality, sum(n)::BIGINT AS n_buckets,
+                       sum(n * size)::BIGINT AS n_rows,
+                       max(size)::BIGINT AS max_size
+                FROM hist GROUP BY modality),
+            p50 AS (
+                SELECT c.modality, min(c.size)::BIGINT AS p50_size
+                FROM cum c JOIN tot t ON t.modality = c.modality
+                WHERE c.cum >= ceil(0.5 * t.n_buckets) GROUP BY c.modality),
+            p99 AS (
+                SELECT c.modality, min(c.size)::BIGINT AS p99_size
+                FROM cum c JOIN tot t ON t.modality = c.modality
+                WHERE c.cum >= ceil(0.99 * t.n_buckets) GROUP BY c.modality)
+            SELECT t.modality, t.n_buckets, t.n_rows, t.max_size,
+                   p50.p50_size, p99.p99_size
+            FROM tot t JOIN p50 ON p50.modality = t.modality
+            JOIN p99 ON p99.modality = t.modality
+            ORDER BY t.modality
+        """,
         "cluster_coassign": f"""
             WITH a AS (SELECT image_id, cluster_id FROM read_parquet('{pu_a}')),
             based AS (
@@ -6475,6 +6663,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_images": q_dedup_images,
         "triangle_support": q_triangle_support,
         "ktruss_dedup": q_ktruss_dedup,
+        "pagerank_hubs": q_pagerank_hubs,
+        "modularity": q_modularity,
+        "group_diameter": q_group_diameter,
+        "bucket_skew": q_bucket_skew,
         "dedup_eval": q_dedup_eval,
         "dedup_survivors": q_dedup_survivors,
         "cluster_coassign": q_cluster_coassign,

@@ -364,6 +364,44 @@ def _triangle_production(spark, sf_dir):
     return triangle_supports(edges)
 
 
+def _pagerank_production(spark, sf_dir):
+    """Production-config dup-hub PageRank (no exchange write on the timed path)."""
+    from lmw_tree_spark.operators.graph import pagerank
+
+    _sigs, edges = _graph_edges(spark)
+    return pagerank(edges, iters=5)
+
+
+def _modularity_production(spark, sf_dir):
+    """Production-config per-community modularity of the CC dup partition."""
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.graph import modularity_by_community
+
+    _sigs, edges = _graph_edges(spark)
+    return modularity_by_community(edges, connected_components(edges))
+
+
+def _diameter_production(spark, sf_dir):
+    """Production-config dup-group diameter audit."""
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.dedup import group_diameter
+
+    sigs, edges = _graph_edges(spark)
+    return group_diameter(
+        connected_components(edges, vertices=sigs), sigs, size_cap=64
+    )
+
+
+def _bucket_skew_production(spark, sf_dir):
+    """Production-config bucket-size skew report over the four modalities."""
+    import __spark_entry__ as entry
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.lsh import bucket_skew_stats, tagged_candidate_buckets
+
+    sigs = entry._fixed_signatures(spark)
+    return bucket_skew_stats(tagged_candidate_buckets(sigs, SMALL))
+
+
 def _ktruss_production(spark, sf_dir):
     """Production-config edge-hardened dedup: 3-truss peel -> CC."""
     from lmw_tree_spark.operators.ccomp import connected_components
@@ -600,12 +638,17 @@ def run_queries(spark, sf_dir: str) -> dict:
         "color_filter", "affix_strip", "compaction_plan", "group_merge",
         "collage_filter", "image_funnel", "text_overlay", "dedup_attribution",
         "phash_radius_sweep",
+        "pagerank_hubs", "modularity", "group_diameter", "bucket_skew",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
     qs["hard_negatives"] = _hard_negatives_production
     qs["triangle_support"] = _triangle_production
     qs["ktruss_dedup"] = _ktruss_production
+    qs["pagerank_hubs"] = _pagerank_production
+    qs["modularity"] = _modularity_production
+    qs["group_diameter"] = _diameter_production
+    qs["bucket_skew"] = _bucket_skew_production
     qs["pq_ann"] = _pq_production
     qs["srp_neardup"] = _srp_production
     qs["crop_dedup"] = _crop_production

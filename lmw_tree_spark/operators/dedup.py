@@ -556,3 +556,58 @@ def simhash_dedup_against_corpus(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def group_diameter(
+    groups: DataFrame,
+    sigs: DataFrame,
+    size_cap: int = 64,
+    id_col: str = "image_id",
+    group_col: str = "dup_group",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Chain-drift audit: per dup group, the MAX pairwise Hamming distance of a
+    perceptual hash across members → (dup_group, n_members, diameter).
+
+    Transitive closure over near-dup edges admits A~B~C chains where A and C
+    are far apart — each hop passed the verify radius but the group's ends
+    drifted. This measures that directly: a group whose diameter is well past
+    the verify radius was fused by chaining (or by a spurious bridge), and is
+    the thing to route to k-truss hardening or manual review. The complement
+    of ktruss(): measurement instead of repair.
+
+    Only groups with 2..size_cap members are scored — the within-group
+    self-join is O(size²) per group, so the cap bounds the worst group's pair
+    count at size_cap²/2 regardless of how large closure groups get; larger
+    groups are reported with diameter NULL (flagged, not priced). The join
+    is a group-key equi-join (AQE-splittable), the same bounded shape as
+    SemDeDup's within-cluster scoring.
+    """
+    sized = groups.groupBy(group_col).agg(F.count("*").alias("n_members"))
+    small = sized.where(
+        (F.col("n_members").between(2, size_cap))
+    ).select(group_col)
+    member = groups.join(sigs.select(id_col, hash_col), id_col).join(
+        small, group_col
+    )
+    a = member.select(
+        group_col, F.col(id_col).alias("a_id"), F.col(hash_col).alias("a_h")
+    )
+    b = member.select(
+        group_col, F.col(id_col).alias("b_id"), F.col(hash_col).alias("b_h")
+    )
+    diam = (
+        a.join(b, group_col)
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy(group_col)
+        .agg(
+            F.max(F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h"))).cast("long")).alias(
+                "diameter"
+            )
+        )
+    )
+    return (
+        sized.where(F.col("n_members") >= 2)
+        .join(diam, group_col, "left")
+        .select(group_col, "n_members", "diameter")
+    )

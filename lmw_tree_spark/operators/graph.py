@@ -164,3 +164,136 @@ def ktruss(
             break
         n = m
     return cur.select(F.col("u").alias(src), F.col("v").alias(dst))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Undirected PageRank over the near-dup graph → (id, rank).
+
+    On a dedup graph, rank concentrates on *hub* images — the templates/memes
+    that near-match thousands of variants — so the top of this ranking is the
+    curation review queue ("which originals spawned the most duplicates"), a
+    signal dup-group size alone misses because it weights every member
+    equally while rank weights by connectivity.
+
+    A FIXED iteration count (default 5), not a convergence test: the dedup
+    graph's components are tiny (bounded by the LSH pair caps), so ranks are
+    stationary within a few rounds, and a fixed count is exactly replayable
+    by a SQL oracle that unrolls the same rounds. Standard damped update
+    (Brin & Page, WWW 1998) restricted to vertices incident to ≥ 1 edge
+    (isolated vertices hold the teleport mass (1-d) by definition — callers
+    who need them can union the vertex universe at rank = 1-d):
+
+        rank(v) ← (1-d) + d · Σ_{u ∈ N(v)} rank(u) / deg(u)
+
+    Scale shape: degrees are ONE partial-agg groupBy; each iteration is one
+    equi-join keyed by vertex plus one partial-agg groupBy — AQE-splittable,
+    no windows, no driver state; lineage localCheckpoint-truncated per round
+    like ccomp.py. Per-iteration shuffle is O(m) rows of (vertex, double) —
+    at 10^12 images and ~10 edges/image that is the same volume as one CC
+    round, and iters is a small constant.
+    """
+    sym = (
+        _canonical(edges, src, dst)
+        .select("u", "v")
+        .unionByName(
+            _canonical(edges, src, dst).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    ranks = deg.select("u", F.lit(1.0).alias("rank"), "deg")
+    for _ in range(iters):
+        contrib = (
+            sym.join(
+                ranks.select("u", (F.col("rank") / F.col("deg")).alias("share")), "u"
+            )
+            .groupBy("v")
+            .agg(F.sum("share").alias("inflow"))
+            .withColumnRenamed("v", "u")
+        )
+        ranks = (
+            deg.join(contrib, "u", "left")
+            .select(
+                "u",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+                "deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("u").alias("id"), "rank")
+
+
+def modularity_by_community(
+    edges: DataFrame,
+    labels: DataFrame,
+    id_col: str = "image_id",
+    label_col: str = "dup_group",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity of a vertex partition, per community → one row per
+    community (label, n_members, internal_edges, degree_sum, q_contrib).
+
+    Q = Σ_c [ e_c/m − (d_c/(2m))² ]  (Newman & Girvan, PRE 2004): e_c =
+    edges with both endpoints in c, d_c = Σ degrees of c's members, m =
+    total undirected edges. Graded per community so the LOW-contribution
+    groups are directly queryable — a dup group whose q_contrib is near or
+    below zero is sparser inside than a random cut, i.e. a probable
+    chain-drift artifact of transitive closure (the same pathology k-truss
+    peels, measured instead of repaired). Σ q_contrib over rows is the
+    scalar Q of the whole clustering.
+
+    All partial-agg groupBys + equi-joins keyed by vertex/label; m and 2m
+    ride along as a 1-row broadcast cross join. Exact, single pass, no
+    iteration — safe at any scale the edge list itself is.
+    """
+    canon = _canonical(edges, src, dst)
+    lab = labels.select(F.col(id_col).alias("id"), F.col(label_col).alias("c"))
+    both = (
+        canon.join(lab.withColumnRenamed("id", "u"), "u")
+        .withColumnRenamed("c", "cu")
+        .join(lab.withColumnRenamed("id", "v"), "v")
+        .withColumnRenamed("c", "cv")
+    )
+    m_df = canon.agg(F.count("*").alias("m"))
+    internal = (
+        both.where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    deg = (
+        canon.select(F.col("u").alias("id"))
+        .unionByName(canon.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    dsum = (
+        deg.join(lab, "id")
+        .groupBy("c")
+        .agg(F.sum("deg").alias("degree_sum"), F.count("*").alias("n_members"))
+    )
+    return (
+        dsum.join(internal, "c", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            F.col("c").alias(label_col),
+            "n_members",
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+            "degree_sum",
+            (
+                F.coalesce("internal_edges", F.lit(0)) / F.col("m")
+                - F.pow(F.col("degree_sum") / (F.lit(2.0) * F.col("m")), F.lit(2.0))
+            ).alias("q_contrib"),
+        )
+    )

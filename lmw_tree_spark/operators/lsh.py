@@ -446,3 +446,73 @@ def band_config_sweep(
         "cand_pairs",
         "n_docs_bucketed",
     )
+
+
+def tagged_candidate_buckets(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The four candidate modalities as (modality, bucket, image_id) — the
+    diagnostics twin of ``candidate_buckets`` (which fuses them namespaced
+    into one untagged stream for the production edge path)."""
+    return (
+        minhash_buckets(sigs, cfg).select(F.lit("minhash").alias("modality"), "*")
+        .unionByName(
+            hamming64_buckets(sigs, "phash", cfg.phash_bands, namespace=1).select(
+                F.lit("phash").alias("modality"), "*"
+            )
+        )
+        .unionByName(
+            hamming64_buckets(sigs, "simhash", cfg.phash_bands, namespace=2).select(
+                F.lit("simhash").alias("modality"), "*"
+            )
+        )
+        .unionByName(
+            lgram_buckets(sigs, cfg).select(F.lit("lgram").alias("modality"), "*")
+        )
+    )
+
+
+def bucket_skew_stats(
+    buckets: DataFrame,
+    modality_col: str = "modality",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-modality bucket-size distribution → one row per modality:
+    (modality, n_buckets, n_rows, max_size, p50_size, p99_size).
+
+    The tuning dial for every skew guard in this engine (chain_salts,
+    pair_cap, max_token_df are all set against the bucket-size tail): run
+    this on a sample before a production campaign and the p99/max columns
+    say whether the caps are sized right for THIS corpus — e.g. a meme-heavy
+    crawl shifts the phash tail an order of magnitude vs stock photography.
+
+    Exact percentiles computed scale-safely by histogram-then-scan, never a
+    window over bucket-sized data: bucket sizes groupBy to a (modality, size)
+    histogram whose cardinality is bounded by the largest bucket (thousands
+    of distinct sizes at most, vs billions of buckets), and the percentile
+    scan runs over that tiny histogram. p-th size = smallest size with
+    cumulative bucket count ≥ ceil(p · n_buckets) (i.e. the discrete lower
+    quantile, same definition the SQL oracle replays)."""
+    sizes = buckets.groupBy(modality_col, bucket_col).agg(F.count("*").alias("size"))
+    hist = sizes.groupBy(modality_col, "size").agg(F.count("*").alias("n"))
+    w = Window.partitionBy(modality_col).orderBy("size")
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    tot = hist.groupBy(modality_col).agg(
+        F.sum("n").alias("n_buckets"),
+        F.sum(F.col("n") * F.col("size")).alias("n_rows"),
+        F.max("size").alias("max_size"),
+    )
+    j = cum.join(tot, modality_col)
+
+    def at(q: float, out: str) -> DataFrame:
+        return (
+            j.where(F.col("cum") >= F.ceil(F.lit(q) * F.col("n_buckets")))
+            .groupBy(modality_col)
+            .agg(F.min("size").alias(out))
+        )
+
+    return (
+        tot.join(at(0.5, "p50_size"), modality_col)
+        .join(at(0.99, "p99_size"), modality_col)
+        .select(
+            modality_col, "n_buckets", "n_rows", "max_size", "p50_size", "p99_size"
+        )
+    )

@@ -105,3 +105,80 @@ def test_string_ids(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     sup = {(r.src, r.dst): r.support for r in triangle_supports(df).collect()}
     assert sup == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1, ("c", "d"): 0}
+
+
+def _brute_pagerank(edges, iters=5, d=0.85):
+    canon = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    nbrs = {}
+    for u, v in canon:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    pr = {u: 1.0 for u in nbrs}
+    for _ in range(iters):
+        pr = {
+            u: (1 - d) + d * sum(pr[w] / len(nbrs[w]) for w in nbrs[u])
+            for u in nbrs
+        }
+    return pr
+
+
+def test_pagerank_matches_brute_force(spark):
+    from lmw_tree_spark.operators.graph import pagerank
+
+    random.seed(11)
+    edges = [(random.randint(0, 30), random.randint(0, 30)) for _ in range(60)]
+    got = {r.id: r.rank for r in pagerank(_df(spark, edges), iters=5).collect()}
+    want = _brute_pagerank(edges, iters=5)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-9)
+
+
+def test_pagerank_star_hub_outranks_leaves(spark):
+    from lmw_tree_spark.operators.graph import pagerank
+
+    edges = [(0, i) for i in range(1, 9)]
+    got = {r.id: r.rank for r in pagerank(_df(spark, edges), iters=5).collect()}
+    assert got[0] > max(got[i] for i in range(1, 9))
+
+
+def _brute_modularity(edges, labels):
+    canon = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    m = len(canon)
+    deg, internal, dsum, members = {}, {}, {}, {}
+    for u, v in canon:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+        if labels[u] == labels[v]:
+            internal[labels[u]] = internal.get(labels[u], 0) + 1
+    for u, dg in deg.items():
+        dsum[labels[u]] = dsum.get(labels[u], 0) + dg
+        members[labels[u]] = members.get(labels[u], 0) + 1
+    return {
+        c: internal.get(c, 0) / m - (dsum[c] / (2 * m)) ** 2 for c in dsum
+    }, members
+
+
+def test_modularity_matches_brute_force(spark):
+    from lmw_tree_spark.operators.graph import modularity_by_community
+
+    random.seed(7)
+    # two planted communities + noise edges across
+    edges = []
+    for base in (0, 100):
+        nodes = list(range(base, base + 12))
+        edges += random.sample(list(itertools.combinations(nodes, 2)), 30)
+    edges += [(random.randint(0, 11), random.randint(100, 111)) for _ in range(4)]
+    labels = {u: (0 if u < 50 else 1) for e in edges for u in e}
+    ldf = spark.createDataFrame(
+        [(int(u), int(c)) for u, c in labels.items()], "image_id long, dup_group long"
+    )
+    rows = modularity_by_community(_df(spark, edges), ldf).collect()
+    want, want_members = _brute_modularity(edges, labels)
+    got = {r.dup_group: r for r in rows}
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c].q_contrib == pytest.approx(want[c], rel=1e-9)
+        assert got[c].n_members == want_members[c]
+    # well-separated two-community partition: total Q positive and large
+    assert sum(r.q_contrib for r in rows) > 0.3

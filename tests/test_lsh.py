@@ -238,3 +238,32 @@ def test_band_config_sweep_matches_bruteforce(spark):
     # the tuner's whole point: fewer rows per band -> looser threshold ->
     # at least as many candidate pairs
     assert got[2]["cand_pairs"] >= got[4]["cand_pairs"] >= got[8]["cand_pairs"]
+
+
+def test_bucket_skew_stats_exact(spark):
+    """histogram-then-scan percentiles vs a direct sorted-sizes computation."""
+    import math
+
+    from lmw_tree_spark.operators.lsh import bucket_skew_stats
+
+    rows = []
+    # modality A: bucket sizes 1..10; modality B: heavy skew 1,1,1,100
+    for b in range(10):
+        rows += [("A", b, f"id{b}_{i}") for i in range(b + 1)]
+    for b, sz in enumerate([1, 1, 1, 100]):
+        rows += [("B", 1000 + b, f"bd{b}_{i}") for i in range(sz)]
+    df = spark.createDataFrame(rows, "modality string, bucket long, image_id string")
+    got = {r.modality: r for r in bucket_skew_stats(df).collect()}
+
+    def brute(sizes):
+        s = sorted(sizes)
+        n = len(s)
+        pick = lambda q: s[math.ceil(q * n) - 1]
+        return n, sum(s), max(s), pick(0.5), pick(0.99)
+
+    for mod, sizes in (("A", list(range(1, 11))), ("B", [1, 1, 1, 100])):
+        n, tot, mx, p50, p99 = brute(sizes)
+        r = got[mod]
+        assert (r.n_buckets, r.n_rows, r.max_size, r.p50_size, r.p99_size) == (
+            n, tot, mx, p50, p99,
+        )

@@ -201,3 +201,31 @@ def test_substring_pairs_string_ids_and_case_fold(spark):
     r = rows[0]
     assert (r["src"], r["dst"]) == ("a", "b")
     assert r["lcs_len"] == 30  # full caption matches after case folding
+
+
+def test_group_diameter_chain_drift(spark):
+    """Planted A~B~C chain: group diameter equals the far-pair distance, not
+    the per-hop radius; oversize groups report NULL."""
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.dedup import group_diameter
+    from pyspark.sql import functions as F
+
+    # chain 1-2-3: hashes 0b0, 0b11 (d=2), 0b1111 (d(1,3)=4)
+    sigs = spark.createDataFrame(
+        [("a", 0), ("b", 3), ("c", 15), ("x", 1 << 40), ("y", (1 << 40) | 1)]
+        + [(f"big{i}", i) for i in range(70)],
+        "image_id string, phash long",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")]
+        + [(f"big{i}", f"big{i+1}") for i in range(69)],
+        "src string, dst string",
+    )
+    groups = connected_components(edges, vertices=sigs)
+    got = {r.dup_group: r for r in group_diameter(groups, sigs, size_cap=64).collect()}
+    chain = got["a"]
+    assert chain.n_members == 3 and chain.diameter == 4
+    pair = got["x"]
+    assert pair.n_members == 2 and pair.diameter == 1
+    big = got["big0"]
+    assert big.n_members == 70 and big.diameter is None
