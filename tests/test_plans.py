@@ -468,3 +468,36 @@ def test_centroid_outlier_assign_is_pure_projection(spark):
     # broadcast: no data-sized exchange of the embedding rows
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange <= 1, plan
+
+
+def test_graph_diagnostics_plans_are_bounded(spark):
+    """pagerank / modularity / group_diameter / bucket_skew: no cartesian
+    products, no row-at-a-time Python; modularity's only BNLJ is the 1-row
+    broadcast of m (total edges)."""
+    from lmw_tree_spark.operators.ccomp import connected_components
+    from lmw_tree_spark.operators.dedup import group_diameter
+    from lmw_tree_spark.operators.graph import modularity_by_community, pagerank
+    from lmw_tree_spark.operators.lsh import bucket_skew_stats
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "src long, dst long"
+    )
+    sigs = spark.createDataFrame(
+        [(i, i * 37) for i in range(41)], "image_id long, phash long"
+    )
+    labels = connected_components(edges, id_col="image_id", label_col="dup_group")
+    buckets = spark.createDataFrame(
+        [("minhash", i % 5, str(i)) for i in range(40)],
+        "modality string, bucket long, image_id string",
+    )
+    plans = {
+        "pagerank": plan_of(pagerank(edges, iters=2)),
+        "modularity": plan_of(modularity_by_community(edges, labels)),
+        "diameter": plan_of(group_diameter(labels, sigs, id_col="image_id")),
+        "skew": plan_of(bucket_skew_stats(buckets)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+    for name in ("pagerank", "diameter", "skew"):
+        assert "BroadcastNestedLoopJoin" not in plans[name], name

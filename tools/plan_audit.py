@@ -80,6 +80,10 @@ AUDITED = [
     ("text_overlay", False, "gradient-flip counting inside the decode kernel; gate pure projection, zero shuffles"),
     ("dedup_attribution", False, "four bucket families -> bounded per-modality rollups; verify join is the production shape"),
     ("phash_radius_sweep", False, "one distance join + 11-way literal explode; output 11 rows"),
+    ("pagerank_hubs", False, "per-iteration: one vertex-keyed equi-join + one partial-agg groupBy; lineage checkpoint-truncated"),
+    ("modularity", True, "BNLJ is the intentional 1-row broadcast of m (total edges); everything else label/vertex equi-joins + partial-agg groupBys"),
+    ("group_diameter", False, "within-group self-join gated to 2..64-member groups — SemDeDup's bounded shape"),
+    ("bucket_skew", False, "percentiles by histogram-then-scan: the only window runs over the tiny (modality,size) histogram"),
 ]
 
 JOIN_RE = re.compile(
