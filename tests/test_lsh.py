@@ -267,3 +267,29 @@ def test_bucket_skew_stats_exact(spark):
         assert (r.n_buckets, r.n_rows, r.max_size, r.p50_size, r.p99_size) == (
             n, tot, mx, p50, p99,
         )
+
+
+def test_verify_slices_partition_edge_set_exactly(spark):
+    """Hash-sliced verify (staged large-input mode) = unsliced verify: the
+    pmod(xxhash64) predicate partitions edges exactly and verify is row-local
+    after its joins."""
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.lsh import candidate_edges, verify_edges
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images
+
+    sigs = extract_signatures(generate_images(spark, 250), SMALL).persist()
+    edges = candidate_edges(sigs, SMALL).persist()
+    full = verify_edges(edges, sigs, SMALL).where("is_dup")
+    want = {(r.src, r.dst) for r in full.collect()}
+    got = set()
+    n_slices = 3
+    for s in range(n_slices):
+        sl = edges.where(F.pmod(F.xxhash64("src", "dst"), F.lit(n_slices)) == s)
+        got |= {
+            (r.src, r.dst)
+            for r in verify_edges(sl, sigs, SMALL).where("is_dup").collect()
+        }
+    assert got == want and len(want) > 0

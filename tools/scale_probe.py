@@ -32,13 +32,17 @@ def main() -> int:
         "required for the 8M-image probe on this sandbox's ~80 GB free disk)",
     )
     ap.add_argument("--scratch", default=None, help="staged-mode scratch dir")
+    ap.add_argument(
+        "--slices", type=int, default=None,
+        help="staged-mode verify slice count override (default: n_images // 2M)",
+    )
     args = ap.parse_args()
 
     from bench import run_flagship
 
     r = run_flagship(
         args.master, args.shuffle_partitions, args.n_images,
-        staged=args.staged, scratch=args.scratch,
+        staged=args.staged, scratch=args.scratch, verify_slices=args.slices,
     )
     r["n_images"] = args.n_images
     r["images_per_sec"] = round(args.n_images / r["t_total"], 1)
