@@ -501,3 +501,20 @@ def test_graph_diagnostics_plans_are_bounded(spark):
         assert "BatchEvalPython" not in p, name
     for name in ("pagerank", "diameter", "skew"):
         assert "BroadcastNestedLoopJoin" not in plans[name], name
+
+
+def test_ball_cover_join_has_no_cartesian_product(spark):
+    """embedding_neardup's bounded ball-cover join: the pairing is a broadcast
+    equi-join on the admitted (cell_a, cell_b) list plus chunk-pair GEMM —
+    never CartesianProduct / BroadcastNestedLoopJoin, at any n_cells."""
+    import numpy as np
+
+    from lmw_tree_spark.operators.similarity import cosine_neardup_pairs_bounded
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p = plan_of(cosine_neardup_pairs_bounded(df, min_cosine=0.9, n_cells=4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
