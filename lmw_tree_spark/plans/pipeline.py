@@ -51,7 +51,18 @@ def run_pipeline(
     def staged(name: str, build, sig_col: str | None = None) -> DataFrame:
         if ckpt is None:
             return build()
-        return ckpt.stage(name, build, sig_col)
+        out = ckpt.stage(name, build, sig_col)
+        # checkpointed runs are the bounded-scratch deployment shape: the
+        # stage just materialized to parquet, so its shuffle files are dead
+        # weight — force a driver GC so ContextCleaner deletes them before
+        # the next stage starts (peak local-disk = max-over-stages, not
+        # sum; the 8M-image probe only completes this way — BASELINE.md).
+        # For corpora where the verify JOIN alone exceeds local disk, the
+        # hash-sliced verify in bench.run_flagship(staged=True) is the
+        # template (pmod(xxhash64) slices of the edge list, released
+        # between slices).
+        spark.sparkContext._jvm.System.gc()
+        return out
 
     sigs = staged("signatures", lambda: extract_signatures(images, cfg), sig_col="sig")
     if ckpt is None:
