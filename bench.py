@@ -129,10 +129,40 @@ def run_flagship(
             t_sig = time.time() - t0
 
             t1 = time.time()
-            lsh.candidate_edges(sigs, cfg).write.mode("overwrite").parquet(
-                f"{scratch_dir}/edges"
-            )
-            _release_scratch(spark)
+            from pyspark.sql import functions as F
+
+            n_slices = verify_slices or max(1, n_images // 2_000_000)
+            if n_slices > 1:
+                # Bucket-hash-sliced edge generation: every step of
+                # edges_from_buckets (salted chains, rep chains, capped
+                # cliques) is keyed by bucket, so slicing the bucket stream
+                # by pmod(xxhash64(bucket)) partitions the stage EXACTLY —
+                # each slice computes precisely the edges of its buckets.
+                # Buckets materialize once (one Arrow pass over signatures);
+                # each slice's window/groupBy scratch is released before the
+                # next starts. The 16M-image probe dies in this stage
+                # unsliced (~65 GB of window-sort shuffle in one execution).
+                # The same pair found by buckets in different slices
+                # duplicates across slice outputs; the verify stage below
+                # reads with dropDuplicates to restore the distinct edge set.
+                lsh.candidate_buckets(sigs, cfg).write.mode("overwrite").parquet(
+                    f"{scratch_dir}/buckets"
+                )
+                _release_scratch(spark)
+                buckets_df = spark.read.parquet(f"{scratch_dir}/buckets")
+                for s in range(n_slices):
+                    sl = buckets_df.where(
+                        F.pmod(F.xxhash64("bucket"), F.lit(n_slices)) == s
+                    )
+                    lsh.edges_from_buckets(
+                        sl, cfg.bucket_pair_cap, cfg.chain_salts, cache_buckets=False
+                    ).write.mode("overwrite").parquet(f"{scratch_dir}/edges/slice={s}")
+                    _release_scratch(spark)
+            else:
+                lsh.candidate_edges(sigs, cfg).write.mode("overwrite").parquet(
+                    f"{scratch_dir}/edges"
+                )
+                _release_scratch(spark)
             # verify in hash-slices of the edge list: the verify join is the
             # scratch whale (each joined row carries both endpoints' minhash
             # prefixes — measured 21.6 GB of shuffle at 4M images, the stage
@@ -141,10 +171,21 @@ def run_flagship(
             # bounded by the slice size regardless of corpus size. The slice
             # predicate is a pure filter on the parquet scan — no extra
             # shuffle — and slices partition the edge set exactly.
-            from pyspark.sql import functions as F
-
-            edges_df = spark.read.parquet(f"{scratch_dir}/edges")
-            n_slices = verify_slices or max(1, n_images // 2_000_000)
+            # A distinct pass restores the exact edge set when the sliced
+            # bucket stage above emitted the same pair from two slices (one
+            # edge-list-sized shuffle — the narrowest frame in the phase —
+            # materialized once so the verify slices below stay pure
+            # parquet-scan filters).
+            if n_slices > 1:
+                spark.read.parquet(f"{scratch_dir}/edges").select(
+                    "src", "dst"
+                ).dropDuplicates(["src", "dst"]).write.mode("overwrite").parquet(
+                    f"{scratch_dir}/edges_distinct"
+                )
+                _release_scratch(spark)
+                edges_df = spark.read.parquet(f"{scratch_dir}/edges_distinct")
+            else:
+                edges_df = spark.read.parquet(f"{scratch_dir}/edges")
             for s in range(n_slices):
                 sl = (
                     edges_df.where(
