@@ -293,3 +293,36 @@ def test_verify_slices_partition_edge_set_exactly(spark):
             for r in verify_edges(sl, sigs, SMALL).where("is_dup").collect()
         }
     assert got == want and len(want) > 0
+
+
+def test_bucket_slices_partition_edge_generation_exactly(spark):
+    """Bucket-hash-sliced edge generation (staged large-input mode): the union
+    of per-slice edges_from_buckets, deduped, equals the unsliced edge set —
+    every edge-generation step is keyed by bucket, so bucket slicing is an
+    exact partition of the work."""
+    from pyspark.sql import functions as F
+
+    from lmw_tree_spark.config import SMALL
+    from lmw_tree_spark.operators.lsh import candidate_buckets, edges_from_buckets
+    from lmw_tree_spark.operators.signature_stage import extract_signatures
+    from lmw_tree_spark.sources.images import generate_images
+
+    sigs = extract_signatures(generate_images(spark, 200), SMALL)
+    buckets = candidate_buckets(sigs, SMALL).persist()
+    want = {
+        (r.src, r.dst)
+        for r in edges_from_buckets(
+            buckets, SMALL.bucket_pair_cap, SMALL.chain_salts, cache_buckets=False
+        ).collect()
+    }
+    got = set()
+    n_slices = 3
+    for s in range(n_slices):
+        sl = buckets.where(F.pmod(F.xxhash64("bucket"), F.lit(n_slices)) == s)
+        got |= {
+            (r.src, r.dst)
+            for r in edges_from_buckets(
+                sl, SMALL.bucket_pair_cap, SMALL.chain_salts, cache_buckets=False
+            ).collect()
+        }
+    assert got == want and len(want) > 0
