@@ -176,6 +176,8 @@ def run_flagship(
             # edge-list-sized shuffle — the narrowest frame in the phase —
             # materialized once so the verify slices below stay pure
             # parquet-scan filters).
+            import shutil as _sh
+
             if n_slices > 1:
                 spark.read.parquet(f"{scratch_dir}/edges").select(
                     "src", "dst"
@@ -183,6 +185,12 @@ def run_flagship(
                     f"{scratch_dir}/edges_distinct"
                 )
                 _release_scratch(spark)
+                # consumed intermediates are dead weight from here on —
+                # deleting them frees ~40% of the static footprint before
+                # the verify slices (each of which cycles its own shuffle
+                # scratch up to the full sig-projection size)
+                _sh.rmtree(f"{scratch_dir}/buckets", ignore_errors=True)
+                _sh.rmtree(f"{scratch_dir}/edges", ignore_errors=True)
                 edges_df = spark.read.parquet(f"{scratch_dir}/edges_distinct")
             else:
                 edges_df = spark.read.parquet(f"{scratch_dir}/edges")
@@ -198,6 +206,8 @@ def run_flagship(
                     "overwrite"
                 ).parquet(f"{scratch_dir}/verified/slice={s}")
                 _release_scratch(spark)
+            _sh.rmtree(f"{scratch_dir}/edges_distinct", ignore_errors=True)
+            _sh.rmtree(f"{scratch_dir}/edges", ignore_errors=True)
             connected_components(
                 spark.read.parquet(f"{scratch_dir}/verified"), vertices=sigs
             ).write.mode("overwrite").parquet(f"{scratch_dir}/groups")
