@@ -162,6 +162,20 @@ def bpe_encode(
     )
 
 
+def _greedy_merge(syms: list, left: str, right: str) -> list:
+    """Greedy leftmost non-overlapping merge of (left, right) in one word —
+    the driver-side twin of the ``aggregate`` fold in :func:`apply_merge`."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
@@ -172,26 +186,84 @@ def bpe_train(
 
     Merge table rows: (step, left, right, merged, cnt). Argmax tie rule:
     highest count, then left asc, then right asc — deterministic at any
-    partitioning. Each round persists the rewritten word table and unpersists
-    the previous one (the iterative-lineage discipline of the EM loop,
-    operators/emtree.py)."""
-    words = word_corpus(df, text_col, end_token).persist()
-    words.count()
+    partitioning.
+
+    Scale shape: ONE distributed aggregation (``word_corpus`` — the only part
+    that touches the corpus) produces the distinct-word frequency table, which
+    is bounded at any corpus size (natural-language vocabulary, many orders
+    smaller than a 100 TB corpus, and further floored because pairs with
+    corpus count < 2 can never merge). That bounded table is collected once
+    and the merge loop runs driver-side with incremental pair-count updates
+    and a lazy-deletion max-heap — zero cluster round-trips per merge, so a
+    32k-merge vocabulary costs one Spark job instead of 32k sequential jobs
+    (the classic Sennrich/HF/SentencePiece trainer shape). The encode join
+    (:func:`bpe_encode`) stays fully distributed.
+
+    Heap argmax is O(log P) amortized per count change; applying a merge
+    touches only the words currently containing the pair adjacently (inverted
+    index pair -> word ids), so late iterations rewrite only the shrinking
+    affected subset — same asymptotics as the reference ACL16 trainer."""
+    import heapq
+
+    rows = word_corpus(df, text_col, end_token).collect()
+    names = [r["word"] for r in rows]
+    freqs = [int(r["freq"]) for r in rows]
+    vocab = [list(r["syms"]) for r in rows]
+
+    def word_pairs(s):
+        return [(s[i], s[i + 1]) for i in range(len(s) - 1)]
+
+    pc: dict = {}          # pair -> corpus count (overlap-inclusive)
+    occ: dict = {}         # pair -> set of word ids with an adjacent occurrence
+    for wi, s in enumerate(vocab):
+        f = freqs[wi]
+        for p in word_pairs(s):
+            pc[p] = pc.get(p, 0) + f
+            occ.setdefault(p, set()).add(wi)
+    heap = [(-c, l, r) for (l, r), c in pc.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[int, str, str, str, int]] = []
-    prev = words
     for step in range(n_merges):
-        top = (
-            pair_counts(prev)
-            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["cnt"] < 2:
+        # pop lazily-deleted entries until the top matches the live count
+        best = None
+        while heap:
+            negc, l, r = heap[0]
+            if pc.get((l, r), 0) == -negc:
+                best = (l, r, -negc)
+                break
+            heapq.heappop(heap)
+        if best is None or best[2] < 2:
             break
-        l, r, c = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+        l, r, c = best
         merges.append((step, l, r, l + r, c))
-        nxt = apply_merge(prev, l, r).persist()
-        nxt.count()
-        prev.unpersist()
-        prev = nxt
-    return merges, prev
+        for wi in sorted(occ.get((l, r), ())):
+            f, old = freqs[wi], vocab[wi]
+            new = _greedy_merge(old, l, r)
+            vocab[wi] = new
+            op, np_ = word_pairs(old), word_pairs(new)
+            delta: dict = {}
+            for p in op:
+                delta[p] = delta.get(p, 0) - f
+            for p in np_:
+                delta[p] = delta.get(p, 0) + f
+            for p, d in delta.items():
+                if d == 0:
+                    continue
+                nc = pc.get(p, 0) + d
+                if nc <= 0:
+                    pc.pop(p, None)
+                else:
+                    pc[p] = nc
+                    heapq.heappush(heap, (-nc, p[0], p[1]))
+            ops, nps = set(op), set(np_)
+            for p in ops - nps:
+                occ.get(p, set()).discard(wi)
+            for p in nps - ops:
+                occ.setdefault(p, set()).add(wi)
+
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        list(zip(names, freqs, vocab)), "word string, freq bigint, syms array<string>"
+    )
+    return merges, out

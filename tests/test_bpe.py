@@ -135,6 +135,33 @@ def test_bpe_encode_matches_reference(spark):
     assert got == want
 
 
+def test_bpe_1024_merges_matches_reference(spark):
+    """Vocabulary-scale training: 1024 merges over a synthetic corpus must
+    equal the single-machine reference exactly (merge table AND final vocab).
+    Exercises the driver-side bounded-table loop (one Spark job total, not one
+    job per merge) at a depth where the old per-merge-job shape would launch
+    1024 sequential Spark jobs."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    vocab_words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(6, 12)))
+        for _ in range(900)
+    ]
+    # each word repeated 2-5x so pair counts clear the cnt>=2 merge floor
+    bag = [w for w in vocab_words for _ in range(rng.randint(2, 5))]
+    rng.shuffle(bag)
+    texts = [" ".join(bag[i : i + 40]) for i in range(0, len(bag), 40)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string").repartition(9)
+    got_merges, words = bpe_train(df, 1024)
+    ref_merges, ref_vocab = _ref_bpe(texts, 1024)
+    assert len(got_merges) == 1024  # corpus is rich enough to reach full depth
+    assert got_merges == ref_merges
+    got_vocab = {r["word"]: list(r["syms"]) for r in words.collect()}
+    assert got_vocab == ref_vocab
+
+
 def test_bpe_encode_no_merges_is_chars_plus_marker(spark):
     from lmw_tree_spark.operators.bpe import bpe_encode
 
