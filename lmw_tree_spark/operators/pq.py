@@ -118,6 +118,28 @@ def pq_encode(
     return df.select(id_col, vec_col).mapInPandas(run, PQ_CODES_SCHEMA)
 
 
+def _empty_scored() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": np.empty(0, np.int64),
+            "neighbor_id": np.empty(0, np.int64),
+            "adc_dist": np.empty(0, np.float64),
+        }
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global (adc asc, neighbor asc) top-k window over the map-side-combined
+    per-group shortlists, self-matches removed."""
+    scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int"))
+    )
+
+
 def pq_adc_topk(
     df: DataFrame,
     codebook: np.ndarray,
@@ -127,53 +149,68 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     codes: DataFrame | None = None,
     round_digits: int = 6,
+    chunk_rows: int = 65536,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: exact queries vs PQ-encoded database.
 
     Per query, an (M × ksub) LUT of exact squared subspace distances is built
     once; each database row's approximate distance is the sum of M LUT gathers
-    on its codes — the ADC scan (PAMI 2011 §IV.A). The scan is a pure map over
-    the codes table (query LUTs ride the closure; queries are a bounded
-    predicate-selected set, same contract as ``cosine_topk``'s broadcast side).
-    Ranking: adc ascending, ties → neighbor_id ascending. Output
-    (query_id, neighbor_id, adc_dist, rank).
-    """
+    on its codes — the ADC scan (PAMI 2011 §IV.A). Ranking: adc ascending,
+    ties → neighbor_id ascending. Output (query_id, neighbor_id, adc_dist,
+    rank).
+
+    Distributed shape (no driver materialization anywhere): the codes table is
+    hash-partitioned into ``ceil(n / chunk_rows)`` chunks, queries are
+    replicated to every chunk (explode over the chunk sequence), and a
+    cogrouped ``applyInPandas`` scores each (chunk-of-codes × queries) group —
+    the LUT is built INSIDE the group from the query vectors it carries, with
+    only the tiny codebook riding the closure. Each group emits its per-query
+    top-(k+1) shortlist under the exact global (adc, neighbor_id) order
+    (lossless map-side combine), so the final window shuffles
+    O(queries × chunks × k) rows. The full scan is inherently O(Q·n) compute —
+    queries-times-everything is the eval shape; compose with IVF
+    (:func:`ivfadc_topk`) when even the compressed full scan is too large."""
     cb = np.ascontiguousarray(codebook, dtype=np.float64)
     m, ksub, _ = cb.shape
     if codes is None:
         codes = pq_encode(df, codebook, id_col, vec_col)
-
-    queries = df if query_pred is None else df.where(query_pred)
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    qx = np.array([r[vec_col] for r in qrows], dtype=np.float64)
-    # LUT[q, m, code] = ||query_sub - centroid||²  — exact, float64
-    lut2 = _build_lut(qx, cb)
+    if n_rows is None:
+        n_rows = df.count()
+    n_chunks = max(1, -(-int(n_rows) // chunk_rows))
     offs = (np.arange(m, dtype=np.int64) * ksub)[None, :]
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            c = np.array(list(pdf["codes"]), dtype=np.int64)  # (B, m)
-            idx = c + offs  # (B, m) flat LUT indices
-            adc = np.round(lut2[:, idx].sum(axis=2), round_digits)  # (Q, B)
-            nids = pdf["vec_id"].to_numpy()
-            # partial top-k per batch: any global top-k element is in its
-            # batch's top-k under the same (adc, neighbor_id) order, so the
-            # downstream window sees Q×batches×k rows, not Q×N — the map-side
-            # combine that keeps the scan's shuffle O(queries), not O(rows)
-            yield _batch_topk(qids, nids, adc, k)
-
-    scored = codes.mapInPandas(
-        scan, "query_id long, neighbor_id long, adc_dist double"
-    ).where(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int"))
+    codes_c = codes.withColumn(
+        "chunk",
+        F.pmod(F.xxhash64(F.col("vec_id").cast("string"), F.lit(7)), F.lit(n_chunks)).cast("int"),
     )
+    queries = df if query_pred is None else df.where(query_pred)
+    qrep = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))))
+        .withColumn("chunk", F.col("chunk").cast("int"))
+    )
+
+    def score(codes_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(codes_pdf) or not len(q_pdf):
+            return _empty_scored()
+        c = np.array(list(codes_pdf["codes"]), dtype=np.int64)  # (B, m)
+        nids = codes_pdf["vec_id"].to_numpy()
+        qx = np.array(list(q_pdf["qvec"]), dtype=np.float64)
+        qids = q_pdf["query_id"].to_numpy()
+        lut2 = _build_lut(qx, cb)  # LUT[q, m·ksub] — exact float64, per group
+        adc = np.round(lut2[:, c + offs].sum(axis=2), round_digits)  # (Q, B)
+        return _batch_topk(qids, nids, adc, k)
+
+    scored = (
+        codes_c.groupby("chunk")
+        .cogroup(qrep.groupby("chunk"))
+        .applyInPandas(score, "query_id long, neighbor_id long, adc_dist double")
+    )
+    return _rank_topk(scored, k)
 
 
 def _batch_topk(qids: np.ndarray, nids: np.ndarray, adc: np.ndarray, k: int) -> pd.DataFrame:
@@ -226,10 +263,18 @@ def ivfadc_topk(
     algebra is identical to ``pq_adc_topk`` and fully SQL-replayable).
 
     Plan shape: cell assignment and encoding are pure maps; the scan is a
-    cell-equi-join (probes × candidate codes — no cross join) followed by an
+    cell-cogroup (probes × candidate codes — no cross join) followed by an
     Arrow-batched LUT gather and the top-k window. At 10^12 rows the per-query
     work is ~n/n_cells·n_probe code lookups of M bytes each.
-    """
+
+    Distributed shape (no driver materialization anywhere): cell assignment,
+    encoding, and query→probe-cell expansion are all pure Arrow-batched maps
+    (only the small coarse matrix + codebook ride closures); a cogrouped
+    ``applyInPandas`` on ``cell`` pairs each cell's codes with the queries
+    probing it, builds the per-query LUTs inside the group from the query
+    vectors the probe rows carry, and emits per-query top-(k+1) shortlists
+    under the exact global (adc, neighbor_id) order — the final window
+    shuffles O(queries × n_probe × k) rows."""
     from lmw_tree_spark.operators.similarity import ivf_cells
 
     cb = np.ascontiguousarray(codebook, dtype=np.float64)
@@ -238,69 +283,51 @@ def ivfadc_topk(
     cells = ivf_cells(df, cmat, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
     codes = pq_encode(df, cb, id_col, vec_col)
     base = codes.join(cells, "vec_id")
-
-    queries = df if query_pred is None else df.where(query_pred)
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    qx = np.array([r[vec_col] for r in qrows], dtype=np.float64)
-    lut2 = _build_lut(qx, cb)
-    qidx = {int(q): i for i, q in enumerate(qids)}
     offs = (np.arange(m, dtype=np.int64) * ksub)[None, :]
 
-    # query → its n_probe nearest cells (stable sort = cell-asc ties, matching
-    # the oracle's ORDER BY dist ASC, cell ASC)
-    qd = ((qx[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-    top = np.argsort(qd, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
-    q_cells = df.sparkSession.createDataFrame(
-        pd.DataFrame(
-            {"query_id": np.repeat(qids, n_probe), "cell": top.ravel()}
-        ),
-        "query_id long, cell int",
-    )
+    queries = df if query_pred is None else df.where(query_pred)
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # query → its n_probe nearest cells (stable sort = cell-asc ties,
+        # matching the oracle's ORDER BY dist ASC, cell ASC); the query vector
+        # rides along so the scoring group can build its LUT locally
         for pdf in batches:
             if not len(pdf):
                 continue
-            c = np.array(list(pdf["codes"]), dtype=np.int64)
-            rows = np.fromiter(
-                (qidx[int(q)] for q in pdf["query_id"]), dtype=np.int64, count=len(pdf)
-            )
-            adc = np.round(
-                np.take_along_axis(lut2[rows], c + offs, axis=1).sum(axis=1),
-                round_digits,
-            )
-            out = pd.DataFrame(
+            qx = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qd = ((qx[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            top = np.argsort(qd, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+            p = top.shape[1]
+            vecs = [list(v) for v in qx for _ in range(p)]
+            yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "neighbor_id": pdf["vec_id"].to_numpy(),
-                    "adc_dist": adc,
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), p),
+                    "qvec": vecs,
+                    "cell": top.ravel(),
                 }
             )
-            # map-side combine (see _batch_topk rationale): per-query top-k
-            # within the batch under the exact global (adc, id) order, so the
-            # window shuffle is O(queries × batches × k), not O(candidates)
-            yield (
-                out.sort_values(
-                    ["query_id", "adc_dist", "neighbor_id"], kind="mergesort"
-                )
-                .groupby("query_id", sort=False)
-                .head(k)
-            )
 
-    cand = (
-        F.broadcast(q_cells)
-        .join(base, "cell")
-        .where(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id", "codes")
+    q_probes = queries.select(id_col, vec_col).mapInPandas(
+        probe, "query_id long, qvec array<double>, cell int"
     )
-    scored = cand.mapInPandas(score, "query_id long, neighbor_id long, adc_dist double")
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int"))
+
+    def score(codes_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(codes_pdf) or not len(q_pdf):
+            return _empty_scored()
+        c = np.array(list(codes_pdf["codes"]), dtype=np.int64)
+        nids = codes_pdf["vec_id"].to_numpy()
+        qx = np.array(list(q_pdf["qvec"]), dtype=np.float64)
+        qids = q_pdf["query_id"].to_numpy()
+        lut2 = _build_lut(qx, cb)
+        adc = np.round(lut2[:, c + offs].sum(axis=2), round_digits)
+        return _batch_topk(qids, nids, adc, k)
+
+    scored = (
+        base.groupby("cell")
+        .cogroup(q_probes.groupby("cell"))
+        .applyInPandas(score, "query_id long, neighbor_id long, adc_dist double")
     )
+    return _rank_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -377,28 +404,94 @@ def _int_dot(a: str, b: str):
 
 
 def _int_topk(
-    vecs: DataFrame, k: int, query_pred, code_col: str, id_col: str
+    vecs: DataFrame,
+    k: int,
+    query_pred,
+    code_col: str,
+    id_col: str,
+    chunk_rows: int = 65536,
 ) -> DataFrame:
-    """Broadcast-query integer-dot top-k with deterministic ties (neighbor id
-    ascending) — the eval-scoped ranking shape of ``similarity.cosine_topk``
-    (query side bounded by the predicate; the data side is never restricted).
+    """Integer-dot top-k with deterministic ties (score desc, neighbor id asc).
+
+    Two plans, one result algebra:
+
+    * bounded query set (``query_pred`` given) — broadcast the predicate-
+      selected queries and score with the whole-stage-codegen integer dot
+      (zero Python), the eval-scoped shape of ``similarity.cosine_topk``;
+    * ``query_pred=None`` (everything-vs-everything, the dedup shape) — no
+      broadcast and no driver materialization: hash-chunk the base table,
+      replicate queries across chunks, and score each cogroup with one exact
+      int64 NumPy matmul, emitting per-query top-(k+1) shortlists under the
+      global (−score, neighbor_id) order (lossless map-side combine).
     """
-    base = vecs.select(
-        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("b_code")
-    )
-    queries = vecs.where(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(code_col).alias("a_code")
-    )
-    scored = (
-        F.broadcast(queries)
-        .crossJoin(base)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _int_dot("a_code", "b_code").alias("score"),
+    if query_pred is not None:
+        base = vecs.select(
+            F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("b_code")
         )
-    )
+        queries = vecs.where(query_pred).select(
+            F.col(id_col).alias("query_id"), F.col(code_col).alias("a_code")
+        )
+        scored = (
+            F.broadcast(queries)
+            .crossJoin(base)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                _int_dot("a_code", "b_code").alias("score"),
+            )
+        )
+    else:
+        n_rows = vecs.count()
+        n_chunks = max(1, -(-int(n_rows) // chunk_rows))
+        base_c = vecs.select(
+            F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("b_code")
+        ).withColumn(
+            "chunk",
+            F.pmod(
+                F.xxhash64(F.col("neighbor_id").cast("string"), F.lit(7)),
+                F.lit(n_chunks),
+            ).cast("int"),
+        )
+        qrep = (
+            vecs.select(
+                F.col(id_col).alias("query_id"), F.col(code_col).alias("a_code")
+            )
+            .withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))))
+            .withColumn("chunk", F.col("chunk").cast("int"))
+        )
+
+        def score_group(b_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(b_pdf) or not len(q_pdf):
+                return pd.DataFrame(
+                    {
+                        "query_id": np.empty(0, np.int64),
+                        "neighbor_id": np.empty(0, np.int64),
+                        "score": np.empty(0, np.int64),
+                    }
+                )
+            b = np.array(list(b_pdf["b_code"]), dtype=np.int64)  # (B, D)
+            a = np.array(list(q_pdf["a_code"]), dtype=np.int64)  # (Q, D)
+            s = a @ b.T  # exact int64 — codes are bounded, no overflow
+            nids = b_pdf["neighbor_id"].to_numpy()
+            qids = q_pdf["query_id"].to_numpy()
+            qn, bn = s.shape
+            kk = min(k + 1, bn)
+            order = np.lexsort((np.broadcast_to(nids, (qn, bn)), -s), axis=1)[:, :kk]
+            return pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk),
+                    "neighbor_id": nids[order].ravel(),
+                    "score": np.take_along_axis(s, order, axis=1).ravel(),
+                }
+            )
+
+        scored = (
+            base_c.groupby("chunk")
+            .cogroup(qrep.groupby("chunk"))
+            .applyInPandas(score_group, "query_id long, neighbor_id long, score long")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
