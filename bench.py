@@ -131,6 +131,10 @@ def run_flagship(
             t1 = time.time()
             from pyspark.sql import functions as F
 
+            if verify_slices is not None and verify_slices < 1:
+                raise ValueError(
+                    f"verify_slices must be >= 1 when provided, got {verify_slices}"
+                )
             n_slices = verify_slices or max(1, n_images // 2_000_000)
             if n_slices > 1:
                 # Bucket-hash-sliced edge generation: every step of
@@ -206,8 +210,13 @@ def run_flagship(
                     "overwrite"
                 ).parquet(f"{scratch_dir}/verified/slice={s}")
                 _release_scratch(spark)
+            # single post-verify cleanup point: whichever edge artifact the
+            # verify slices just consumed is dead weight before CC starts
+            # (sliced path: edges/ and buckets/ were already freed right
+            # after the distinct pass; only edges_distinct/ remains here)
             _sh.rmtree(f"{scratch_dir}/edges_distinct", ignore_errors=True)
-            _sh.rmtree(f"{scratch_dir}/edges", ignore_errors=True)
+            if n_slices == 1:
+                _sh.rmtree(f"{scratch_dir}/edges", ignore_errors=True)
             connected_components(
                 spark.read.parquet(f"{scratch_dir}/verified"), vertices=sigs
             ).write.mode("overwrite").parquet(f"{scratch_dir}/groups")

@@ -198,14 +198,9 @@ def pagerank(
     at 10^12 images and ~10 edges/image that is the same volume as one CC
     round, and iters is a small constant.
     """
+    canon = _canonical(edges, src, dst).select("u", "v")
     sym = (
-        _canonical(edges, src, dst)
-        .select("u", "v")
-        .unionByName(
-            _canonical(edges, src, dst).select(
-                F.col("v").alias("u"), F.col("u").alias("v")
-            )
-        )
+        canon.unionByName(canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=True)
     )
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))

@@ -61,7 +61,12 @@ def run_pipeline(
         # hash-sliced verify in bench.run_flagship(staged=True) is the
         # template (pmod(xxhash64) slices of the edge list, released
         # between slices).
-        spark.sparkContext._jvm.System.gc()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except AttributeError:
+            # Spark Connect sessions have no sparkContext/_jvm gateway; the
+            # eager-cleanup nudge is an optimization, so degrade gracefully
+            pass
         return out
 
     sigs = staged("signatures", lambda: extract_signatures(images, cfg), sig_col="sig")

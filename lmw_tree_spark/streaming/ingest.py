@@ -34,17 +34,32 @@ def stream_images(
 
     Returns the StreamingQuery; caller stops it. Row indices come from the rate
     source's monotonically increasing ``value``, so ingest is deterministic and
-    restart-safe (checkpointed offsets resume exactly)."""
+    restart-safe (checkpointed offsets resume exactly).
+
+    Generation runs ON THE EXECUTORS: the rate rows flow through an
+    Arrow-batched ``mapInPandas`` that synthesizes image rows per partition, so
+    the driver never materializes a micro-batch — at a real firehose rate the
+    generator (in production: the decoder/normalizer) scales with the source's
+    partition count, not driver throughput."""
     rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ids = [r["value"] for r in batch_df.select("value").collect()]
-        if not ids:
-            return
+    def gen_rows(batches):
         import numpy as np
 
-        pdf = generate_batch(np.array(ids, dtype=np.int64))
-        spark.createDataFrame(pdf, IMAGES_SCHEMA).write.mode("append").parquet(out_dir)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield generate_batch(pdf["value"].to_numpy(dtype=np.int64))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select("value")
+            .mapInPandas(gen_rows, IMAGES_SCHEMA)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
 
     return (
         rate.writeStream.foreachBatch(write_batch)
