@@ -162,62 +162,81 @@ def edges_from_buckets(
     (bucket size ≤ pair_cap) add direct pairs for verification recall.
 
     **Every stage here is skew-bounded by construction** (north-rule requirement;
-    AQE splits skewed *joins* but can never split a *window* partition):
+    AQE splits skewed *joins* but can never split a *window* partition — which is
+    why there is NO window here at all: the 16M-image probe's event logs showed
+    the per-partition window sorts of an earlier formulation dominating the
+    candidate-edge stage, so the whole stage now rides ONE hash aggregation of
+    the raw bucket table):
 
-    - *Level-1 chains* sort within ``(bucket, salt)`` where
-      ``salt = hash(id) % chain_salts`` — a fixed salting that needs NO bucket
-      size, so no count-join precedes it. The largest window partition is
-      ~``size/chain_salts`` rows: a 10M-row bucket of identical memes becomes
-      ~2.4k-row parallel sub-chains at the default 4096 salts.
-    - *Level-2* chains the per-salt representatives (min id per sub-chain) within
-      each bucket — at most ``chain_salts`` rows per window partition, restoring
-      cross-salt connectivity. Singleton and small buckets chain entirely here
-      (their members land in distinct salts), so level 1 is a no-op for them and
-      the behavior matches unsalted sorted-adjacency chaining.
-    - *Cliques* need bucket sizes, but the count is a partial-aggregated
-      ``groupBy`` (skew-immune) and the members-of-small-buckets join is an
-      equi-join AQE can split; the ``collect_list`` buffer is bounded because
-      only buckets ≤ pair_cap reach it. Pair expansion is an array transform —
-      no self-join.
+    - ``agg1`` groups by ``(bucket, salt)`` with ``salt = hash(id) %
+      chain_salts`` — a fixed salting that needs NO bucket size, so no
+      count-join precedes it — into per-group sorted member arrays. The largest
+      aggregation buffer is ~``size/chain_salts`` ids: a 10M-row bucket of
+      identical memes becomes ~2.4k-element arrays at the default 4096 salts.
+      This is the only shuffle that touches the raw table; it is hash-based
+      (no sort phase) and every downstream consumer reads the persisted result.
+    - *Level-1 chains*: adjacent pairs of each sorted per-salt array — a pure
+      array transform over ``agg1``, zero further shuffle.
+    - *Level-2* chains the per-salt representatives (array head = min id per
+      sub-chain) within each bucket — an ``agg1``-sized groupBy whose buffers
+      are ≤ ``chain_salts`` entries, restoring cross-salt connectivity.
+      Singleton and small buckets chain entirely here (their members land in
+      distinct salts), so level 1 is a no-op for them and the behavior matches
+      unsalted sorted-adjacency chaining.
+    - *Cliques* need bucket sizes — one partial-agg rollup of ``agg1``'s array
+      sizes (skew-immune) — and the members-of-small-buckets join is an
+      ``agg1``-sized equi-join AQE can split; the flatten buffer is bounded
+      because only buckets ≤ pair_cap reach it. Pair expansion is an array
+      transform — no self-join.
 
     Producers guarantee (bucket, image_id) uniqueness; the final
     ``dropDuplicates`` dedups across the three edge sources."""
-    if cache_buckets:
-        from pyspark import StorageLevel
-
-        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     salted = buckets.withColumn(
         "salt", F.pmod(F.xxhash64("image_id"), F.lit(chain_salts))
     )
-    w1 = Window.partitionBy("bucket", "salt").orderBy("image_id")
-    chain = (
-        salted.withColumn("nxt", F.lead("image_id").over(w1))
-        .where(F.col("nxt").isNotNull())
-        .select(F.col("image_id").alias("src"), F.col("nxt").alias("dst"))
+    agg1 = salted.groupBy("bucket", "salt").agg(
+        F.sort_array(F.collect_list("image_id")).alias("ids")
+    )
+    if cache_buckets:
+        from pyspark import StorageLevel
+
+        agg1 = agg1.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # adjacent pairs of a sorted array — the chain linker shared by both levels
+    adj_expr = (
+        "transform(sequence(1, size(ids) - 1), "
+        "i -> struct(ids[i - 1] AS src, ids[i] AS dst))"
     )
 
-    reps = salted.groupBy("bucket", "salt").agg(F.min("image_id").alias("image_id"))
-    w2 = Window.partitionBy("bucket").orderBy("image_id")
-    rep_chain = (
-        reps.withColumn("nxt", F.lead("image_id").over(w2))
-        .where(F.col("nxt").isNotNull())
-        .select(F.col("image_id").alias("src"), F.col("nxt").alias("dst"))
-    )
+    def chain_of(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.size("ids") >= 2)
+            .select(F.explode(F.expr(adj_expr)).alias("p"))
+            .select("p.src", "p.dst")
+        )
 
-    small_ids = (
-        buckets.groupBy("bucket")
-        .agg(F.count("*").alias("bsize"))
-        .where((F.col("bsize") >= 2) & (F.col("bsize") <= pair_cap))
-        .select("bucket")
+    chain = chain_of(agg1)
+
+    reps = agg1.select(
+        "bucket", F.element_at("ids", 1).alias("rep"), F.size("ids").alias("sz")
     )
+    agg2 = reps.groupBy("bucket").agg(
+        F.sort_array(F.collect_list("rep")).alias("ids"),
+        F.sum("sz").alias("bsize"),
+    )
+    rep_chain = chain_of(agg2)
+
+    small_ids = agg2.where(
+        (F.col("bsize") >= 2) & (F.col("bsize") <= pair_cap)
+    ).select("bucket")
     pairs_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS src, y AS dst))))"
     )
     clique = (
-        buckets.join(small_ids, "bucket")
+        agg1.join(small_ids, "bucket")
         .groupBy("bucket")
-        .agg(F.sort_array(F.collect_list("image_id")).alias("ids"))
+        .agg(F.sort_array(F.flatten(F.collect_list("ids"))).alias("ids"))
         .select(F.explode(F.expr(pairs_expr)).alias("p"))
         .select("p.src", "p.dst")
     )
