@@ -665,6 +665,20 @@ def _dbscan_production(spark, sf_dir):
     return dbscan_embeddings(emb, min_cosine=0.75, min_core_neighbors=3)
 
 
+def _knn_production(spark, sf_dir):
+    """Production-config mutual-kNN graph: APPROXIMATE (n_probe < n_cells),
+    the label-propagation input shape a real run uses. The oracled query runs
+    probe-all (n_probe == n_cells) so the graph is exact and SQL-replayable;
+    timing that times the exactness harness, not the operator — the same
+    oracle-config/production-config split as minhash/dbscan above."""
+    import os
+
+    from lmw_tree_spark.operators.similarity import mutual_knn_edges
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return mutual_knn_edges(emb, k=5, n_cells=64, n_probe=4)
+
+
 def _collage_production(spark, sf_dir):
     """Production-config collage gate over 2000 images (no oracle-exchange
     pixel materialization): tile-ahash Arrow map stage, bounded two-stage
@@ -720,6 +734,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "collage_filter", "image_funnel", "text_overlay", "dedup_attribution",
         "phash_radius_sweep",
         "pagerank_hubs", "modularity", "group_diameter", "bucket_skew",
+        "silhouette", "knn_graph",
     ]
     qs = entry.queries()
     qs["minhash_lsh_dedup"] = _minhash_production
@@ -746,6 +761,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["image_funnel"] = _funnel_production
     qs["text_overlay"] = _textov_production
     qs["dbscan_embeddings"] = _dbscan_production
+    qs["knn_graph"] = _knn_production
     out = {}
     for name in names:
         # min-of-2: the first run pays Python-worker spin-up / first-import /
@@ -773,10 +789,19 @@ def main():
     # land in a slow window — observed 84k vs 150k sigs/s for identical code
     # minutes apart), so three independent sessions are three draws; the best
     # iteration is the engine signal, the worst is the machine's.
-    em32_runs = [run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=6) for _ in range(3)]
+    # INTERLEAVED sessions (32/8 alternating): the VM's slow windows are
+    # session-correlated, so alternating levels means an unlucky window hits
+    # both levels instead of biasing one — the same protocol as the signature
+    # scaling pairs below.
+    em32_runs = [run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=6)]
+    em8_runs = [run_em_iters("local[8]", 8, EM_ROWS, iters=4)]
+    em32_runs.append(run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=6))
+    em8_runs.append(run_em_iters("local[8]", 8, EM_ROWS, iters=4))
+    em32_runs.append(run_em_iters(f"local[{CPUS}]", CPUS, EM_ROWS, iters=6))
     em32 = max(em32_runs, key=lambda r: r["sigs_per_sec"])
     em32["session_best_iters"] = [min(r["iter_secs"]) for r in em32_runs]
-    em8 = run_em_iters("local[8]", 8, EM_ROWS, iters=4)
+    em8 = max(em8_runs, key=lambda r: r["sigs_per_sec"])
+    em8["session_best_iters"] = [min(r["iter_secs"]) for r in em8_runs]
 
     # flagship e2e at full parallelism — min-of-2 fresh sessions: identical
     # runs on this VM swing 2-5x (page-cache / host-scheduling noise, see
@@ -785,7 +810,9 @@ def main():
     runs = [run_flagship(f"local[{CPUS}]", CPUS, n_images) for _ in range(2)]
     big = min(runs, key=lambda r: r["t_total"])
     big["all_run_totals"] = [r["t_total"] for r in runs]
-    em_eff = round((min(em8["iter_secs"]) / min(em32["iter_secs"])) / (CPUS / 8), 3)
+    em_t8 = min(min(r["iter_secs"]) for r in em8_runs)
+    em_t32 = min(min(r["iter_secs"]) for r in em32_runs)
+    em_eff = round((em_t8 / em_t32) / (CPUS / 8), 3)
 
     # primary scaling evidence (north rule, N vs 4N): signature stage at 1 vs
     # 4 cores. The VM's aggregate memory bandwidth is only ~3-4x one core's, so

@@ -13,12 +13,14 @@ with a fixed small per-row payload so the scan is memory-bandwidth-, not
 compute-, bound.
 
 Scale design (10^12 rows): the codebook is tiny (M·ksub·(D/M) = D·ksub floats —
-broadcast), encoding is a pure map stage (no shuffle), and the codes table is
-M bytes/row instead of 4·D — a 32-dim float64 row compresses 32× at M=8,
-ksub=16. The ADC scan is a pure map over the codes table with the per-query LUT
-broadcast; compose with ``similarity.ivf_cells`` to restrict the scan to probed
-cells (IVF-ADC, the paper's IVFADC variant) when even the compressed scan is
-too large.
+it rides every closure), encoding is a pure map stage (no shuffle), and the
+codes table is M bytes/row instead of 4·D — a 32-dim float64 row compresses 32×
+at M=8, ksub=16. The ADC scan is a cogrouped scan of the codes table against a
+distributed query side — per-query LUTs are built INSIDE each scoring group
+from the query vectors it carries, so the query set is never materialized on
+the driver and may be corpus-sized; compose with ``similarity.ivf_cells`` to
+restrict the scan to probed cells (IVF-ADC, the paper's IVFADC variant) when
+even the compressed scan is too large.
 
 Every decision step (encode argmin with first-wins ties, LUT build, ADC sum,
 top-k rank) is deterministic and SQL-replayable — the driver query materializes
