@@ -158,8 +158,14 @@ def run_flagship(
                     sl = buckets_df.where(
                         F.pmod(F.xxhash64("bucket"), F.lit(n_slices)) == s
                     )
+                    # cache_buckets=True: the slice's (bucket, salt) aggregation
+                    # feeds three consumers (chains, rep rollup, cliques);
+                    # persisting it MEMORY_AND_DISK (~2 GB per 2M-image slice,
+                    # vs the 16 GB heap) saves two recomputes of the slice scan
+                    # + groupBy. _release_scratch below drops it before the
+                    # next slice, so peak footprint stays one slice's worth.
                     lsh.edges_from_buckets(
-                        sl, cfg.bucket_pair_cap, cfg.chain_salts, cache_buckets=False
+                        sl, cfg.bucket_pair_cap, cfg.chain_salts, cache_buckets=True
                     ).write.mode("overwrite").parquet(f"{scratch_dir}/edges/slice={s}")
                     _release_scratch(spark)
             else:
