@@ -6,8 +6,13 @@ here):
 
     cd /root/repo && zip -qr /tmp/lmw_tree_spark.zip lmw_tree_spark
     spark-submit --py-files /tmp/lmw_tree_spark.zip \
-        --master local[8] tools/submit_job.py \
+        --master local[8] --driver-memory 8g tools/submit_job.py \
         --n-images 2000 --checkpoint-dir /tmp/lmw_run --out /tmp/lmw_out
+
+Pass ``--driver-memory`` explicitly: spark-submit's 1g default is marginal for
+the CC broadcast joins at ≳100k rows (observed intermittent "Could not
+allocate memory to grow BytesToBytesMap" at 96k with the default; 8g is
+comfortable — in cluster mode executors size separately as usual).
 
 The job creates NO SparkSession of its own configuration demands beyond what
 ``lmw_tree_spark.session.get_spark`` sets; on a cluster, pass the usual
