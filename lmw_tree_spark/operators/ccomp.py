@@ -36,10 +36,15 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # seed labels with the closed-neighborhood min (= the first hash-to-min
+    # round fused into initialization): one groupBy instead of a join+agg
+    # round. Dup components are overwhelmingly tiny (pairs/triangles through
+    # clique edges), so most converge AT init and the loop's first iteration
+    # is just the no-change confirmation — one fewer full round.
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("label"))
+        .withColumnRenamed("u", "id")
         .localCheckpoint(eager=True)
     )
 
