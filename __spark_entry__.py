@@ -6584,75 +6584,18 @@ def q_lsh_band_sweep(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the per-round correctness driver consumes this dict
-    # from the TOP and covered exactly the first 50 entries in r03 (all 50
-    # green). Rounds 1-3 accumulated green driver rows for the pure-SQL block
-    # (see CORRECTNESS_r03.json), so round 4 front-loads the exchange-backed
-    # flagship families (EM-tree/K-tree/k-means clustering, MinHash/SimHash/
-    # pHash dedup, ANN, dup-graph analytics, streaming, archive sources) that
-    # had no driver-visible row in r03; the already-driver-verified SQL block
-    # moves to the back. Every exchange-backed query uses fixed-size synthetic
-    # inputs and writes its own .oracle_exchange artifacts, so order is
-    # semantics-free — only driver visibility changes.
+    # from the TOP and covers exactly the first 50 entries each round (r03 and
+    # r04 both did). Rounds 1-3 verified the pure-SQL block, round 4 verified
+    # the exchange-backed flagship families (CORRECTNESS_r04.json, 50/50
+    # green). Round 5 front-loads the LAST 43 queries with no cumulative
+    # driver row (tools/coverage_gap.py) plus 7 re-verification slots (the two
+    # round-4 weak-pending-remeasure queries and five flagships), closing
+    # cumulative driver-visible coverage at 143/143. Every query uses fixed
+    # deterministic inputs, so order is semantics-free — only driver
+    # visibility changes.
     return {
-        # — flagship dedup+cluster families (reference core:
-        #   StreamingEMTreeExperiments.h:115-141) —
-        "emtree_images": q_emtree_images,
-        "kmeans_images": q_kmeans_images,
-        "ktree_images": q_ktree_images,
-        "dedup_images": q_dedup_images,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "simhash_dedup": q_simhash_dedup,
-        "phash_pixels": q_phash_pixels,
-        "dhash_dedup": q_dhash_dedup,
-        "ivf_ann": q_ivf_ann,
-        "stream_neardup": q_stream_neardup,
-        # — clustering family —
-        "minibatch_emtree": q_minibatch_emtree,
-        "emtree_per_level": q_emtree_per_level,
-        "emtree_cluster_stats": q_emtree_cluster_stats,
-        "emtree_rearranged": q_emtree_rearranged,
-        "kmeans_enforced": q_kmeans_enforced,
-        "kmeans_dsquared": q_kmeans_dsquared,
-        "centroid_assign": q_centroid_assign,
-        "dense_kmeans": q_dense_kmeans,
-        "silhouette": q_silhouette,
-        # — ANN / quantization family —
-        "pq_ann": q_pq_ann,
-        "ivfadc_ann": q_ivfadc_ann,
-        "sq8_recall": q_sq8_recall,
-        "srp_neardup": q_srp_neardup,
-        "ann_recall": q_ann_recall,
-        "bitops_sig": q_bitops_sig,
-        # — image perceptual-dedup family (hashes re-derived from raw pixels) —
-        "phash_dedup": q_phash_dedup,
-        "incremental_phash": q_incremental_phash,
-        "dihedral_dedup": q_dihedral_dedup,
-        "crop_dedup": q_crop_dedup,
-        "tone_dedup": q_tone_dedup,
-        "padded_dedup": q_padded_dedup,
-        "letterbox_crop": q_letterbox_crop,
-        "watermark_flags": q_watermark_flags,
-        "collage_filter": q_collage_filter,
-        "image_funnel": q_image_funnel,
-        # — dup-graph hardening / dedup analytics —
-        "triangle_support": q_triangle_support,
-        "ktruss_dedup": q_ktruss_dedup,
-        "pagerank_hubs": q_pagerank_hubs,
-        "modularity": q_modularity,
-        "group_diameter": q_group_diameter,
-        "bucket_skew": q_bucket_skew,
-        "dedup_eval": q_dedup_eval,
-        "dedup_survivors": q_dedup_survivors,
-        "cluster_coassign": q_cluster_coassign,
-        "cluster_labels": q_cluster_labels,
-        "incremental_dedup": q_incremental_dedup,
-        # — streaming + archive sources —
-        "stream_dedup": q_stream_dedup,
-        "stream_em": q_stream_em,
-        "tar_shard_images": q_tar_shard_images,
-        "warc_records": q_warc_records,
-        # --- end of the round-4 front block (50 queries) ---
-        # remaining exchange/raw-input queries
+        # — round-5 front block: the 43 queries without a cumulative driver
+        #   CORRECTNESS row after r04 (order = coverage_gap.py listing) —
         "contamination": q_contamination,
         "decontaminate": q_decontaminate,
         "affix_strip": q_affix_strip,
@@ -6696,6 +6639,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_lcs": q_suffix_lcs,
         "tar_export_roundtrip": q_tar_export_roundtrip,
         "video_neardup": q_video_neardup,
+        # — 7 re-verification slots: round-4 weak-pending-remeasure pair +
+        #   five flagship families re-confirmed under the r05 driver pass —
+        "centroid_assign": q_centroid_assign,
+        "bucket_skew": q_bucket_skew,
+        "emtree_images": q_emtree_images,
+        "kmeans_images": q_kmeans_images,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "phash_pixels": q_phash_pixels,
+        "dedup_images": q_dedup_images,
+        # --- end of the round-5 front block (50 queries) ---
+        # — flagship dedup+cluster families (reference core:
+        #   StreamingEMTreeExperiments.h:115-141) — driver-verified in r04 —
+        "ktree_images": q_ktree_images,
+        "simhash_dedup": q_simhash_dedup,
+        "dhash_dedup": q_dhash_dedup,
+        "ivf_ann": q_ivf_ann,
+        "stream_neardup": q_stream_neardup,
+        # — clustering family —
+        "minibatch_emtree": q_minibatch_emtree,
+        "emtree_per_level": q_emtree_per_level,
+        "emtree_cluster_stats": q_emtree_cluster_stats,
+        "emtree_rearranged": q_emtree_rearranged,
+        "kmeans_enforced": q_kmeans_enforced,
+        "kmeans_dsquared": q_kmeans_dsquared,
+        "dense_kmeans": q_dense_kmeans,
+        "silhouette": q_silhouette,
+        # — ANN / quantization family —
+        "pq_ann": q_pq_ann,
+        "ivfadc_ann": q_ivfadc_ann,
+        "sq8_recall": q_sq8_recall,
+        "srp_neardup": q_srp_neardup,
+        "ann_recall": q_ann_recall,
+        "bitops_sig": q_bitops_sig,
+        # — image perceptual-dedup family (hashes re-derived from raw pixels) —
+        "phash_dedup": q_phash_dedup,
+        "incremental_phash": q_incremental_phash,
+        "dihedral_dedup": q_dihedral_dedup,
+        "crop_dedup": q_crop_dedup,
+        "tone_dedup": q_tone_dedup,
+        "padded_dedup": q_padded_dedup,
+        "letterbox_crop": q_letterbox_crop,
+        "watermark_flags": q_watermark_flags,
+        "collage_filter": q_collage_filter,
+        "image_funnel": q_image_funnel,
+        # — dup-graph hardening / dedup analytics —
+        "triangle_support": q_triangle_support,
+        "ktruss_dedup": q_ktruss_dedup,
+        "pagerank_hubs": q_pagerank_hubs,
+        "modularity": q_modularity,
+        "group_diameter": q_group_diameter,
+        "dedup_eval": q_dedup_eval,
+        "dedup_survivors": q_dedup_survivors,
+        "cluster_coassign": q_cluster_coassign,
+        "cluster_labels": q_cluster_labels,
+        "incremental_dedup": q_incremental_dedup,
+        # — streaming + archive sources —
+        "stream_dedup": q_stream_dedup,
+        "stream_em": q_stream_em,
+        "tar_shard_images": q_tar_shard_images,
+        "warc_records": q_warc_records,
         # pure-SQL block — all 50 driver-verified green in CORRECTNESS_r03.json
         "subset_semi_join": q_subset_semi_join,
         "cluster_stats_rollup": q_cluster_stats,
