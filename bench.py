@@ -857,6 +857,22 @@ def main():
 
     spark = get_spark(app_name="bench-queries", master=f"local[{CPUS}]")
     queries = run_queries(spark, SF_DIR)
+
+    # 1024-merge BPE training on the documents table — the vocabulary-scale
+    # trainer cost (the oracle row trains far fewer merges); one distributed
+    # word aggregation + viability prune, then the driver-side heap loop
+    from lmw_tree_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    merges_1024, words_1024 = bpe_train(docs, 1024)
+    n_words = words_1024.count()
+    bpe_1024 = {
+        "n_merges_requested": 1024,
+        "n_merges_done": len(merges_1024),
+        "distinct_words": n_words,
+        "secs": round(time.time() - t0, 3),
+    }
     spark.stop()
 
     result = {
@@ -903,6 +919,7 @@ def main():
             "efficiency_8_to_32": em_eff,
             "reference_single_node_sigs_per_sec": 226000,
         },
+        "bpe_1024": bpe_1024,
         "queries": queries,
     }
     print(json.dumps(result))

@@ -176,11 +176,50 @@ def _greedy_merge(syms: list, left: str, right: str) -> list:
     return out
 
 
+def _word_pairs_df(words: DataFrame) -> DataFrame:
+    """(word, left, right) — every adjacent symbol pair of every word."""
+    return words.where(F.size("syms") >= 2).select(
+        "word",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> struct(syms[i - 1] AS left, syms[i] AS right))"
+            )
+        ).alias("p"),
+    ).select("word", "p.left", "p.right")
+
+
+def _bpe_train_distributed(
+    words: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Fallback trainer: one (pair-count, argmax, merge) Spark round per merge
+    — n sequential bounded jobs instead of driver-side state, for word tables
+    too large to collect. Lineage is cut periodically so the plan doesn't
+    grow by one fold per merge."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(n_merges):
+        top = (
+            pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["cnt"]) < 2:
+            break
+        l, r, c = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+        merges.append((step, l, r, l + r, c))
+        words = apply_merge(words, l, r)
+        if (step + 1) % 8 == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges, words
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     end_token: str = END_TOKEN,
+    max_driver_words: int = 5_000_000,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Run ``n_merges`` BPE iterations; returns (merge table, final words).
 
@@ -189,15 +228,27 @@ def bpe_train(
     partitioning.
 
     Scale shape: ONE distributed aggregation (``word_corpus`` — the only part
-    that touches the corpus) produces the distinct-word frequency table, which
-    is bounded at any corpus size (natural-language vocabulary, many orders
-    smaller than a 100 TB corpus, and further floored because pairs with
-    corpus count < 2 can never merge). That bounded table is collected once
+    that touches the corpus) produces the distinct-word frequency table,
+    which is then PRE-PRUNED distributed-side before anything reaches the
+    driver: only words containing at least one pair with corpus count ≥ 2
+    ("viable" words) can ever be rewritten by a merge, so the heavy tail a
+    web corpus carries (URLs, hashes, code, typos — freq-1 words whose pairs
+    are unique to them) never leaves the cluster. The prune is EXACT, not a
+    heuristic: merged symbols are always ≥ 2 chars, so a pruned word's
+    single-char pairs can never gain count from merges elsewhere, its pairs
+    stay < 2 forever, and no chosen merge (count ≥ 2) can occur in it —
+    equivalently, pruned and viable words share no pairs at all, so pair
+    counts over viable words alone are the full-corpus counts.
+
+    The pruned viable table is collected (guarded by ``max_driver_words``)
     and the merge loop runs driver-side with incremental pair-count updates
     and a lazy-deletion max-heap — zero cluster round-trips per merge, so a
     32k-merge vocabulary costs one Spark job instead of 32k sequential jobs
-    (the classic Sennrich/HF/SentencePiece trainer shape). The encode join
-    (:func:`bpe_encode`) stays fully distributed.
+    (the classic Sennrich/HF/SentencePiece trainer shape). If the viable
+    table still exceeds ``max_driver_words``, training degrades gracefully
+    to :func:`_bpe_train_distributed` (one bounded Spark round per merge)
+    instead of risking a driver OOM. The encode join (:func:`bpe_encode`)
+    stays fully distributed either way.
 
     Heap argmax is O(log P) amortized per count change; applying a merge
     touches only the words currently containing the pair adjacently (inverted
@@ -205,7 +256,22 @@ def bpe_train(
     affected subset — same asymptotics as the reference ACL16 trainer."""
     import heapq
 
-    rows = word_corpus(df, text_col, end_token).collect()
+    spark = df.sparkSession
+    # materialize the bounded word table once — it feeds the viability pass,
+    # the split, and (on the fallback path) the per-merge loop
+    wc = word_corpus(df, text_col, end_token).localCheckpoint(eager=True)
+    viable_pairs = pair_counts(wc).where(F.col("cnt") >= 2).select("left", "right")
+    viable_words = (
+        _word_pairs_df(wc).join(viable_pairs, ["left", "right"]).select("word").distinct()
+    )
+    tracked = wc.join(viable_words, "word", "semi").localCheckpoint(eager=True)
+    pruned = wc.join(viable_words, "word", "anti").select("word", "freq", "syms")
+
+    if tracked.count() > max_driver_words:
+        merges, out_tracked = _bpe_train_distributed(tracked, n_merges)
+        return merges, out_tracked.select("word", "freq", "syms").unionByName(pruned)
+
+    rows = tracked.collect()
     names = [r["word"] for r in rows]
     freqs = [int(r["freq"]) for r in rows]
     vocab = [list(r["syms"]) for r in rows]
@@ -262,8 +328,8 @@ def bpe_train(
             for p in nps - ops:
                 occ.setdefault(p, set()).add(wi)
 
-    spark = df.sparkSession
     out = spark.createDataFrame(
         list(zip(names, freqs, vocab)), "word string, freq bigint, syms array<string>"
     )
-    return merges, out
+    # pruned words are provably never rewritten — return them untouched
+    return merges, out.unionByName(pruned)

@@ -153,6 +153,8 @@ def pq_adc_topk(
     round_digits: int = 6,
     chunk_rows: int = 65536,
     n_rows: int | None = None,
+    q_chunk_rows: int = 4096,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: exact queries vs PQ-encoded database.
 
@@ -162,35 +164,63 @@ def pq_adc_topk(
     ties → neighbor_id ascending. Output (query_id, neighbor_id, adc_dist,
     rank).
 
-    Distributed shape (no driver materialization anywhere): the codes table is
-    hash-partitioned into ``ceil(n / chunk_rows)`` chunks, queries are
-    replicated to every chunk (explode over the chunk sequence), and a
-    cogrouped ``applyInPandas`` scores each (chunk-of-codes × queries) group —
-    the LUT is built INSIDE the group from the query vectors it carries, with
-    only the tiny codebook riding the closure. Each group emits its per-query
-    top-(k+1) shortlist under the exact global (adc, neighbor_id) order
-    (lossless map-side combine), so the final window shuffles
-    O(queries × chunks × k) rows. The full scan is inherently O(Q·n) compute —
-    queries-times-everything is the eval shape; compose with IVF
-    (:func:`ivfadc_topk`) when even the compressed full scan is too large."""
+    Distributed shape (no driver materialization anywhere, bounded per-task
+    memory on BOTH sides): the codes table is hash-partitioned into
+    ``ceil(n / chunk_rows)`` chunks AND the query side into
+    ``ceil(Q / q_chunk_rows)`` query-chunks; each side is replicated across
+    the other's chunk axis and a cogrouped ``applyInPandas`` scores each
+    (code-chunk × query-chunk) grid cell — the LUT is built INSIDE the group
+    from the query vectors it carries, with only the tiny codebook riding the
+    closure. Per-task peak is therefore O(q_chunk_rows · chunk_rows · 8B) for
+    the adc matrix (≈1 GB at the defaults) regardless of total Q — including
+    ``query_pred=None``, where the query set is the whole corpus. The adc
+    matrix is accumulated one subspace at a time (m gathers of (Q, B) each),
+    never materializing a (Q, B, m) intermediate. Each group emits a
+    per-query shortlist guaranteed to contain the global top-(k+1) under
+    (adc, neighbor_id) ascending (lossless map-side combine), so the final
+    window shuffles O(Q × n_chunks × k) rows. The full scan is inherently
+    O(Q·n) compute — queries-times-everything is the eval shape; compose with
+    IVF (:func:`ivfadc_topk`) when even the compressed full scan is too
+    large."""
     cb = np.ascontiguousarray(codebook, dtype=np.float64)
     m, ksub, _ = cb.shape
     if codes is None:
         codes = pq_encode(df, codebook, id_col, vec_col)
-    if n_rows is None:
-        n_rows = df.count()
+        if n_rows is None:
+            n_rows = df.count()
+    elif n_rows is None:
+        # the scan iterates the supplied codes table, which may be a filtered
+        # or pre-built subset of df — size the chunk grid from ITS cardinality
+        n_rows = codes.count()
     n_chunks = max(1, -(-int(n_rows) // chunk_rows))
-    offs = (np.arange(m, dtype=np.int64) * ksub)[None, :]
 
-    codes_c = codes.withColumn(
-        "chunk",
-        F.pmod(F.xxhash64(F.col("vec_id").cast("string"), F.lit(7)), F.lit(n_chunks)).cast("int"),
-    )
     queries = df if query_pred is None else df.where(query_pred)
+    if n_queries is None:
+        n_queries = int(n_rows) if query_pred is None else queries.count()
+    n_qchunks = max(1, -(-int(n_queries) // q_chunk_rows))
+
+    codes_c = (
+        codes.withColumn(
+            "chunk",
+            F.pmod(
+                F.xxhash64(F.col("vec_id").cast("string"), F.lit(7)),
+                F.lit(n_chunks),
+            ).cast("int"),
+        )
+        .withColumn("qchunk", F.explode(F.sequence(F.lit(0), F.lit(n_qchunks - 1))))
+        .withColumn("qchunk", F.col("qchunk").cast("int"))
+    )
     qrep = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .withColumn(
+            "qchunk",
+            F.pmod(
+                F.xxhash64(F.col("query_id").cast("string"), F.lit(11)),
+                F.lit(n_qchunks),
+            ).cast("int"),
         )
         .withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))))
         .withColumn("chunk", F.col("chunk").cast("int"))
@@ -201,41 +231,194 @@ def pq_adc_topk(
             return _empty_scored()
         c = np.array(list(codes_pdf["codes"]), dtype=np.int64)  # (B, m)
         nids = codes_pdf["vec_id"].to_numpy()
+        # pre-sort the code side by neighbor id so the shortlist's tie fill
+        # is id-ascending without an O(Q·B) column reorder later
+        b_ord = np.argsort(nids, kind="stable")
+        nids, c = nids[b_ord], c[b_ord]
         qx = np.array(list(q_pdf["qvec"]), dtype=np.float64)
         qids = q_pdf["query_id"].to_numpy()
-        lut2 = _build_lut(qx, cb)  # LUT[q, m·ksub] — exact float64, per group
-        adc = np.round(lut2[:, c + offs].sum(axis=2), round_digits)  # (Q, B)
-        return _batch_topk(qids, nids, adc, k)
+        return _adc_shortlist(qids, nids, c, qx, cb, k, round_digits)
 
     scored = (
-        codes_c.groupby("chunk")
-        .cogroup(qrep.groupby("chunk"))
+        codes_c.groupby("chunk", "qchunk")
+        .cogroup(qrep.groupby("chunk", "qchunk"))
         .applyInPandas(score, "query_id long, neighbor_id long, adc_dist double")
     )
     return _rank_topk(scored, k)
 
 
-def _batch_topk(qids: np.ndarray, nids: np.ndarray, adc: np.ndarray, k: int) -> pd.DataFrame:
+def _topk_mask(key: np.ndarray, kk: int) -> tuple[np.ndarray, np.ndarray]:
+    """(rows, cols) of each row's ``kk`` smallest entries under
+    (key, column-index) ascending — EXACT under ties, so columns must already
+    be in tie-break (neighbor-id ascending) order.
+
+    Selection, not sort. Fast path: one ``np.argpartition`` pass per row plus
+    ONE streaming comparison pass to detect boundary ambiguity — a row is
+    unambiguous iff count(key <= t) == kk, where t is its kk-th smallest
+    value, in which case ANY kk-subset of smallest values (argpartition's
+    included) is exactly the right set. Only rows where ties straddle the
+    boundary (more values equal to t than free slots — mass ties from
+    identical vectors → identical codes, routine in dedup corpora) take the
+    exact slow path: everything strictly below t is in, and boundary ties are
+    filled first-column-first via a cumulative count, honoring the
+    id-ascending tie rule a plain argpartition would break. The full per-row
+    lexsort this replaces is exact too but O(B log B) per row — an order of
+    magnitude slower than these O(B) passes at scan-group sizes."""
+    q, b = key.shape
+    if kk >= b:
+        return np.repeat(np.arange(q), b), np.tile(np.arange(b), q)
+    idx = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+    vals = np.take_along_axis(key, idx, axis=1)
+    t = vals.max(axis=1)
+    cnt_le = np.count_nonzero(key <= t[:, None], axis=1)
+    ambiguous = np.flatnonzero(cnt_le > kk)
+    if not len(ambiguous):
+        rows = np.repeat(np.arange(q), kk)
+        return rows, idx.ravel()
+    # exact fix on the (typically small) ambiguous subset only
+    ka, ta = key[ambiguous], t[ambiguous, None]
+    lt = ka < ta
+    eq = ka == ta
+    need = kk - lt.sum(axis=1, dtype=np.int32)
+    sel = lt | (eq & (eq.cumsum(axis=1, dtype=np.int32) <= need[:, None]))
+    ok = np.setdiff1d(np.arange(q), ambiguous, assume_unique=True)
+    rows_a, cols_a = np.nonzero(sel)
+    rows = np.concatenate([np.repeat(ok, kk), ambiguous[rows_a]])
+    cols = np.concatenate([idx[ok].ravel(), cols_a])
+    return rows, cols
+
+
+def _batch_topk(
+    qids: np.ndarray,
+    nids: np.ndarray,
+    adc: np.ndarray,
+    k: int,
+    nid_sorted: bool = False,
+) -> pd.DataFrame:
     """Per-query top-(k+1) rows of one scored batch under (adc, neighbor_id)
-    ascending — k+1 so the self-match a query may contain is survivable; the
-    global window applies the exact same order, so this is a lossless map-side
-    combine."""
-    q, b = adc.shape
-    kk = min(k + 1, b)
-    # full (adc, neighbor_id) lexsort, NOT an adc-only argpartition: under mass
-    # ties (identical vectors → identical codes → equal adc, routine in dedup
-    # corpora) a partition on adc alone could shortlist a higher-id tie while
-    # dropping a lower-id one, silently breaking the id-ascending tie rule
-    order = np.lexsort((np.broadcast_to(nids, (q, b)), adc), axis=1)[:, :kk]
-    padc = np.take_along_axis(adc, order, axis=1)
-    pnid = nids[order]
+    ascending — k+1 so the self-match a query may contain is survivable. The
+    global window in :func:`_rank_topk` applies the exact same order, so the
+    shortlist only has to CONTAIN the top rows (lossless map-side combine);
+    emission order within the group is free, which is what lets
+    :func:`_topk_mask` skip the per-row sort entirely."""
+    if not nid_sorted:
+        order = np.argsort(nids, kind="stable")
+        nids = nids[order]
+        adc = adc[:, order]
+    rows, cols = _topk_mask(adc, min(k + 1, adc.shape[1]))
     return pd.DataFrame(
         {
-            "query_id": np.repeat(qids, kk),
-            "neighbor_id": pnid.ravel(),
-            "adc_dist": padc.ravel(),
+            "query_id": qids[rows],
+            "neighbor_id": nids[cols],
+            "adc_dist": adc[rows, cols],
         }
     )
+
+
+def _collapse_rows(mat: np.ndarray, nids: np.ndarray):
+    """Group duplicate rows of ``mat`` (rows must already be nid-ascending).
+
+    Dedup corpora — this repo's flagship domain — are full of identical
+    vectors, which encode to identical code rows; scoring each copy is pure
+    waste. Returns (uniq, counts, starts, pos_nids, first_nids): the distinct
+    rows, each one's multiplicity, and its copies' neighbor ids (ascending
+    per group, so ``first_nids`` is each unique's smallest id)."""
+    uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    counts = np.bincount(inv, minlength=len(uniq))
+    starts = np.zeros(len(uniq) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos_nids = nids[order]
+    return uniq, counts, starts, pos_nids, pos_nids[starts[:-1]]
+
+
+def _topk_counts(
+    key_u: np.ndarray,
+    counts: np.ndarray,
+    starts: np.ndarray,
+    pos_nids: np.ndarray,
+    first_nids: np.ndarray,
+    kk: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(rows, nids, vals): each query-row's exact top-``kk`` under
+    (key, neighbor_id) ascending over the EXPANDED rows — each unique row
+    repeated ``counts[u]`` times with its own neighbor ids.
+
+    Fully vectorized and exact: order uniques per query by (key, first_nid) —
+    the top-kk EXPANDED copies provably live inside the first kk uniques of
+    that order (each earlier unique contributes at least one copy ranking
+    ahead) — then materialize at most kk candidate copies per shortlisted
+    unique and lexsort the tiny (Q, kk²) candidate grid."""
+    q, u = key_u.shape
+    if u > kk:
+        ordu = np.lexsort(
+            (np.broadcast_to(first_nids, (q, u)), key_u), axis=1
+        )[:, :kk]
+    else:
+        ordu = np.broadcast_to(np.arange(u), (q, u))
+    take = np.minimum(counts[ordu], kk)  # (q, j) copies that can matter
+    width = int(take.max(initial=1))
+    idx = np.arange(width)
+    valid = idx[None, None, :] < take[..., None]
+    base = np.minimum(starts[ordu][..., None] + idx[None, None, :], len(pos_nids) - 1)
+    cn = np.where(valid, pos_nids[base], np.iinfo(np.int64).max)
+    vals_u = np.take_along_axis(key_u, ordu, axis=1)
+    pad = np.inf if np.issubdtype(key_u.dtype, np.floating) else np.iinfo(key_u.dtype).max
+    cv = np.where(valid, np.broadcast_to(vals_u[..., None], valid.shape), pad)
+    cn, cv, valid = cn.reshape(q, -1), cv.reshape(q, -1), valid.reshape(q, -1)
+    sel = np.lexsort((cn, cv), axis=1)[:, :kk]
+    ok = np.take_along_axis(valid, sel, axis=1)
+    rows = np.broadcast_to(np.arange(q)[:, None], sel.shape)[ok]
+    return (
+        rows,
+        np.take_along_axis(cn, sel, axis=1)[ok],
+        np.take_along_axis(cv, sel, axis=1)[ok],
+    )
+
+
+def _adc_shortlist(
+    qids: np.ndarray,
+    nids: np.ndarray,
+    c: np.ndarray,
+    qx: np.ndarray,
+    cb: np.ndarray,
+    k: int,
+    round_digits: int,
+) -> pd.DataFrame:
+    """One scoring group's per-query top-(k+1) ADC shortlist (exact global
+    (adc, neighbor_id) order; see :func:`_batch_topk` for why order within
+    the group is free). ``nids`` must be ascending; ``c`` the matching codes.
+
+    Adaptive kernel: when duplicate code rows collapse the group below half
+    its size (identical images → identical codes, routine in dedup corpora),
+    score the (Q × U) unique rows and expand by multiplicity — the scan cost
+    drops from O(Q·B·m) to O(Q·U·m). Otherwise the dense (Q × B) gather with
+    selection runs. Both paths are bitwise-identical per row (same LUT walk,
+    same rounding)."""
+    m, ksub, _ = cb.shape
+    b = len(c)
+    kk = min(k + 1, b)
+    uniqc, counts, starts, pos_nids, first_nids = _collapse_rows(c, nids)
+    lut2 = _build_lut(qx, cb)
+    if 2 * len(uniqc) <= b:
+        adc_u = np.zeros((len(qx), len(uniqc)))
+        for j in range(m):
+            adc_u += lut2[:, j * ksub + uniqc[:, j]]
+        adc_u = np.round(adc_u, round_digits)
+        rows, sel_nids, vals = _topk_counts(
+            adc_u, counts, starts, pos_nids, first_nids, kk
+        )
+        return pd.DataFrame(
+            {"query_id": qids[rows], "neighbor_id": sel_nids, "adc_dist": vals}
+        )
+    # dense scan: subspace-at-a-time accumulation — same left-to-right
+    # summation order as a (Q, B, m).sum(axis=2), bitwise identical, 1/m
+    # the memory
+    adc = np.zeros((len(qx), b))
+    for j in range(m):
+        adc += lut2[:, j * ksub + c[:, j]]
+    adc = np.round(adc, round_digits)
+    return _batch_topk(qids, nids, adc, k, nid_sorted=True)
 
 
 def _build_lut(qx: np.ndarray, cb: np.ndarray) -> np.ndarray:
@@ -285,8 +468,6 @@ def ivfadc_topk(
     cells = ivf_cells(df, cmat, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
     codes = pq_encode(df, cb, id_col, vec_col)
     base = codes.join(cells, "vec_id")
-    offs = (np.arange(m, dtype=np.int64) * ksub)[None, :]
-
     queries = df if query_pred is None else df.where(query_pred)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -318,11 +499,11 @@ def ivfadc_topk(
             return _empty_scored()
         c = np.array(list(codes_pdf["codes"]), dtype=np.int64)
         nids = codes_pdf["vec_id"].to_numpy()
+        b_ord = np.argsort(nids, kind="stable")
+        nids, c = nids[b_ord], c[b_ord]
         qx = np.array(list(q_pdf["qvec"]), dtype=np.float64)
         qids = q_pdf["query_id"].to_numpy()
-        lut2 = _build_lut(qx, cb)
-        adc = np.round(lut2[:, c + offs].sum(axis=2), round_digits)
-        return _batch_topk(qids, nids, adc, k)
+        return _adc_shortlist(qids, nids, c, qx, cb, k, round_digits)
 
     scored = (
         base.groupby("cell")
@@ -412,6 +593,7 @@ def _int_topk(
     code_col: str,
     id_col: str,
     chunk_rows: int = 65536,
+    q_chunk_rows: int = 4096,
 ) -> DataFrame:
     """Integer-dot top-k with deterministic ties (score desc, neighbor id asc).
 
@@ -421,10 +603,15 @@ def _int_topk(
       selected queries and score with the whole-stage-codegen integer dot
       (zero Python), the eval-scoped shape of ``similarity.cosine_topk``;
     * ``query_pred=None`` (everything-vs-everything, the dedup shape) — no
-      broadcast and no driver materialization: hash-chunk the base table,
-      replicate queries across chunks, and score each cogroup with one exact
-      int64 NumPy matmul, emitting per-query top-(k+1) shortlists under the
-      global (−score, neighbor_id) order (lossless map-side combine).
+      broadcast, no driver materialization, and bounded per-task memory on
+      BOTH sides: hash-chunk the base table into ``ceil(n / chunk_rows)``
+      chunks AND the query side into ``ceil(n / q_chunk_rows)`` query-chunks,
+      replicate each side across the other's chunk axis, and score each
+      (chunk × qchunk) grid cell with one exact matmul — per-task peak is
+      O(q_chunk_rows · chunk_rows · 8B) regardless of total query count.
+      Each cell emits a per-query shortlist guaranteed to contain the global
+      top-(k+1) under (−score, neighbor_id) order (lossless map-side
+      combine; the final window re-applies the exact order).
     """
     if query_pred is not None:
         base = vecs.select(
@@ -446,18 +633,33 @@ def _int_topk(
     else:
         n_rows = vecs.count()
         n_chunks = max(1, -(-int(n_rows) // chunk_rows))
-        base_c = vecs.select(
-            F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("b_code")
-        ).withColumn(
-            "chunk",
-            F.pmod(
-                F.xxhash64(F.col("neighbor_id").cast("string"), F.lit(7)),
-                F.lit(n_chunks),
-            ).cast("int"),
+        n_qchunks = max(1, -(-int(n_rows) // q_chunk_rows))
+        base_c = (
+            vecs.select(
+                F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("b_code")
+            )
+            .withColumn(
+                "chunk",
+                F.pmod(
+                    F.xxhash64(F.col("neighbor_id").cast("string"), F.lit(7)),
+                    F.lit(n_chunks),
+                ).cast("int"),
+            )
+            .withColumn(
+                "qchunk", F.explode(F.sequence(F.lit(0), F.lit(n_qchunks - 1)))
+            )
+            .withColumn("qchunk", F.col("qchunk").cast("int"))
         )
         qrep = (
             vecs.select(
                 F.col(id_col).alias("query_id"), F.col(code_col).alias("a_code")
+            )
+            .withColumn(
+                "qchunk",
+                F.pmod(
+                    F.xxhash64(F.col("query_id").cast("string"), F.lit(11)),
+                    F.lit(n_qchunks),
+                ).cast("int"),
             )
             .withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))))
             .withColumn("chunk", F.col("chunk").cast("int"))
@@ -474,23 +676,53 @@ def _int_topk(
                 )
             b = np.array(list(b_pdf["b_code"]), dtype=np.int64)  # (B, D)
             a = np.array(list(q_pdf["a_code"]), dtype=np.int64)  # (Q, D)
-            s = a @ b.T  # exact int64 — codes are bounded, no overflow
             nids = b_pdf["neighbor_id"].to_numpy()
             qids = q_pdf["query_id"].to_numpy()
-            qn, bn = s.shape
-            kk = min(k + 1, bn)
-            order = np.lexsort((np.broadcast_to(nids, (qn, bn)), -s), axis=1)[:, :kk]
+            b_ord = np.argsort(nids, kind="stable")
+            nids, b = nids[b_ord], b[b_ord]
+            kk = min(k + 1, len(b))
+            # collapse duplicate neighbor rows (identical vectors → identical
+            # codes, routine in dedup corpora): score unique rows once and
+            # expand by multiplicity — exact, same algebra per row
+            uniqb, counts, starts, pos_nids, first_nids = _collapse_rows(b, nids)
+            collapsed = 2 * len(uniqb) <= len(b)
+            bmat = uniqb if collapsed else b
+            amax = int(np.abs(a).max(initial=0))
+            bmax = int(np.abs(bmat).max(initial=0))
+            if amax * bmax * a.shape[1] < 2**53:
+                # every partial sum fits the float64 mantissa exactly, so the
+                # BLAS float matmul IS the exact integer product — 10-100×
+                # faster than NumPy's non-BLAS int64 matmul. The QUERY side is
+                # negated before the matmul (an O(Q·D) touch) so the selection
+                # key (score descending == −score ascending) comes straight
+                # out of BLAS with no extra O(Q·B) negate or int-cast pass;
+                # only the selected kk values per query are cast back.
+                neg_s = (-a).astype(np.float64) @ bmat.T.astype(np.float64)
+            else:
+                neg_s = -(a @ bmat.T)  # exact int64 fallback (fixed-point extremes)
+            if collapsed:
+                rows, sel_nids, vals = _topk_counts(
+                    neg_s, counts, starts, pos_nids, first_nids, kk
+                )
+                return pd.DataFrame(
+                    {
+                        "query_id": qids[rows],
+                        "neighbor_id": sel_nids,
+                        "score": (-vals).astype(np.int64),
+                    }
+                )
+            rows, cols = _topk_mask(neg_s, kk)
             return pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids, kk),
-                    "neighbor_id": nids[order].ravel(),
-                    "score": np.take_along_axis(s, order, axis=1).ravel(),
+                    "query_id": qids[rows],
+                    "neighbor_id": nids[cols],
+                    "score": (-neg_s[rows, cols]).astype(np.int64),
                 }
             )
 
         scored = (
-            base_c.groupby("chunk")
-            .cogroup(qrep.groupby("chunk"))
+            base_c.groupby("chunk", "qchunk")
+            .cogroup(qrep.groupby("chunk", "qchunk"))
             .applyInPandas(score_group, "query_id long, neighbor_id long, score long")
             .where(F.col("query_id") != F.col("neighbor_id"))
         )

@@ -168,3 +168,40 @@ def test_bpe_encode_no_merges_is_chars_plus_marker(spark):
     df = spark.createDataFrame([(1, "ab abc")], "doc_id long, text string")
     row = bpe_encode(df, []).collect()[0]
     assert (row["n_words"], row["n_tokens"]) == (2, 3 + 4)
+
+
+def test_bpe_distributed_fallback_matches_driver_path(spark):
+    """max_driver_words=0 forces the per-merge distributed loop — merge table
+    and vocabulary must be identical to the driver-side heap trainer."""
+    texts = [
+        "low low low lower lowest newer newest new",
+        "wider wide new newer newer",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    m_drv, w_drv = bpe_train(df, 8)
+    m_dist, w_dist = bpe_train(df, 8, max_driver_words=0)
+    assert m_dist == m_drv
+    v_drv = {r["word"]: (r["freq"], list(r["syms"])) for r in w_drv.collect()}
+    v_dist = {r["word"]: (r["freq"], list(r["syms"])) for r in w_dist.collect()}
+    assert v_dist == v_drv
+
+
+def test_bpe_heavy_tail_pruned_exactly(spark):
+    """A web-scale heavy tail (freq-1 words sharing no repeated pairs) must
+    not change the merge table vs the clean corpus, must never reach the
+    driver (collected rows == viable words only), and must survive untouched
+    in the returned vocabulary."""
+    clean = ["low low low lower lowest", "newer newest new newer"]
+    # tail words built from characters the clean corpus never uses, so every
+    # pair of theirs is unique → unviable by construction
+    tail = ["qzjx81 vkp93% #" , "zz", "q7&"]
+    df_clean = spark.createDataFrame([(t,) for t in clean], "text string")
+    df_noisy = spark.createDataFrame([(t,) for t in clean + tail], "text string")
+    m_clean, _ = bpe_train(df_clean, 6)
+    m_noisy, w_noisy = bpe_train(df_noisy, 6)
+    # 'zz' IS viable ((z,z) count 2 in one freq-1 word? no — one word 'zz'
+    # contributes the pair once, count 1) — everything in the tail is pruned
+    assert m_noisy == m_clean
+    vocab = {r["word"]: list(r["syms"]) for r in w_noisy.collect()}
+    for w in ("qzjx81", "vkp93%", "#", "zz", "q7&"):
+        assert vocab[w] == list(w) + [END_TOKEN]

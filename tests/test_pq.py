@@ -234,3 +234,171 @@ def test_ivfadc_corpus_sized_queries_no_driver_materialization(spark):
     assert agg["nq"] > n * 0.95
     assert agg["maxr"] == 2
     assert agg["mind"] >= 0.0
+
+
+def _det_df(spark, n, d):
+    """Bit-exact deterministic vectors derivable on BOTH sides: an integer
+    product mod 101 (exact in int64 and in float64's 53-bit mantissa) then one
+    IEEE-correctly-rounded double division — Spark and NumPy doubles agree
+    bitwise, so exact-equality oracles across the engine boundary are safe
+    (sin/cos would differ by libm ulps)."""
+    df = spark.range(n).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(1, {d}), j -> ((id * (j + 3)) % 101) / 7.0D) AS embedding",
+    )
+    ids = np.arange(n, dtype=np.int64)
+    j = np.arange(1, d + 1, dtype=np.int64)
+    x = ((ids[:, None] * (j + 3)[None, :]) % 101) / 7.0
+    return df, x
+
+
+def _np_topk_pairs(scores_row, nids, k, self_id):
+    """Exact (value asc, nid asc) top-k excluding the self match."""
+    order = sorted(
+        (v, int(nid)) for v, nid in zip(scores_row, nids) if nid != self_id
+    )
+    return order[:k]
+
+
+def test_pq_adc_corpus_sized_queries_bounded_grid(spark):
+    """ADVICE r4 (pq.py): query_pred=None replicated the ENTIRE query set to
+    every code chunk — O(Q · chunk_rows · m) per task, an executor OOM at any
+    realistic corpus-sized Q. The 2-D (chunk × qchunk) grid bounds per-task
+    memory to O(q_chunk_rows · chunk_rows) on both sides; this actually RUNS
+    the corpus-sized path at 100k rows (100k queries × 100k codes) with a
+    forced multi-cell grid and checks sampled queries exactly vs NumPy."""
+    n, d, m, ksub = 100_000, 8, 2, 16
+    df, x = _det_df(spark, n, d)
+    rng = np.random.default_rng(3)
+    cb = rng.normal(size=(m, ksub, d // m))
+    out = pq_adc_topk(
+        df, cb, k=2, query_pred=None, chunk_rows=32768, q_chunk_rows=16384
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    pdf = out.toPandas()
+    # every query gets its full top-2 (self-match excluded by _rank_topk)
+    assert len(pdf) == 2 * n
+    assert pdf["rank"].max() == 2
+    # exact NumPy replay for sampled queries: codes, LUT walk, round, tie rule
+    codes = _np_encode(x, cb)
+    nids = np.arange(n)
+    for qid in (0, 1, 101, 7_777, 99_999):
+        lut = ((x[qid].reshape(m, d // m)[:, None, :] - cb) ** 2).sum(2)  # (m, ksub)
+        adc = np.zeros(n)
+        for j in range(m):
+            adc += lut[j, codes[:, j]]
+        adc = np.round(adc, 6)
+        want = _np_topk_pairs(adc, nids, 2, qid)
+        got = pdf[pdf.query_id == qid].sort_values("rank")
+        assert [(v, i) for v, i in zip(got.adc_dist, got.neighbor_id)] == want
+
+
+def test_sq8_corpus_sized_queries_bounded_grid(spark):
+    """Same ADVICE shape for _int_topk: at query_pred=None each cogroup held
+    the full query set (Q × 65536 int64 scores ≈ 63 GB per task at 120k rows).
+    The grid bounds it; 100k × 100k sq8 scan runs end-to-end, sampled queries
+    replayed exactly in NumPy (same integer quantization algebra)."""
+    from lmw_tree_spark.operators.pq import SQ8_FP_BITS, sq8_topk
+
+    n, d = 100_000, 8
+    df, x = _det_df(spark, n, d)
+    out = sq8_topk(df, k=2, query_pred=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    pdf = out.toPandas()
+    assert len(pdf) == 2 * n
+    # exact integer replay of sq8_encode
+    f = np.floor(x * float(1 << SQ8_FP_BITS)).astype(np.int64)
+    scale = np.maximum(1, np.abs(f).max(axis=1))
+    qc = 2 * ((f + scale[:, None]) * 127 // (2 * scale[:, None])) - 127
+    nids = np.arange(n)
+    for qid in (0, 2, 4_242, 99_998):
+        s = qc @ qc[qid]
+        want = _np_topk_pairs(-s, nids, 2, qid)  # score DESC == -s ASC
+        got = pdf[pdf.query_id == qid].sort_values("rank")
+        assert [(-v, i) for v, i in zip(got.score, got.neighbor_id)] == want
+
+
+def test_int_topk_exact_fallback_beyond_float53(spark):
+    """fixedpoint codes of magnitude ~2^40 overflow the float64-exact product
+    bound (amax·bmax·d ≥ 2^53), forcing the int64 matmul fallback — scores
+    must still be exact."""
+    from lmw_tree_spark.operators.pq import fixedpoint_topk
+
+    n, d = 200, 4
+    df, x = _det_df(spark, n, d)
+    big = df.selectExpr(
+        "vec_id", "transform(embedding, v -> v * 1048573.0D) AS embedding"
+    )
+    xb = x * 1048573.0
+    out = fixedpoint_topk(big, k=2, query_pred=None, )
+    pdf = out.toPandas()
+    f = np.floor(xb * float(1 << 20)).astype(np.int64)
+    nids = np.arange(n)
+    for qid in (0, 3, 199):
+        s = f @ f[qid]
+        want = _np_topk_pairs(-s, nids, 2, qid)
+        got = pdf[pdf.query_id == qid].sort_values("rank")
+        assert [(-v, i) for v, i in zip(got.score, got.neighbor_id)] == want
+
+
+def test_topk_mask_mass_ties_exact():
+    """_topk_mask under mass ties: many equal values at the threshold must be
+    filled smallest-column-first (columns are nid-ascending by contract)."""
+    from lmw_tree_spark.operators.pq import _topk_mask
+
+    key = np.array(
+        [
+            [5.0, 1.0, 1.0, 1.0, 1.0, 0.0],   # t=1.0, need 2 of the 4 ties
+            [2.0, 2.0, 2.0, 2.0, 2.0, 2.0],   # all tied
+            [0.0, 1.0, 2.0, 3.0, 4.0, 5.0],   # no ties
+        ]
+    )
+    rows, cols = _topk_mask(key, 3)
+    got = {r: [] for r in range(3)}
+    for r, c in zip(rows, cols):
+        got[r].append(c)
+    assert got[0] == [1, 2, 5]
+    assert got[1] == [0, 1, 2]
+    assert got[2] == [0, 1, 2]
+    # kk >= width: everything selected
+    rows, cols = _topk_mask(key, 6)
+    assert len(rows) == 18
+
+
+def test_pq_adc_corpus_dense_path_distinct_vectors(spark):
+    """Same query_pred=None grid, but with a trained codebook over a large
+    code space (ksub^m >> n) so most rows keep DISTINCT codes — duplicate-row
+    collapse can't engage and the dense (Q x B) gather kernel runs in every
+    grid cell, per-task memory bounded by q_chunk_rows x chunk_rows. Sampled
+    queries replayed exactly vs NumPy."""
+    n, d, m, ksub = 8_192, 16, 8, 256
+    df = spark.range(n).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(1, {d}), j -> ((id * (j * 2654435761 + 40503)) % 9973) / 7.0D) AS embedding",
+    )
+    ids = np.arange(n, dtype=np.int64)
+    jj = np.arange(1, d + 1, dtype=np.int64)
+    x = ((ids[:, None] * (jj[None, :] * 2654435761 + 40503)) % 9973) / 7.0
+    rng = np.random.default_rng(9)
+    cb = rng.uniform(0, 9973 / 7.0, (m, ksub, d // m))
+    codes = _np_encode(x, cb)
+    assert len(np.unique(codes, axis=0)) > n * 0.5  # really the dense path
+    out = pq_adc_topk(
+        df, cb, k=2, query_pred=None, chunk_rows=4096, q_chunk_rows=4096
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == 2 * n
+    nids = np.arange(n)
+    for qid in (0, 999, 8_000):
+        lut = ((x[qid].reshape(m, d // m)[:, None, :] - cb) ** 2).sum(2)
+        adc = np.zeros(n)
+        for j in range(m):
+            adc += lut[j, codes[:, j]]
+        adc = np.round(adc, 6)
+        want = _np_topk_pairs(adc, nids, 2, qid)
+        got = pdf[pdf.query_id == qid].sort_values("rank")
+        assert [(v, i) for v, i in zip(got.adc_dist, got.neighbor_id)] == want
