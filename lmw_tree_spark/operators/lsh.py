@@ -512,26 +512,34 @@ def bucket_skew_stats(
     quantile, same definition the SQL oracle replays)."""
     sizes = buckets.groupBy(modality_col, bucket_col).agg(F.count("*").alias("size"))
     hist = sizes.groupBy(modality_col, "size").agg(F.count("*").alias("n"))
+    # ONE traversal of the bucket stream: totals ride the same per-modality
+    # window shuffle as the cumulative count (the histogram is tiny), and
+    # both percentiles fall out of a single conditional aggregation — the
+    # previous tot/at(0.5)/at(0.99) join shape re-evaluated the whole
+    # buckets->sizes->hist pipeline once per output column (no exchange
+    # reuse across the join subtrees; measured 3x the union scan's cost).
     w = Window.partitionBy(modality_col).orderBy("size")
-    cum = hist.withColumn("cum", F.sum("n").over(w))
-    tot = hist.groupBy(modality_col).agg(
-        F.sum("n").alias("n_buckets"),
-        F.sum(F.col("n") * F.col("size")).alias("n_rows"),
-        F.max("size").alias("max_size"),
+    wall = (
+        Window.partitionBy(modality_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    j = cum.join(tot, modality_col)
+    cum = hist.select(
+        modality_col,
+        "size",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wall).alias("n_buckets"),
+        F.sum(F.col("n") * F.col("size")).over(wall).alias("n_rows"),
+        F.max("size").over(wall).alias("max_size"),
+    )
 
-    def at(q: float, out: str) -> DataFrame:
-        return (
-            j.where(F.col("cum") >= F.ceil(F.lit(q) * F.col("n_buckets")))
-            .groupBy(modality_col)
-            .agg(F.min("size").alias(out))
-        )
+    def at(q: float) -> F.Column:
+        hit = F.col("cum") >= F.ceil(F.lit(q) * F.col("n_buckets"))
+        return F.min(F.when(hit, F.col("size")))
 
-    return (
-        tot.join(at(0.5, "p50_size"), modality_col)
-        .join(at(0.99, "p99_size"), modality_col)
-        .select(
-            modality_col, "n_buckets", "n_rows", "max_size", "p50_size", "p99_size"
-        )
+    return cum.groupBy(modality_col).agg(
+        F.first("n_buckets").alias("n_buckets"),
+        F.first("n_rows").alias("n_rows"),
+        F.first("max_size").alias("max_size"),
+        at(0.5).alias("p50_size"),
+        at(0.99).alias("p99_size"),
     )
