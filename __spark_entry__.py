@@ -1906,7 +1906,9 @@ def q_dedup_attribution(spark, sf_dir):
             {
                 "image_id": np.repeat(pdf["image_id"].to_numpy(), p),
                 "perm_idx": np.tile(np.arange(p, dtype=np.int64), n),
-                "v": mh.ravel(),
+                # low 32 bits — the same truncation verify_edges applies
+                # (equality on low halves; sentinel -1 survives the cast)
+                "v": mh.ravel().astype(np.int32),
             }
         ),
     )

@@ -432,14 +432,29 @@ def _hard_negatives_production(spark, sf_dir):
     )
 
 
-def _graph_edges(spark):
-    import __spark_entry__ as entry
-    from lmw_tree_spark.config import SMALL
-    from lmw_tree_spark.operators.lsh import candidate_edges, verify_edges
+_EDGE_CACHE: dict = {}
 
-    sigs = entry._fixed_signatures(spark)
-    verified = verify_edges(candidate_edges(sigs, SMALL), sigs, SMALL).where("is_dup")
-    return sigs, verified.select("src", "dst")
+
+def _graph_edges(spark):
+    """Canonical verified dup edges, materialized ONCE per bench session and
+    shared across the graph-analytics queries (triangle/k-truss/PageRank/
+    modularity/diameter) — the production shape: a campaign materializes its
+    edge list once and every diagnostic reads it, so per-query walls below
+    time the graph operator itself, not a rebuild of the dedup front-end."""
+    key = id(spark)
+    if key not in _EDGE_CACHE:
+        import __spark_entry__ as entry
+        from lmw_tree_spark.config import SMALL
+        from lmw_tree_spark.operators.lsh import candidate_edges, verify_edges
+
+        sigs = entry._fixed_signatures(spark)
+        verified = verify_edges(candidate_edges(sigs, SMALL), sigs, SMALL).where(
+            "is_dup"
+        )
+        edges = verified.select("src", "dst").localCheckpoint(eager=True)
+        _EDGE_CACHE.clear()  # one live bench session at a time
+        _EDGE_CACHE[key] = (sigs, edges)
+    return _EDGE_CACHE[key]
 
 
 def _triangle_production(spark, sf_dir):

@@ -309,7 +309,20 @@ def verify_edges(edges: DataFrame, sigs: DataFrame, cfg: PipelineConfig) -> Data
 
     Output: (src, dst, phash_dist, simhash_dist, caption_sim, is_dup).
     """
-    mh_prefix = F.slice("minhash", 1, cfg.verify_minhash_prefix)
+    # 32-bit truncation of the verification prefix: agreement is an EQUALITY
+    # test, so comparing low halves is the same algebra with a 2^-32 per-slot
+    # false-agree rate (≈5e-9 expected extra agreement per pair at prefix 32 —
+    # nothing against a 0.6 threshold) for HALF the dominant shuffle bytes of
+    # the verify join (the prefix is ~16x wider than the two image hashes
+    # combined). The all--1 empty-caption sentinel survives the cast (-1 low
+    # half is -1), and the SQL oracle replays the same truncation, so results
+    # stay bit-identical across engines.
+    # (shiftleft then arithmetic shiftright sign-extends the low half into
+    # int range first — a plain cast throws under ANSI on overflow)
+    mh_prefix = F.transform(
+        F.slice("minhash", 1, cfg.verify_minhash_prefix),
+        lambda x: F.shiftright(F.shiftleft(x, 32), 32).cast("int"),
+    )
     a = sigs.select(
         F.col("image_id").alias("src"),
         F.col("phash").alias("a_ph"),
