@@ -311,10 +311,16 @@ def mutual_knn_edges(
     q_vecs = vecs.select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("a_vec")
     )
+    # attach the query vector to the (query, probe-cell) table BEFORE the cell
+    # join: the probe table is n·n_probe narrow rows, so a_vec ships n_probe
+    # times per query — joining it after the cell join instead would shuffle
+    # every EXPLODED candidate row (≈ n·n_probe·cell_size, each dragging the
+    # neighbor vector along) a second time by query_id, the stage's dominant
+    # byte mover. Same joins' algebra, same per-pair arithmetic, same result.
+    q_probes = q_cells.join(q_vecs, "query_id")
     directed = (
-        q_cells.join(members, "cell")
+        q_probes.join(members, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .join(q_vecs, "query_id")
         .select(
             "query_id",
             "neighbor_id",
